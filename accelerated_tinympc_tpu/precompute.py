@@ -1,0 +1,267 @@
+"""Offline precompute: infinite-horizon Riccati cache + condensed horizon operators.
+
+This is the TPU-native replacement for the *math* half of the reference's codegen
+(reference: src/tinympc/codegen.cpp:254-292): rho-augment the diagonal costs, run
+the infinite-horizon discrete Riccati fixed point, and cache the matrices the ADMM
+solver needs. Emitting C++ source files is replaced by constructing pytrees (and,
+for deployment, AOT export / serialization in api/export.py).
+
+Two implementations:
+
+- :func:`riccati_cache` — host-side NumPy in float64. The reference insists the
+  Riccati precompute run in double (examples/codegen_cartpole.cpp:9-11 "For
+  codegen, change it to double, otherwise, Riccati may fail"); precompute is
+  offline so there is no reason to put it on the TPU.
+- :func:`riccati_cache_jax` — jittable/vmappable JAX version (``lax.while_loop``)
+  for on-device cache construction over large batches of random plants.
+
+Plus :func:`condensed_operators`: the TPU-first reformulation. Both horizon sweeps
+of the ADMM iteration (forward rollout, reference src/tinympc/admm.cpp:27-37;
+backward Riccati gradient recursion, admm.cpp:15-22) are *affine* recurrences, so
+each sweep collapses into a single dense matmul against a precomputed operator.
+That turns the per-iteration hot path from 2*(N-1) dependent (12x12)-class matvecs
+into two MXU matmuls over the batch — the design the 128x128 systolic array wants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import Cache
+
+# Fixed-point controls (reference: src/tinympc/codegen.cpp:273-285).
+RICCATI_MAX_ITERS = 1000
+RICCATI_TOL = 1e-5
+
+
+def rho_augmented_costs(Q, R, rho):
+    """Q += rho, R += rho elementwise on the diagonals (reference:
+    src/tinympc/codegen.cpp:254-258)."""
+    return Q + rho, R + rho
+
+
+def riccati_cache(
+    A: np.ndarray,
+    B: np.ndarray,
+    Q: np.ndarray,
+    R: np.ndarray,
+    rho: float,
+    *,
+    max_iters: int = RICCATI_MAX_ITERS,
+    tol: float = RICCATI_TOL,
+    dtype: Any = np.float32,
+) -> Cache:
+    """Infinite-horizon Riccati fixed point in float64 on the host.
+
+    Mirrors reference src/tinympc/codegen.cpp:268-292 exactly: P0 = rho*I,
+    iterate Kinf/Pinf until max|dKinf| < 1e-5 (cap ``max_iters``), then cache
+    Quu_inv, AmBKt, coeff_d2p. ``Q``/``R`` are the *raw* diagonal vectors; the
+    rho augmentation happens here.
+    """
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    Qa, Ra = rho_augmented_costs(
+        np.asarray(Q, np.float64), np.asarray(R, np.float64), float(rho)
+    )
+    Q1 = np.diag(Qa)
+    R1 = np.diag(Ra)
+
+    nx, nu = B.shape
+    Ktp1 = np.zeros((nu, nx))
+    Ptp1 = float(rho) * np.eye(nx)
+    Kinf = np.zeros((nu, nx))
+    Pinf = np.zeros((nx, nx))
+    for _ in range(max_iters):
+        Kinf = np.linalg.solve(R1 + B.T @ Ptp1 @ B, B.T @ Ptp1 @ A)
+        Pinf = Q1 + A.T @ Ptp1 @ (A - B @ Kinf)
+        if np.max(np.abs(Kinf - Ktp1)) < tol:
+            break
+        Ktp1 = Kinf
+        Ptp1 = Pinf
+
+    Quu_inv = np.linalg.inv(R1 + B.T @ Pinf @ B)
+    AmBKt = (A - B @ Kinf).T
+    coeff_d2p = Kinf.T @ R1 - AmBKt @ Pinf @ B
+
+    # NumPy leaves: keeps float64 intact regardless of jax_enable_x64; JAX
+    # converts on first jitted use.
+    as_dt = lambda m: np.asarray(m, dtype)
+    return Cache(
+        rho=as_dt(rho), Kinf=as_dt(Kinf), Pinf=as_dt(Pinf),
+        Quu_inv=as_dt(Quu_inv), AmBKt=as_dt(AmBKt), coeff_d2p=as_dt(coeff_d2p),
+    )
+
+
+def riccati_cache_jax(
+    A: jax.Array,
+    B: jax.Array,
+    Q: jax.Array,
+    R: jax.Array,
+    rho: jax.Array,
+    *,
+    max_iters: int = RICCATI_MAX_ITERS,
+    tol: float = RICCATI_TOL,
+) -> Cache:
+    """Jittable/vmappable Riccati fixed point (same math as :func:`riccati_cache`).
+
+    Uses ``lax.while_loop`` with the reference's iteration cap and Kinf-delta
+    stopping rule. Runs in the caller's dtype; for well-conditioned plants f32
+    is adequate, but prefer the host float64 path for offline cache builds.
+    """
+    nx, nu = B.shape
+    dtype = A.dtype
+    Qa, Ra = rho_augmented_costs(Q, R, rho)
+    R1 = jnp.diag(Ra)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(carry):
+        i, K, P, _delta = carry
+        BtP = jnp.matmul(B.T, P, precision=hi)
+        Knew = jnp.linalg.solve(
+            R1 + jnp.matmul(BtP, B, precision=hi), jnp.matmul(BtP, A, precision=hi)
+        )
+        Pnew = jnp.diag(Qa) + jnp.matmul(
+            A.T, jnp.matmul(P, A - jnp.matmul(B, Knew, precision=hi), precision=hi),
+            precision=hi,
+        )
+        return i + 1, Knew, Pnew, jnp.max(jnp.abs(Knew - K))
+
+    def cond(carry):
+        i, _K, _P, delta = carry
+        return jnp.logical_and(i < max_iters, delta >= tol)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((nu, nx), dtype),
+        rho.astype(dtype) * jnp.eye(nx, dtype=dtype),
+        jnp.asarray(jnp.inf, dtype),
+    )
+    _, Kinf, Pinf, _ = jax.lax.while_loop(cond, step, init)
+
+    Quu_inv = jnp.linalg.inv(R1 + B.T @ Pinf @ B)
+    AmBK = A - jnp.matmul(B, Kinf, precision=hi)
+    AmBKt = AmBK.T
+    coeff_d2p = jnp.matmul(Kinf.T, R1, precision=hi) - jnp.matmul(
+        AmBKt, jnp.matmul(Pinf, B, precision=hi), precision=hi
+    )
+    return Cache(
+        rho=rho.astype(dtype), Kinf=Kinf, Pinf=Pinf,
+        Quu_inv=Quu_inv, AmBKt=AmBKt, coeff_d2p=coeff_d2p,
+    )
+
+
+class CondensedOperators(NamedTuple):
+    """Dense affine operators condensing the two horizon sweeps.
+
+    Forward rollout (reference src/tinympc/admm.cpp:27-37): with
+    ``u_i = -Kinf x_i - d_i`` and ``x_{i+1} = A x_i + B u_i``, the closed loop is
+    ``x_{i+1} = (A - B Kinf) x_i - B d_i`` — affine in ``(x0, d)``. Stacking the
+    horizon: ``vec(x) = Fx0 @ x0 + Fd @ vec(d)`` and
+    ``vec(u) = Gx0 @ x0 + Gd @ vec(d)``.
+
+    Backward gradient recursion (reference src/tinympc/admm.cpp:15-22):
+    ``p_i = q_i + AmBKt p_{i+1} - Kinf^T r_i`` (terminal ``p_{N-1}`` given),
+    ``d_i = Quu_inv (B^T p_{i+1} + r_i)`` — affine in ``(q, r, p_{N-1})``:
+    ``vec(p) = Hq @ vec(q_{0..N-2}) + Hr @ vec(r) + Hp @ p_{N-1}`` and
+    ``vec(d) = Eq @ vec(q_{0..N-2}) + Er @ vec(r) + Ep @ p_{N-1}``.
+
+    Shapes (N = horizon, m = N-1):
+      Fx0 (N*nx, nx),  Fd (N*nx, m*nu),  Gx0 (m*nu, nx),  Gd (m*nu, m*nu)
+      Hq (N*nx, m*nx), Hr (N*nx, m*nu),  Hp (N*nx, nx)
+      Eq (m*nu, m*nx), Er (m*nu, m*nu),  Ep (m*nu, nx)
+
+    The dropped ``coeff_d2p`` term in the reference backward pass (always-zero,
+    commented out at src/tinympc/admm.cpp:20) is likewise omitted here.
+    """
+
+    Fx0: jax.Array
+    Fd: jax.Array
+    Gx0: jax.Array
+    Gd: jax.Array
+    Hq: jax.Array
+    Hr: jax.Array
+    Hp: jax.Array
+    Eq: jax.Array
+    Er: jax.Array
+    Ep: jax.Array
+
+
+def condensed_operators(
+    cache: Cache,
+    A: np.ndarray,
+    B: np.ndarray,
+    horizon: int,
+    *,
+    dtype: Any = np.float32,
+) -> CondensedOperators:
+    """Build the condensed horizon operators in float64 on the host."""
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    K = np.asarray(cache.Kinf, np.float64)
+    AmBKt = np.asarray(cache.AmBKt, np.float64)
+    Quu_inv = np.asarray(cache.Quu_inv, np.float64)
+    Kt = K.T
+    N = horizon
+    m = N - 1
+    nx, nu = B.shape
+    Acl = A - B @ K  # closed-loop transition
+
+    # --- forward: x_i as affine function of (x0, d) ---------------------------
+    # x_0 = x0; x_{i+1} = Acl x_i - B d_i
+    Fx0 = np.zeros((N * nx, nx))
+    Fd = np.zeros((N * nx, m * nu))
+    powers = [np.eye(nx)]
+    for _ in range(N - 1):
+        powers.append(Acl @ powers[-1])
+    for i in range(N):
+        Fx0[i * nx:(i + 1) * nx] = powers[i]
+        for j in range(i):  # x_i depends on d_j for j < i
+            Fd[i * nx:(i + 1) * nx, j * nu:(j + 1) * nu] = -powers[i - 1 - j] @ B
+    # u_i = -K x_i - d_i
+    Gx0 = np.zeros((m * nu, nx))
+    Gd = np.zeros((m * nu, m * nu))
+    for i in range(m):
+        Gx0[i * nu:(i + 1) * nu] = -K @ powers[i]
+        Gd[i * nu:(i + 1) * nu, i * nu:(i + 1) * nu] = -np.eye(nu)
+        for j in range(i):
+            Gd[i * nu:(i + 1) * nu, j * nu:(j + 1) * nu] = -K @ (-powers[i - 1 - j] @ B)
+
+    # --- backward: (p, d) as affine functions of (q_{0..N-2}, r, p_{N-1}) ----
+    # p_{N-1} passes through; p_i = q_i + AmBKt p_{i+1} - K^T r_i for i = N-2..0
+    Hq = np.zeros((N * nx, m * nx))
+    Hr = np.zeros((N * nx, m * nu))
+    Hp = np.zeros((N * nx, nx))
+    Mpowers = [np.eye(nx)]  # AmBKt^k
+    for _ in range(N - 1):
+        Mpowers.append(AmBKt @ Mpowers[-1])
+    Hp[(N - 1) * nx:] = np.eye(nx)
+    for i in range(N - 1):
+        # p_i = sum_{j=i}^{N-2} AmBKt^{j-i} (q_j - K^T r_j) + AmBKt^{N-1-i} p_{N-1}
+        Hp[i * nx:(i + 1) * nx] = Mpowers[N - 1 - i]
+        for j in range(i, N - 1):
+            Hq[i * nx:(i + 1) * nx, j * nx:(j + 1) * nx] = Mpowers[j - i]
+            Hr[i * nx:(i + 1) * nx, j * nu:(j + 1) * nu] = -Mpowers[j - i] @ Kt
+    # d_i = Quu_inv (B^T p_{i+1} + r_i)
+    QB = Quu_inv @ B.T
+    Eq = np.zeros((m * nu, m * nx))
+    Er = np.zeros((m * nu, m * nu))
+    Ep = np.zeros((m * nu, nx))
+    for i in range(m):
+        Er[i * nu:(i + 1) * nu, i * nu:(i + 1) * nu] = Quu_inv
+        # p_{i+1} rows of (Hq, Hr, Hp)
+        r0 = (i + 1) * nx
+        Eq[i * nu:(i + 1) * nu] += QB @ Hq[r0:r0 + nx]
+        Er[i * nu:(i + 1) * nu] += QB @ Hr[r0:r0 + nx]
+        Ep[i * nu:(i + 1) * nu] = QB @ Hp[r0:r0 + nx]
+
+    as_dt = lambda mmat: jnp.asarray(mmat, dtype)
+    return CondensedOperators(
+        Fx0=as_dt(Fx0), Fd=as_dt(Fd), Gx0=as_dt(Gx0), Gd=as_dt(Gd),
+        Hq=as_dt(Hq), Hr=as_dt(Hr), Hp=as_dt(Hp),
+        Eq=as_dt(Eq), Er=as_dt(Er), Ep=as_dt(Ep),
+    )

@@ -1,0 +1,147 @@
+"""End-to-end golden parity: the TPU engine (f32) vs trajectories dumped from the
+compiled, unmodified reference solver (double; generated cartpole code: float).
+
+Goldens produced by tools/golden/golden_quadrotor.cpp (linked against
+/root/reference/src/tinympc/admm.cpp) and the reference codegen's emitted
+cartpole project. Parity bar from BASELINE.md: max control-input error < 1e-4 at
+matched horizon/iteration count.
+"""
+
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.models import (
+    cartpole_problem,
+    quadrotor_hovering_setup,
+    quadrotor_tracking_setup,
+)
+from accelerated_tinympc_tpu.precompute import riccati_cache
+
+from golden_utils import load_solve0_csv, load_traj_csv, run_mpc_loop
+
+U_TOL = 1e-4  # BASELINE.md control-parity bound
+
+
+class TestHoveringFixedIterations:
+    """70-tick hovering loop at a fixed 50 ADMM iterations per solve
+    (deterministic: no early-exit nondeterminism, SURVEY.md §4)."""
+
+    @pytest.fixture(scope="class")
+    def run(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=50, check_termination=0)
+        got = run_mpc_loop(problem, cache, settings, x0, steps=70)
+        want = load_traj_csv("hovering_fixed50", 12, 4)
+        return got, want
+
+    def test_controls_match(self, run):
+        (_, u0, _), want = run
+        np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=U_TOL)
+
+    def test_states_match(self, run):
+        (x0, _, _), want = run
+        np.testing.assert_allclose(x0, want["x0"], rtol=0, atol=1e-3)
+
+
+class TestHoveringAdaptive:
+    """Reference default settings: tol 1e-3, max_iter 100, check every iteration
+    (reference: examples/quadrotor_hovering.cpp:73-78)."""
+
+    @pytest.fixture(scope="class")
+    def run(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=100, check_termination=1)
+        got = run_mpc_loop(problem, cache, settings, x0, steps=70)
+        want = load_traj_csv("hovering_adaptive", 12, 4)
+        return got, want
+
+    def test_controls_match(self, run):
+        (_, u0, _), want = run
+        np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=U_TOL)
+
+    def test_iteration_counts_match(self, run):
+        # f32 vs f64 residuals can flip an occasional borderline termination
+        # check; demand exact agreement on >= 90% of ticks and off-by-few else.
+        (_, _, iters), want = run
+        agree = np.mean(iters == want["iters"])
+        assert agree >= 0.9, (iters.tolist(), want["iters"].tolist())
+        assert np.max(np.abs(iters - want["iters"])) <= 5
+
+
+class TestFirstSolveWorkspace:
+    """Deep parity of the *entire workspace* after one 50-iteration solve —
+    catches any stage-ordering or masking drift that trajectory-level tests
+    could average away."""
+
+    @pytest.fixture(scope="class")
+    def run(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=50, check_termination=0)
+        state = atm.set_x0(
+            atm.reset_duals(atm.init_state(12, 4, 10)), np.asarray(x0, np.float32)
+        )
+        state = atm.solve(state, problem, cache, settings)
+        want = load_solve0_csv("hovering_fixed50", 10, 12, 4)
+        return state, want
+
+    @pytest.mark.parametrize(
+        "field,tol",
+        [
+            ("x", 2e-4), ("u", 1e-4), ("q", 2e-3), ("r", 1e-3),
+            ("p", 2e-2), ("d", 1e-4), ("v", 2e-4), ("vnew", 2e-4),
+            ("z", 1e-4), ("znew", 1e-4), ("g", 2e-4), ("y", 1e-4),
+        ],
+    )
+    def test_field(self, run, field, tol):
+        state, want = run
+        got = np.asarray(getattr(state, field))
+        scale = max(1.0, np.max(np.abs(want[field])))
+        np.testing.assert_allclose(got, want[field], rtol=0, atol=tol * scale)
+
+    def test_iter(self, run):
+        state, want = run
+        assert int(state.iter) == int(want["iter"][0])
+
+
+class TestTracking:
+    """290-tick sliding-window tracking of the 20 Hz y-axis-line trajectory
+    (reference: examples/quadrotor_tracking.cpp:84-118)."""
+
+    @pytest.mark.parametrize(
+        "golden,max_iter,check",
+        [("tracking_fixed25", 25, 0), ("tracking_adaptive", 100, 1)],
+    )
+    def test_controls_match(self, golden, max_iter, check):
+        problem, cache, x0, Xref_total = quadrotor_tracking_setup()
+        settings = atm.Settings(max_iter=max_iter, check_termination=check)
+        _, u0, _ = run_mpc_loop(
+            problem, cache, settings, x0, steps=290, Xref_total=Xref_total
+        )
+        want = load_traj_csv(golden, 12, 4)
+        np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=U_TOL)
+
+
+class TestCartpole:
+    """300-step cartpole stabilization against the reference codegen's emitted
+    float32 project (reference: examples/codegen_cartpole.cpp:73-124 loop)."""
+
+    @pytest.mark.parametrize(
+        "golden,max_iter,check",
+        [("cartpole_fixed40", 40, 0), ("cartpole_adaptive", 150, 1)],
+    )
+    def test_controls_match(self, golden, max_iter, check):
+        problem = cartpole_problem()
+        from accelerated_tinympc_tpu.models import cartpole as cp
+
+        # The generated project stores rho-augmented Q/R in the workspace
+        # (reference: src/tinympc/codegen.cpp:254-258,349-357).
+        cache = riccati_cache(cp.A, cp.B, cp.Q_DIAG, cp.R_DIAG, cp.RHO)
+        problem = problem.replace(
+            Q=problem.Q + np.float32(cp.RHO), R=problem.R + np.float32(cp.RHO)
+        )
+        settings = atm.Settings(max_iter=max_iter, check_termination=check)
+        x0 = np.array([0.0, 0.0, 0.1, 0.0])
+        _, u0, _ = run_mpc_loop(problem, cache, settings, x0, steps=300)
+        want = load_traj_csv(golden, 4, 1)
+        np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=U_TOL)
