@@ -1,0 +1,523 @@
+"""Fused Pallas TPU kernel: the entire batched ADMM solve in one kernel launch.
+
+This is the speed-of-light tier. The condensed formulation
+(:mod:`..solver.condensed`) turns each ADMM iteration into a handful of small
+matmuls plus elementwise chains; running it as jnp under jit still round-trips
+every ``(B, lanes)`` intermediate through HBM once the batch is large, and pays
+per-HLO overheads on the sequential iteration loop. Here the whole solve loop
+runs inside a single ``pallas_call``: per batch tile, every iterate and every
+condensed operator is VMEM-resident for all iterations — HBM traffic is one
+read of ``x0``/warm-start carries and one write of results per *solve*, not per
+iteration.
+
+Layout: flat time-major vectors padded to the 128-lane width
+(``Dx = N*nx -> Dxp``, ``Du = (N-1)*nu -> Dup``), batch tiles of ``bt``
+instances on sublanes. All padding is arranged so padded lanes stay identically
+zero through every stage (zero operator rows/cols, zero bounds, zero reference
+terms), so no masking is needed anywhere except selecting the terminal-knot
+lanes of the costate — done with a constant 0/1 lane mask, not slicing.
+
+Semantics: stage-for-stage identical to the reference iteration (reference:
+src/tinympc/admm.cpp:111-152): a fixed-iteration mode (the reference with
+termination checks disabled — deterministic benchmarking/golden tier) and an
+adaptive mode with per-instance convergence freezing replicating the early
+exit (residual definitions per reference src/tinympc/admm.cpp:91-109; exit
+skips the slack save + backward pass, admm.cpp:135-144).
+
+The costate ``p`` is not materialized: within one iteration only the terminal
+knot of ``p`` (refreshed by update_linear_cost, admm.cpp:83-84) feeds the
+backward recursion, and the interior knots are never consumed by any later
+stage, so the fused tier simply never computes them. ``d`` is the only
+backward-pass output with a cross-iteration life.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..precompute import CondensedOperators
+from ..types import Cache, Problem
+
+LANES = 128
+STATS = 8  # per-instance stats lanes: iters, solved, 4 residuals, 2 pad
+
+
+def _pad_to(n: int, m: int = LANES) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class PaddedProblem(NamedTuple):
+    """Lane-padded condensed operators + problem vectors, kernel-ready.
+
+    All ``W_*`` are stored transposed, ``(in_pad, out_pad)``, so every kernel
+    contraction is ``Y = X @ W``. ``W_eq`` has zero rows for the terminal-knot
+    and padding lanes, making ``Q @ W_eq`` equal the reference's
+    ``q_{0..N-2}`` contraction without slicing; ``W_ep`` rows live at the
+    terminal-knot lanes so the full-width costate vector contracts like the
+    reference's terminal ``p``.
+    """
+
+    W_fx: jax.Array   # (nx_pad, Dxp)  x0 -> X
+    W_fd: jax.Array   # (Dup, Dxp)     D  -> X
+    W_gx: jax.Array   # (nx_pad, Dup)  x0 -> U
+    W_gd: jax.Array   # (Dup, Dup)     D  -> U
+    W_eq: jax.Array   # (Dxp, Dup)     Q  -> D
+    W_er: jax.Array   # (Dup, Dup)     R  -> D
+    W_ep: jax.Array   # (Dxp, Dup)     pterm-vec -> D
+    xref_q: jax.Array     # (1, Dxp)  = -(Xref * Qdiag), padded
+    pterm_c: jax.Array    # (1, Dxp)  = -Xref[-1] @ Pinf in terminal lanes
+    mask_term: jax.Array  # (1, Dxp)  1.0 on terminal-knot lanes
+    u_min: jax.Array      # (1, Dup)
+    u_max: jax.Array
+    x_min: jax.Array      # (1, Dxp)
+    x_max: jax.Array
+    rho: jax.Array        # (1, 1)
+    dims: tuple[int, int, int]  # (nx, nu, horizon) — static metadata
+
+    @property
+    def nx_pad(self) -> int:
+        return self.W_fx.shape[0]
+
+    @property
+    def Dxp(self) -> int:
+        return self.W_fx.shape[1]
+
+    @property
+    def Dup(self) -> int:
+        return self.W_gd.shape[1]
+
+
+def _place(v: np.ndarray, size: int, at: int) -> np.ndarray:
+    out = np.zeros(size, np.float64)
+    out[at:at + v.size] = v
+    return out
+
+
+def _pad_vec(v: np.ndarray, width: int, dtype) -> jax.Array:
+    out = np.zeros((1, width), np.float64)
+    out[0, : v.size] = v
+    return jnp.asarray(out, dtype)
+
+
+def pad_problem(
+    problem: Problem, cache: Cache, ops: CondensedOperators,
+    dtype: Any = jnp.float32,
+) -> PaddedProblem:
+    """Pad condensed operators/problem data into the kernel layout (host-side,
+    float64 until the final cast)."""
+    nx, nu, N = problem.nx, problem.nu, problem.horizon
+    m = N - 1
+    Dx, Du = N * nx, m * nu
+    Dxp, Dup, nxp = _pad_to(Dx), _pad_to(Du), _pad_to(nx)
+    t0 = Dx - nx  # first terminal-knot lane
+
+    def padW(Wt: np.ndarray, rows: int, cols: int, row0: int = 0) -> jax.Array:
+        out = np.zeros((rows, cols), np.float64)
+        out[row0:row0 + Wt.shape[0], : Wt.shape[1]] = Wt
+        return jnp.asarray(out, dtype)
+
+    o = {k: np.asarray(getattr(ops, k), np.float64) for k in ops._fields}
+    return PaddedProblem(
+        W_fx=padW(o["Fx0"].T, nxp, Dxp),
+        W_fd=padW(o["Fd"].T, Dup, Dxp),
+        W_gx=padW(o["Gx0"].T, nxp, Dup),
+        W_gd=padW(o["Gd"].T, Dup, Dup),
+        W_eq=padW(o["Eq"].T, Dxp, Dup),
+        W_er=padW(o["Er"].T, Dup, Dup),
+        W_ep=padW(o["Ep"].T, Dxp, Dup, row0=t0),
+        xref_q=_pad_vec(
+            -(np.asarray(problem.Xref, np.float64)
+              * np.asarray(problem.Q, np.float64)).reshape(-1), Dxp, dtype),
+        pterm_c=_pad_vec(
+            _place(-np.asarray(problem.Xref[-1], np.float64)
+                   @ np.asarray(cache.Pinf, np.float64), Dx, t0), Dxp, dtype),
+        mask_term=_pad_vec(_place(np.ones(nx), Dx, t0), Dxp, dtype),
+        u_min=_pad_vec(np.asarray(problem.u_min, np.float64).reshape(-1), Dup, dtype),
+        u_max=_pad_vec(np.asarray(problem.u_max, np.float64).reshape(-1), Dup, dtype),
+        x_min=_pad_vec(np.asarray(problem.x_min, np.float64).reshape(-1), Dxp, dtype),
+        x_max=_pad_vec(np.asarray(problem.x_max, np.float64).reshape(-1), Dxp, dtype),
+        rho=jnp.asarray(np.asarray(cache.rho, np.float64).reshape(1, 1), dtype),
+        dims=(nx, nu, N),
+    )
+
+
+class FusedCarry(NamedTuple):
+    """Warm-start carries persisting across MPC ticks, flat-padded ``(B, .)``.
+    The reference keeps these in its global workspace between tiny_solve calls
+    (examples/quadrotor_hovering.cpp:99-104 resets only the duals)."""
+
+    D: jax.Array  # (B, Dup)
+    Y: jax.Array  # (B, Dup)
+    G: jax.Array  # (B, Dxp)
+    Z: jax.Array  # (B, Dup)
+    V: jax.Array  # (B, Dxp)
+
+    @staticmethod
+    def zeros(batch: int, pp: PaddedProblem, dtype=jnp.float32) -> "FusedCarry":
+        fu = jnp.zeros((batch, pp.Dup), dtype)
+        fx = jnp.zeros((batch, pp.Dxp), dtype)
+        return FusedCarry(D=fu, Y=fu, G=fx, Z=fu, V=fx)
+
+    def reset_duals(self) -> "FusedCarry":
+        """Zero y/g between ticks (reference: tiny_wrapper.cpp:131-140)."""
+        return self._replace(Y=jnp.zeros_like(self.Y), G=jnp.zeros_like(self.G))
+
+
+class FusedResult(NamedTuple):
+    """Kernel outputs. ``U``/``X`` are the final pre-projection iterates (the
+    reference applies pre-projection u — examples/quadrotor_hovering.cpp:104-110).
+    ``stats[:, 0]`` iterations, ``stats[:, 1]`` solved flag, ``stats[:, 2:6]``
+    residuals [pri_state, dua_state, pri_input, dua_input]."""
+
+    U: jax.Array
+    X: jax.Array
+    carry: FusedCarry
+    stats: jax.Array  # (B, STATS) float32
+
+
+def _iteration(D, Y, G, W, consts, precision=jax.lax.Precision.HIGHEST):
+    """One condensed ADMM iteration on VMEM-resident values.
+
+    ``precision=HIGHEST`` forces multi-pass f32 MXU matmuls — the default
+    single-pass bf16 loses ~3 decimal digits per iteration and drifts the
+    100-iteration solve by ~1e-2, blowing the 1e-4 parity bar
+    (``preferred_element_type`` alone only pins the accumulator dtype).
+    """
+    (Xb, Ub, xref_q, pterm_c, mask_term, u_min, u_max, x_min, x_max, rho) = consts
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=precision
+    )
+    # forward pass (reference: src/tinympc/admm.cpp:27-37); the x0 contractions
+    # are loop-invariant and hoisted by the caller (Xb = x0 @ W_fx etc.),
+    # leaving 5 matmuls on the per-iteration critical path instead of 7.
+    X = Xb + dot(D, W.W_fd)
+    U = Ub + dot(D, W.W_gd)
+    # slack projection (admm.cpp:45-61)
+    Znew = jnp.clip(U + Y, u_min, u_max)
+    Vnew = jnp.clip(X + G, x_min, x_max)
+    # dual ascent (admm.cpp:67-71)
+    Yn = Y + U - Znew
+    Gn = G + X - Vnew
+    # linear cost (admm.cpp:77-85)
+    R = -rho * (Znew - Yn)
+    Q = xref_q - rho * (Vnew - Gn)
+    ptermv = mask_term * (Q - xref_q) + pterm_c
+    # backward pass (admm.cpp:15-22), condensed; only d survives the iteration
+    Dn = dot(Q, W.W_eq) + dot(R, W.W_er) + dot(ptermv, W.W_ep)
+    return Dn, Yn, Gn, Znew, Vnew, U, X
+
+
+class _W(NamedTuple):
+    W_fx: jax.Array
+    W_fd: jax.Array
+    W_gx: jax.Array
+    W_gd: jax.Array
+    W_eq: jax.Array
+    W_er: jax.Array
+    W_ep: jax.Array
+
+
+def _kernel_fixed(
+    rho_ref,
+    x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
+    xref_q_ref, pterm_c_ref, mask_term_ref,
+    u_min_ref, u_max_ref, x_min_ref, x_max_ref,
+    w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_eq_ref, w_er_ref, w_ep_ref,
+    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
+    *, max_iter: int,
+):
+    """Fixed-iteration fused solve (deterministic tier)."""
+    dot_hi = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    Xb = dot_hi(x0_ref[:], w_fx_ref[:])
+    Ub = dot_hi(x0_ref[:], w_gx_ref[:])
+    consts = (
+        Xb, Ub, xref_q_ref[:], pterm_c_ref[:], mask_term_ref[:],
+        u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:], rho_ref[0, 0],
+    )
+    W = _W(
+        w_fx_ref[:], w_fd_ref[:], w_gx_ref[:], w_gd_ref[:],
+        w_eq_ref[:], w_er_ref[:], w_ep_ref[:],
+    )
+    rho = rho_ref[0, 0]
+
+    def body(_, carry):
+        D, Y, G, Z, V = carry
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
+        return (Dn, Yn, Gn, Znew, Vnew)
+
+    D, Y, G, Z, V = jax.lax.fori_loop(
+        0, max_iter - 1, body,
+        (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]),
+    )
+    # Final iteration keeps the full iterate set for outputs.
+    Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
+    U_out[:] = U
+    X_out[:] = X
+    D_out[:] = Dn
+    Y_out[:] = Yn
+    G_out[:] = Gn
+    Z_out[:] = Znew
+    V_out[:] = Vnew
+    pri_s = jnp.max(jnp.abs(X - Vnew), axis=-1, keepdims=True)
+    dua_s = rho * jnp.max(jnp.abs(V - Vnew), axis=-1, keepdims=True)
+    pri_u = jnp.max(jnp.abs(U - Znew), axis=-1, keepdims=True)
+    dua_u = rho * jnp.max(jnp.abs(Z - Znew), axis=-1, keepdims=True)
+    bt = U.shape[0]
+    iters = jnp.full((bt, 1), float(max_iter), jnp.float32)
+    solved = jnp.zeros((bt, 1), jnp.float32)
+    pad = jnp.zeros((bt, 2), jnp.float32)
+    stats_out[:] = jnp.concatenate(
+        [iters, solved, pri_s, dua_s, pri_u, dua_u, pad], axis=-1
+    )
+
+
+def _kernel_adaptive(
+    rho_ref, tol_ref,
+    x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
+    xref_q_ref, pterm_c_ref, mask_term_ref,
+    u_min_ref, u_max_ref, x_min_ref, x_max_ref,
+    w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_eq_ref, w_er_ref, w_ep_ref,
+    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
+    *, max_iter: int, check_every: int,
+):
+    """Adaptive fused solve with per-instance convergence freezing.
+
+    A converged instance's iterates stop advancing — including skipping the
+    slack save and backward pass, exactly like the reference's early return
+    (reference: src/tinympc/admm.cpp:135-144) — and the tile exits when all
+    instances are done or ``max_iter`` is reached.
+    """
+    dot_hi = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    Xb = dot_hi(x0_ref[:], w_fx_ref[:])
+    Ub = dot_hi(x0_ref[:], w_gx_ref[:])
+    consts = (
+        Xb, Ub, xref_q_ref[:], pterm_c_ref[:], mask_term_ref[:],
+        u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:], rho_ref[0, 0],
+    )
+    W = _W(
+        w_fx_ref[:], w_fd_ref[:], w_gx_ref[:], w_gd_ref[:],
+        w_eq_ref[:], w_er_ref[:], w_ep_ref[:],
+    )
+    rho = rho_ref[0, 0]
+    pri_tol = tol_ref[0, 0]
+    dua_tol = tol_ref[0, 1]
+    bt = x0_ref.shape[0]
+
+    def cond(state):
+        k, done = state[0], state[1]
+        return jnp.logical_and(k < max_iter, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        k, done, D, Y, G, Z, V, Uf, Xf, itf, resf = state
+        Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
+        # Residuals (admm.cpp:95-98): pre-projection iterates vs new slacks;
+        # old-vs-new slacks scaled by rho.
+        pri_s = jnp.max(jnp.abs(X - Vnew), axis=-1, keepdims=True)
+        dua_s = rho * jnp.max(jnp.abs(V - Vnew), axis=-1, keepdims=True)
+        pri_u = jnp.max(jnp.abs(U - Znew), axis=-1, keepdims=True)
+        dua_u = rho * jnp.max(jnp.abs(Z - Znew), axis=-1, keepdims=True)
+        checking = (k + 1) % check_every == 0
+        conv_now = jnp.logical_and(
+            checking,
+            (pri_s < pri_tol) & (pri_u < pri_tol)
+            & (dua_s < dua_tol) & (dua_u < dua_tol),
+        )
+        frozen = done                       # (bt, 1) bool: done before this iter
+        adv = jnp.logical_not(frozen)       # executed this iteration
+        newly = jnp.logical_and(adv, conv_now)
+        live = jnp.logical_and(adv, jnp.logical_not(conv_now))
+
+        sel = jnp.where  # (mask (bt,1) broadcasts over lanes)
+        # Newly-converged keep pre-backward state: D/Z/V stay, Y/G advance.
+        D = sel(live, Dn, D)
+        Y = sel(adv, Yn, Y)
+        G = sel(adv, Gn, G)
+        Z = sel(live, Znew, Z)
+        V = sel(live, Vnew, V)
+        Uf = sel(adv, U, Uf)
+        Xf = sel(adv, X, Xf)
+        itf = sel(adv, jnp.full_like(itf, (k + 1).astype(jnp.float32)), itf)
+        res_now = jnp.concatenate([pri_s, dua_s, pri_u, dua_u], axis=-1)
+        # Residual fields persist between checks (reference stores them only at
+        # check iterations — admm.cpp:93-98).
+        upd_res = jnp.logical_and(adv, jnp.full_like(adv, checking))
+        resf = sel(upd_res, res_now, resf)
+        return (k + 1, jnp.logical_or(done, newly),
+                D, Y, G, Z, V, Uf, Xf, itf, resf)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((bt, 1), bool),
+        D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:],
+        jnp.zeros_like(U_out), jnp.zeros_like(X_out),
+        jnp.zeros((bt, 1), jnp.float32), jnp.zeros((bt, 4), jnp.float32),
+    )
+    (_k, done, D, Y, G, Z, V, Uf, Xf, itf, resf) = jax.lax.while_loop(
+        cond, body, init
+    )
+    U_out[:] = Uf
+    X_out[:] = Xf
+    D_out[:] = D
+    Y_out[:] = Y
+    G_out[:] = G
+    Z_out[:] = Z
+    V_out[:] = V
+    pad = jnp.zeros((bt, 2), jnp.float32)
+    stats_out[:] = jnp.concatenate(
+        [itf, done.astype(jnp.float32), resf, pad], axis=-1
+    )
+
+
+def fused_solve(
+    x0: jax.Array,
+    carry: FusedCarry,
+    pp: PaddedProblem,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    batch_tile: int = 256,
+    interpret: bool = False,
+) -> FusedResult:
+    """Run the fused whole-solve kernel over a batch.
+
+    ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded
+    (:class:`FusedCarry`). ``B`` must be a multiple of ``batch_tile``
+    (callers pad; see :func:`round_batch`). ``check_termination == 0`` selects
+    the fixed-iteration kernel, otherwise the adaptive freezing kernel with
+    checks every ``check_termination`` iterations.
+
+    ``interpret=True`` runs the Pallas interpreter (CPU-testable).
+    """
+    B, nx = x0.shape
+    bt = min(batch_tile, B)
+    if B % bt:
+        raise ValueError(f"batch {B} not a multiple of batch_tile {bt}")
+    grid = (B // bt,)
+    Dxp, Dup, nxp = pp.Dxp, pp.Dup, pp.nx_pad
+    dtype = x0.dtype
+
+    x0p = jnp.zeros((B, nxp), dtype).at[:, :nx].set(x0)
+
+    def batch_spec(width):
+        return pl.BlockSpec((bt, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    vec_specs = [
+        const_spec((1, Dxp)),  # xref_q
+        const_spec((1, Dxp)),  # pterm_c
+        const_spec((1, Dxp)),  # mask_term
+        const_spec((1, Dup)),  # u_min
+        const_spec((1, Dup)),  # u_max
+        const_spec((1, Dxp)),  # x_min
+        const_spec((1, Dxp)),  # x_max
+    ]
+    w_specs = [
+        const_spec(pp.W_fx.shape), const_spec(pp.W_fd.shape),
+        const_spec(pp.W_gx.shape), const_spec(pp.W_gd.shape),
+        const_spec(pp.W_eq.shape), const_spec(pp.W_er.shape),
+        const_spec(pp.W_ep.shape),
+    ]
+    state_specs = [
+        batch_spec(nxp),  # x0
+        batch_spec(Dup),  # D
+        batch_spec(Dup),  # Y
+        batch_spec(Dxp),  # G
+        batch_spec(Dup),  # Z
+        batch_spec(Dxp),  # V
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Dup), dtype),  # U
+        jax.ShapeDtypeStruct((B, Dxp), dtype),  # X
+        jax.ShapeDtypeStruct((B, Dup), dtype),  # D
+        jax.ShapeDtypeStruct((B, Dup), dtype),  # Y
+        jax.ShapeDtypeStruct((B, Dxp), dtype),  # G
+        jax.ShapeDtypeStruct((B, Dup), dtype),  # Z
+        jax.ShapeDtypeStruct((B, Dxp), dtype),  # V
+        jax.ShapeDtypeStruct((B, STATS), jnp.float32),
+    ]
+    out_specs = [
+        batch_spec(Dup), batch_spec(Dxp), batch_spec(Dup), batch_spec(Dup),
+        batch_spec(Dxp), batch_spec(Dup), batch_spec(Dxp), batch_spec(STATS),
+    ]
+    vec_args = (pp.xref_q, pp.pterm_c, pp.mask_term,
+                pp.u_min, pp.u_max, pp.x_min, pp.x_max)
+    w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_eq, pp.W_er, pp.W_ep)
+    state_args = (x0p, carry.D, carry.Y, carry.G, carry.Z, carry.V)
+
+    # FLOPs: 7 padded matmuls per iteration per instance (see _iteration).
+    flops_iter = 2 * B * (
+        nxp * Dxp + Dup * Dxp + nxp * Dup + Dup * Dup
+        + Dxp * Dup + Dup * Dup + Dxp * Dup
+    )
+    cost = pl.CostEstimate(
+        flops=flops_iter * max_iter,
+        bytes_accessed=sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in state_args + vec_args + w_args
+        ),
+        transcendentals=0,
+    )
+
+    if check_termination <= 0:
+        kernel = functools.partial(_kernel_fixed, max_iter=max_iter)
+        scalar_args = (pp.rho,)
+        scalar_specs = [smem_spec]
+    else:
+        kernel = functools.partial(
+            _kernel_adaptive, max_iter=max_iter, check_every=check_termination
+        )
+        tols = jnp.asarray(
+            [[abs_pri_tol, abs_dua_tol]], jnp.float32
+        )
+        scalar_args = (pp.rho, tols)
+        scalar_specs = [
+            smem_spec,
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=scalar_specs + state_specs + vec_specs + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*scalar_args, *state_args, *vec_args, *w_args)
+
+    U, X, D, Y, G, Z, V, stats = outs
+    return FusedResult(
+        U=U, X=X, carry=FusedCarry(D=D, Y=Y, G=G, Z=Z, V=V), stats=stats
+    )
+
+
+def unpad_controls(result: FusedResult, pp: PaddedProblem) -> jax.Array:
+    """First-knot controls ``(B, nu)`` from the padded flat U."""
+    nx, nu, _N = pp.dims
+    return result.U[:, :nu]
+
+
+def unpad_states(result: FusedResult, pp: PaddedProblem) -> jax.Array:
+    """Full state trajectories ``(B, N, nx)`` from the padded flat X."""
+    nx, nu, N = pp.dims
+    return result.X[:, : N * nx].reshape(result.X.shape[0], N, nx)

@@ -1,0 +1,150 @@
+"""Fused Pallas kernel vs the jnp tiers, via the Pallas interpreter on CPU
+(SURVEY.md §4: kernel paths must be testable without a TPU). Semantics bar:
+same schedule as the reference iteration, controls inside the 1e-4 parity
+band, identical iteration counts / convergence flags in adaptive mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.models import quadrotor_hovering_setup
+from accelerated_tinympc_tpu.ops.fused_admm import (
+    FusedCarry,
+    fused_solve,
+    pad_problem,
+    unpad_controls,
+    unpad_states,
+)
+from accelerated_tinympc_tpu.precompute import condensed_operators
+from accelerated_tinympc_tpu.solver.batched import init_state_batched, solve_batched
+
+B = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem, cache, x0 = quadrotor_hovering_setup()
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(
+        np.asarray(x0)[None] + 0.1 * rng.standard_normal((B, x0.size)),
+        jnp.float32,
+    )
+    return problem, cache, pp, x0s
+
+
+def _run_scan(problem, cache, x0s, settings):
+    st = init_state_batched(x0s.shape[0], problem.nx, problem.nu, problem.horizon)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    return jax.jit(lambda s: solve_batched(s, problem, cache, settings))(st)
+
+
+class TestFixedIterations:
+    @pytest.fixture(scope="class")
+    def result(self, setup):
+        problem, cache, pp, x0s = setup
+        carry = FusedCarry.zeros(B, pp)
+        got = fused_solve(
+            x0s, carry, pp, max_iter=25, check_termination=0, batch_tile=B,
+            interpret=True,
+        )
+        want = _run_scan(
+            problem, cache, x0s, atm.Settings(max_iter=25, check_termination=0)
+        )
+        return got, want, pp
+
+    def test_controls(self, result):
+        got, want, pp = result
+        u = np.asarray(got.U[:, : pp.dims[1] * (pp.dims[2] - 1)]).reshape(
+            B, pp.dims[2] - 1, pp.dims[1]
+        )
+        np.testing.assert_allclose(
+            u, np.asarray(want.u), rtol=0, atol=1e-4
+        )
+
+    def test_states(self, result):
+        got, want, pp = result
+        x = np.asarray(unpad_states(got, pp))
+        np.testing.assert_allclose(x, np.asarray(want.x), rtol=0, atol=2e-4)
+
+    def test_warm_start_carries(self, result):
+        got, want, pp = result
+        nu, N = pp.dims[1], pp.dims[2]
+        Du = nu * (N - 1)
+        np.testing.assert_allclose(
+            np.asarray(got.carry.D[:, :Du]),
+            np.asarray(want.d).reshape(B, -1),
+            rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.carry.Y[:, :Du]),
+            np.asarray(want.y).reshape(B, -1),
+            rtol=0, atol=1e-4,
+        )
+
+    def test_padded_lanes_stay_zero(self, result):
+        got, _want, pp = result
+        nu, N = pp.dims[1], pp.dims[2]
+        Du, Dx = nu * (N - 1), pp.dims[0] * N
+        assert np.all(np.asarray(got.U[:, Du:]) == 0)
+        assert np.all(np.asarray(got.X[:, Dx:]) == 0)
+        assert np.all(np.asarray(got.carry.G[:, Dx:]) == 0)
+
+
+class TestAdaptive:
+    @pytest.fixture(scope="class")
+    def result(self, setup):
+        problem, cache, pp, x0s = setup
+        carry = FusedCarry.zeros(B, pp)
+        got = fused_solve(
+            x0s, carry, pp, max_iter=400, check_termination=1,
+            abs_pri_tol=0.05, abs_dua_tol=0.05, batch_tile=B, interpret=True,
+        )
+        want = _run_scan(
+            problem, cache, x0s,
+            atm.Settings(
+                abs_pri_tol=0.05, abs_dua_tol=0.05, max_iter=400,
+                check_termination=1,
+            ),
+        )
+        return got, want, pp
+
+    def test_iterations_and_status(self, result):
+        got, want, _pp = result
+        np.testing.assert_array_equal(
+            np.asarray(got.stats[:, 0]).astype(int), np.asarray(want.iter)
+        )
+        solved = np.asarray(got.stats[:, 1]) > 0.5
+        np.testing.assert_array_equal(
+            solved, np.asarray(want.status) == atm.SOLVED
+        )
+
+    def test_iterations_diverge(self, result):
+        got, _want, _pp = result
+        assert len(set(np.asarray(got.stats[:, 0]).tolist())) > 1
+
+    def test_controls(self, result):
+        got, want, pp = result
+        u0 = np.asarray(unpad_controls(got, pp))
+        np.testing.assert_allclose(
+            u0, np.asarray(want.u[:, 0, :]), rtol=0, atol=1e-4
+        )
+
+    def test_residual_stats(self, result):
+        got, want, _pp = result
+        res = np.asarray(got.stats[:, 2:6])
+        want_res = np.stack(
+            [
+                np.asarray(want.primal_residual_state),
+                np.asarray(want.dual_residual_state),
+                np.asarray(want.primal_residual_input),
+                np.asarray(want.dual_residual_input),
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(res, want_res, rtol=0, atol=3e-4)
