@@ -1,0 +1,69 @@
+"""AOT export: freeze a compiled solve into a serialized, relocatable artifact.
+
+This is the TPU-side half of the reference's codegen capability (reference:
+src/tinympc/codegen.cpp — freeze solver + data so the solve can run elsewhere
+without the setup toolchain): ``jax.export`` serializes the lowered StableHLO
+of a jitted solve (problem/cache baked in as constants), which any later
+process can deserialize and call without this package's solver code — the
+deployment story for serving fleets.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from ..solver.batched import solve_batched
+from ..types import Cache, Problem, Settings, State
+from ..solver.batched import init_state_batched
+
+
+def export_batched_solve(
+    problem: Problem,
+    cache: Cache,
+    settings: Settings,
+    batch: int,
+    *,
+    platforms: tuple[str, ...] | None = None,
+) -> jax_export.Exported:
+    """Export ``x0s (batch, nx) -> solved State`` with problem/cache baked in.
+
+    ``platforms`` defaults to the current backend; pass e.g. ``("tpu", "cpu")``
+    for a multi-platform artifact.
+    """
+    nx, nu, N = problem.nx, problem.nu, problem.horizon
+
+    def solve_fn(x0s: jax.Array) -> dict[str, jax.Array]:
+        state = init_state_batched(batch, nx, nu, N, x0s.dtype)
+        state = state.replace(x=state.x.at[:, 0, :].set(x0s))
+        out = solve_batched(state, problem, cache, settings)
+        # Plain dict output: jax.export can serialize it without pytree
+        # registration, and consumers get named arrays.
+        return {
+            "x": out.x, "u": out.u,
+            "iterations": out.iter, "status": out.status,
+            "primal_residual_state": out.primal_residual_state,
+            "primal_residual_input": out.primal_residual_input,
+            "dual_residual_state": out.dual_residual_state,
+            "dual_residual_input": out.dual_residual_input,
+        }
+
+    args = (jax.ShapeDtypeStruct((batch, nx), jnp.float32),)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    return jax_export.export(jax.jit(solve_fn), **kwargs)(*args)
+
+
+def save_exported(path: str | pathlib.Path, exported: jax_export.Exported) -> None:
+    pathlib.Path(path).write_bytes(exported.serialize())
+
+
+def load_exported(path: str | pathlib.Path) -> Callable[..., Any]:
+    """Load a serialized artifact; returns a callable running the baked solve."""
+    exported = jax_export.deserialize(pathlib.Path(path).read_bytes())
+    return jax.jit(exported.call)

@@ -1,0 +1,117 @@
+"""On-device receding-horizon MPC rollout.
+
+The reference's MPC loop is host-side: per tick it sets ``x.col(0)``, zeroes
+duals, calls ``tiny_solve``, applies ``u.col(0)`` and steps the plant
+(reference: examples/quadrotor_hovering.cpp:90-114, quadrotor_tracking.cpp:
+93-117). At TPU solve rates the host loop's dispatch overhead would dominate,
+so here the *entire* K-tick loop runs as one ``lax.scan`` on device: dual
+reset, solve (warm-started across ticks exactly like the reference's
+persistent workspace), plant simulation, and the tracking variant's sliding
+reference window (``dynamic_slice`` over the full trajectory — reference:
+quadrotor_tracking.cpp:101).
+
+Works single-instance or batched (scenario MPC: one plant, thousands of
+perturbed instances) — state/x0 just carry a leading batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solver import admm
+from ..solver.batched import solve_batched
+from ..types import Cache, Problem, Settings, State, init_state, reset_duals
+
+
+class MPCTrace(NamedTuple):
+    """Per-tick outputs of a rollout. ``x`` is the *plant* state at each tick
+    (pre-solve measurement), ``u`` the applied first-knot control, matching
+    what the reference examples print (quadrotor_hovering.cpp:92,110)."""
+
+    x: jax.Array        # (T, [batch,] nx)
+    u: jax.Array        # (T, [batch,] nu)
+    iters: jax.Array    # (T, [batch]) int32
+    status: jax.Array   # (T, [batch]) int32
+
+
+def default_plant(problem: Problem) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Nominal LTI plant x+ = A x + B u (reference:
+    examples/quadrotor_hovering.cpp:110)."""
+
+    def step(x, u):
+        hi = jax.lax.Precision.HIGHEST
+        return (
+            jnp.matmul(x, problem.A.T, precision=hi)
+            + jnp.matmul(u, problem.B.T, precision=hi)
+        )
+
+    return step
+
+
+def mpc_rollout(
+    problem: Problem,
+    cache: Cache,
+    settings: Settings,
+    x0: jax.Array,
+    n_ticks: int,
+    *,
+    Xref_total: jax.Array | None = None,
+    state: State | None = None,
+    plant: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    batched: bool = False,
+) -> tuple[State, jax.Array, MPCTrace]:
+    """Run ``n_ticks`` of receding-horizon MPC fully on device.
+
+    With ``Xref_total`` (shape ``(T >= n_ticks + N, nx)``) the horizon window
+    slides each tick (tracking mode); otherwise ``problem.Xref`` is constant
+    (hovering mode). Returns (final solver state, final plant state, trace).
+
+    Jit this whole call (it is pure); per-tick semantics match the reference
+    loop exactly: duals reset, slacks/gains warm-started, *pre-projection*
+    first-knot u applied to the plant.
+    """
+    N = problem.horizon
+    nx, nu = problem.nx, problem.nu
+    plant_step = plant or default_plant(problem)
+    solver = (
+        (lambda s, p: solve_batched(s, p, cache, settings))
+        if batched
+        else (lambda s, p: admm.solve(s, p, cache, settings))
+    )
+    if state is None:
+        state = init_state(nx, nu, N, problem.A.dtype)
+        if batched:
+            state = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, x0.shape[:-1] + a.shape), state
+            )
+
+    def tick(carry, k):
+        st, x = carry
+        prob = problem
+        if Xref_total is not None:
+            window = jax.lax.dynamic_slice_in_dim(Xref_total, k, N, axis=0)
+            prob = prob.replace(Xref=window)
+        st = reset_duals(st)
+        st = st.replace(x=st.x.at[..., 0, :].set(x))
+        st = solver(st, prob)
+        u0 = st.u[..., 0, :]
+        x_next = plant_step(x, u0)
+        return (st, x_next), MPCTrace(x=x, u=u0, iters=st.iter, status=st.status)
+
+    (state, x_final), trace = jax.lax.scan(
+        tick, (state, x0), jnp.arange(n_ticks)
+    )
+    return state, x_final, trace
+
+
+def tracking_error(trace: MPCTrace, Xref_total: jax.Array) -> jax.Array:
+    """Per-tick L2 tracking error vs the reference trajectory — the metric the
+    reference examples print each tick (quadrotor_tracking.cpp:95)."""
+    T = trace.x.shape[0]
+    ref = Xref_total[:T]
+    if trace.x.ndim == 3:  # batched
+        ref = ref[:, None, :]
+    return jnp.linalg.norm(trace.x - ref, axis=-1)

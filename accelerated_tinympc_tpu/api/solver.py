@@ -1,0 +1,276 @@
+"""High-level solver API: the TPU-native counterpart of the reference's
+setup + FFI surface.
+
+The reference exposes two entry layers: ``tiny_codegen(nx, nu, N, A, B, Q, R,
+bounds, rho, ...)`` for offline setup (reference: src/tinympc/codegen.hpp:10-15)
+and a flat setter/getter C API over a global solver (``set_x0``/``set_xref``/
+``set_umin``/.../``call_tiny_solve``/``get_x``/``get_u`` — reference:
+src/tinympc/tiny_wrapper.hpp:14-23). :class:`TinyMPC` covers both roles as an
+immutable-under-the-hood convenience object: construction runs the Riccati
+precompute (the math half of codegen), setters return updated solvers
+(functional, jit-friendly), and ``solve`` dispatches to the execution tier
+(``scan`` | ``condensed`` | ``fused``).
+
+Unlike the reference's one-global-solver-per-process design
+(tiny_wrapper.hpp:6), any number of TinyMPC instances coexist, each optionally
+batched over thousands of problem instances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..precompute import CondensedOperators, condensed_operators, riccati_cache
+from ..solver import admm
+from ..solver.batched import batch_stats, init_state_batched, solve_batched
+from ..types import Cache, Problem, Settings, State, init_state
+from ..ops.fused_admm import (
+    FusedCarry,
+    PaddedProblem,
+    fused_solve,
+    pad_problem,
+    unpad_controls,
+    unpad_states,
+)
+
+TIERS = ("scan", "condensed", "fused")
+
+
+@dataclasses.dataclass
+class TinyMPC:
+    """One MPC problem bound to a solver tier and (optional) batch.
+
+    Build with :meth:`setup` (runs the DARE precompute like the reference's
+    codegen math, src/tinympc/codegen.cpp:254-292) or :meth:`from_parts` with
+    a shipped cache (reference problem_data headers).
+    """
+
+    problem: Problem
+    cache: Cache
+    settings: Settings
+    batch: int | None = None          # None = single instance
+    tier: str = "scan"
+    interpret: bool = False           # Pallas interpreter (CPU testing)
+    # tier-internal precompute (built lazily)
+    _ops: CondensedOperators | None = None
+    _pp: PaddedProblem | None = None
+    # mutable solve state
+    state: State | None = None
+    _fused_carry: FusedCarry | None = None
+    _fused_result: Any = None
+
+    # ------------------------------------------------------------- setup ----
+    @classmethod
+    def setup(
+        cls,
+        A: np.ndarray,
+        B: np.ndarray,
+        Q: np.ndarray,
+        R: np.ndarray,
+        rho: float,
+        horizon: int,
+        *,
+        x_min: np.ndarray | float | None = None,
+        x_max: np.ndarray | float | None = None,
+        u_min: np.ndarray | float | None = None,
+        u_max: np.ndarray | float | None = None,
+        settings: Settings | None = None,
+        batch: int | None = None,
+        tier: str = "scan",
+        interpret: bool = False,
+        dtype: Any = jnp.float32,
+    ) -> "TinyMPC":
+        """Construct + precompute. Bounds default to ±inf (disabled in
+        Settings when not provided, mirroring the reference's nullptr-enable
+        logic, codegen.cpp:227-243); scalars broadcast over the horizon."""
+        A = np.asarray(A, np.float64)
+        Bm = np.asarray(B, np.float64)
+        nx, nu = Bm.shape
+        N, m = horizon, horizon - 1
+
+        def expand(val, default, shape):
+            if val is None:
+                return np.full(shape, default)
+            val = np.asarray(val, np.float64)
+            if val.ndim <= 1:
+                return np.broadcast_to(val, shape).copy()
+            return val
+
+        en_input = u_min is not None and u_max is not None
+        en_state = x_min is not None and x_max is not None
+        problem = Problem(
+            A=jnp.asarray(A, dtype),
+            B=jnp.asarray(Bm, dtype),
+            Q=jnp.asarray(np.asarray(Q, np.float64), dtype),
+            R=jnp.asarray(np.asarray(R, np.float64), dtype),
+            u_min=jnp.asarray(expand(u_min, -np.inf, (m, nu)), dtype),
+            u_max=jnp.asarray(expand(u_max, np.inf, (m, nu)), dtype),
+            x_min=jnp.asarray(expand(x_min, -np.inf, (N, nx)), dtype),
+            x_max=jnp.asarray(expand(x_max, np.inf, (N, nx)), dtype),
+            Xref=jnp.zeros((N, nx), dtype),
+            Uref=jnp.zeros((m, nu), dtype),
+        )
+        cache = riccati_cache(A, Bm, Q, R, rho, dtype=np.float32)
+        if settings is None:
+            settings = Settings()
+        settings = settings.replace(
+            en_input_bound=en_input, en_state_bound=en_state
+        )
+        return cls.from_parts(
+            problem, cache, settings=settings, batch=batch, tier=tier,
+            interpret=interpret,
+        )
+
+    @classmethod
+    def from_parts(
+        cls,
+        problem: Problem,
+        cache: Cache,
+        *,
+        settings: Settings | None = None,
+        batch: int | None = None,
+        tier: str = "scan",
+        interpret: bool = False,
+    ) -> "TinyMPC":
+        if tier not in TIERS:
+            raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
+        self = cls(
+            problem=problem,
+            cache=cache,
+            settings=settings or Settings(),
+            batch=batch,
+            tier=tier,
+            interpret=interpret,
+        )
+        self._reset_state()
+        return self
+
+    def _reset_state(self) -> None:
+        nx, nu, N = self.problem.nx, self.problem.nu, self.problem.horizon
+        if self.batch is None:
+            self.state = init_state(nx, nu, N)
+        else:
+            self.state = init_state_batched(self.batch, nx, nu, N)
+        if self.tier == "fused":
+            self._build_fused()
+            b = self.batch or 1
+            self._fused_carry = FusedCarry.zeros(b, self._pp)
+
+    def _build_fused(self) -> None:
+        if self._ops is None:
+            self._ops = condensed_operators(
+                self.cache,
+                np.asarray(self.problem.A),
+                np.asarray(self.problem.B),
+                self.problem.horizon,
+            )
+        self._pp = pad_problem(self.problem, self.cache, self._ops)
+
+    # ----------------------------------------------------------- setters ----
+    # Functional analogues of the reference FFI setters
+    # (reference: src/tinympc/tiny_wrapper.cpp:5-129).
+
+    def set_x0(self, x0: np.ndarray | jax.Array) -> None:
+        """Measurement injection (reference: tiny_wrapper.cpp:5-19). For a
+        batched solver x0 is (batch, nx)."""
+        x0 = jnp.asarray(x0, self.problem.A.dtype)
+        self.state = self.state.replace(
+            x=self.state.x.at[..., 0, :].set(x0)
+        )
+
+    def set_xref(self, Xref: np.ndarray | jax.Array) -> None:
+        """Reference window update (reference: tiny_wrapper.cpp:21-41);
+        invalidates the fused tier's baked reference vectors."""
+        Xref = jnp.asarray(Xref, self.problem.A.dtype)
+        self.problem = self.problem.replace(Xref=Xref)
+        if self.tier == "fused":
+            self._pp = pad_problem(self.problem, self.cache, self._ops)
+
+    def set_bounds(
+        self,
+        u_min=None, u_max=None, x_min=None, x_max=None,
+    ) -> None:
+        """Box-bound updates (reference: tiny_wrapper.cpp:43-129)."""
+        rep = {}
+        for name, val in (("u_min", u_min), ("u_max", u_max),
+                          ("x_min", x_min), ("x_max", x_max)):
+            if val is not None:
+                rep[name] = jnp.asarray(val, self.problem.A.dtype)
+        self.problem = self.problem.replace(**rep)
+        if self.tier == "fused" and rep:
+            self._pp = pad_problem(self.problem, self.cache, self._ops)
+
+    def reset_duals(self) -> None:
+        """Zero y/g between MPC ticks (reference: tiny_wrapper.cpp:131-140)."""
+        self.state = self.state.replace(
+            y=jnp.zeros_like(self.state.y), g=jnp.zeros_like(self.state.g)
+        )
+        if self._fused_carry is not None:
+            self._fused_carry = self._fused_carry.reset_duals()
+
+    # ------------------------------------------------------------- solve ----
+    def solve(self) -> dict[str, Any]:
+        """Run the solver on the current state (reference:
+        tiny_wrapper.cpp:142-150 ``call_tiny_solve``). Returns a stats dict;
+        results via :meth:`get_u`/:meth:`get_x`."""
+        if self.tier == "fused":
+            return self._solve_fused()
+        if self.batch is None:
+            self.state = jax.jit(admm.solve, static_argnums=())(
+                self.state, self.problem, self.cache, self.settings
+            )
+            return {
+                "iterations": int(self.state.iter),
+                "solved": bool(self.state.status == 1),
+            }
+        self.state = solve_batched(
+            self.state, self.problem, self.cache, self.settings
+        )
+        return {
+            k: np.asarray(v) for k, v in
+            batch_stats(self.state, self.settings).items()
+        }
+
+    def _solve_fused(self) -> dict[str, Any]:
+        x0 = self.state.x[..., 0, :]
+        if self.batch is None:
+            x0 = x0[None]
+        res = fused_solve(
+            x0, self._fused_carry, self._pp,
+            max_iter=self.settings.max_iter,
+            check_termination=self.settings.check_termination,
+            abs_pri_tol=float(self.settings.abs_pri_tol),
+            abs_dua_tol=float(self.settings.abs_dua_tol),
+            batch_tile=min(256, x0.shape[0]),
+            interpret=self.interpret,
+        )
+        self._fused_carry = res.carry
+        self._fused_result = res
+        stats = np.asarray(res.stats)
+        return {
+            "iterations_mean": float(stats[:, 0].mean()),
+            "converged_fraction": float(stats[:, 1].mean()),
+        }
+
+    # ------------------------------------------------------------ getters ----
+    def get_u(self) -> np.ndarray:
+        """Control trajectory (reference: tiny_wrapper.cpp:165-176). Shape
+        (N-1, nu) or (batch, N-1, nu)."""
+        if self.tier == "fused":
+            nx, nu, N = self._pp.dims
+            u = np.asarray(self._fused_result.U[:, : (N - 1) * nu])
+            u = u.reshape(-1, N - 1, nu)
+            return u[0] if self.batch is None else u
+        return np.asarray(self.state.u)
+
+    def get_x(self) -> np.ndarray:
+        """State trajectory (reference: tiny_wrapper.cpp:152-163)."""
+        if self.tier == "fused":
+            x = np.asarray(unpad_states(self._fused_result, self._pp))
+            return x[0] if self.batch is None else x
+        return np.asarray(self.state.x)

@@ -10,5 +10,5 @@ from .quadrotor import (  # noqa: F401
     quadrotor_hovering_setup,
     quadrotor_tracking_setup,
 )
-from .cartpole import cartpole_problem  # noqa: F401
+from .cartpole import RHO as CARTPOLE_RHO, cartpole_problem  # noqa: F401
 from .random_lti import random_lti_problem  # noqa: F401

@@ -1,0 +1,197 @@
+"""API layer tests: TinyMPC object parity across tiers, on-device MPC rollout
+vs the host-loop golden driver, serialization round-trips, AOT export."""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.api import (
+    TinyMPC,
+    export_batched_solve,
+    load_exported,
+    mpc_rollout,
+    save_exported,
+)
+from accelerated_tinympc_tpu.models import (
+    cartpole_problem,
+    quadrotor_hovering_setup,
+    CARTPOLE_RHO,
+)
+from accelerated_tinympc_tpu.utils import (
+    load_problem_cache,
+    save_problem_cache,
+)
+
+from golden_utils import run_mpc_loop
+
+
+class TestTinyMPCObject:
+    def test_setup_runs_precompute(self):
+        from accelerated_tinympc_tpu.models import cartpole
+
+        mpc = TinyMPC.setup(
+            cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+            rho=CARTPOLE_RHO, horizon=10,
+            x_min=-5.0, x_max=5.0, u_min=-5.0, u_max=5.0,
+        )
+        assert mpc.cache.Kinf.shape == (1, 4)
+        assert mpc.settings.en_input_bound and mpc.settings.en_state_bound
+
+    def test_bounds_disabled_when_absent(self):
+        from accelerated_tinympc_tpu.models import cartpole
+
+        mpc = TinyMPC.setup(
+            cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+            rho=CARTPOLE_RHO, horizon=10,
+        )
+        assert not mpc.settings.en_input_bound
+        assert not mpc.settings.en_state_bound
+
+    @pytest.mark.parametrize("tier", ["scan", "fused"])
+    def test_single_instance_solve(self, tier):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        mpc = TinyMPC.from_parts(
+            problem, cache,
+            settings=atm.Settings(max_iter=30, check_termination=0),
+            tier=tier,
+            interpret=(tier == "fused"),  # Pallas interpreter on CPU tests
+        )
+        mpc.set_x0(jnp.asarray(x0, jnp.float32))
+        mpc.solve()
+        u = mpc.get_u()
+        assert u.shape == (9, 4)
+        assert np.all(np.isfinite(u))
+
+    def test_tiers_agree(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=30, check_termination=0)
+        us = {}
+        for tier in ("scan", "fused"):
+            mpc = TinyMPC.from_parts(
+                problem, cache, settings=settings, tier=tier,
+                interpret=(tier == "fused"),
+            )
+            mpc.set_x0(jnp.asarray(x0, jnp.float32))
+            mpc.solve()
+            us[tier] = mpc.get_u()
+        np.testing.assert_allclose(
+            us["scan"], us["fused"], rtol=0, atol=1e-4
+        )
+
+    def test_batched_solve_and_stats(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        mpc = TinyMPC.from_parts(
+            problem, cache,
+            settings=atm.Settings(
+                abs_pri_tol=0.05, abs_dua_tol=0.05, max_iter=400
+            ),
+            batch=4,
+        )
+        rng = np.random.default_rng(0)
+        x0s = np.asarray(x0)[None] + 0.05 * rng.standard_normal((4, 12))
+        mpc.set_x0(jnp.asarray(x0s, jnp.float32))
+        stats = mpc.solve()
+        assert stats["converged_fraction"] == 1.0
+        assert mpc.get_u().shape == (4, 9, 4)
+
+
+class TestOnDeviceMPC:
+    """The fully-fused device rollout must reproduce the host-loop driver used
+    for golden parity (same per-tick semantics)."""
+
+    def test_matches_host_loop_hovering(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=20, check_termination=0)
+        x0j = jnp.asarray(x0, jnp.float32)
+
+        _, xf, trace = jax.jit(
+            lambda x: mpc_rollout(problem, cache, settings, x, 40)
+        )(x0j)
+        x_host, u_host, _ = run_mpc_loop(problem, cache, settings, x0, steps=40)
+        np.testing.assert_allclose(
+            np.asarray(trace.u), u_host, rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(trace.x), x_host, rtol=0, atol=1e-4
+        )
+
+    def test_batched_rollout(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=15, check_termination=0)
+        rng = np.random.default_rng(1)
+        x0s = jnp.asarray(
+            np.asarray(x0)[None] + 0.05 * rng.standard_normal((3, 12)),
+            jnp.float32,
+        )
+        _, xf, trace = jax.jit(
+            lambda x: mpc_rollout(problem, cache, settings, x, 30, batched=True)
+        )(x0s)
+        assert trace.u.shape == (30, 3, 4)
+        # each instance behaves like its standalone rollout
+        _, _, solo = jax.jit(
+            lambda x: mpc_rollout(problem, cache, settings, x, 30)
+        )(x0s[1])
+        np.testing.assert_allclose(
+            np.asarray(trace.u[:, 1]), np.asarray(solo.u), rtol=0, atol=1e-4
+        )
+
+    def test_tracking_window_slides(self):
+        from accelerated_tinympc_tpu.models import quadrotor_tracking_setup
+
+        problem, cache, x0, Xref_total = quadrotor_tracking_setup()
+        settings = atm.Settings(max_iter=15, check_termination=0)
+        T = 60
+        _, _, trace = jax.jit(
+            lambda x: mpc_rollout(
+                problem, cache, settings, x, T,
+                Xref_total=jnp.asarray(Xref_total, jnp.float32),
+            )
+        )(jnp.asarray(x0, jnp.float32))
+        from accelerated_tinympc_tpu.api import tracking_error
+
+        err = np.asarray(tracking_error(trace, jnp.asarray(Xref_total, jnp.float32)))
+        # tracking stays tight along the y-axis line (reference example's
+        # qualitative bar: per-tick error decays/stays small)
+        assert err[10:].max() < 0.3
+
+
+class TestSerialization:
+    def test_problem_cache_roundtrip(self, tmp_path):
+        problem, cache, _ = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=42, check_termination=3)
+        f = tmp_path / "bundle.npz"
+        save_problem_cache(f, problem, cache, settings)
+        p2, c2, s2 = load_problem_cache(f)
+        np.testing.assert_array_equal(np.asarray(problem.A), np.asarray(p2.A))
+        np.testing.assert_array_equal(
+            np.asarray(cache.Kinf), np.asarray(c2.Kinf)
+        )
+        assert s2.max_iter == 42 and s2.check_termination == 3
+
+
+class TestAOTExport:
+    def test_export_roundtrip(self, tmp_path):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=10, check_termination=0)
+        exported = export_batched_solve(problem, cache, settings, batch=2)
+        f = tmp_path / "solve.jaxexport"
+        save_exported(f, exported)
+        solve = load_exported(f)
+        x0s = jnp.tile(jnp.asarray(x0, jnp.float32), (2, 1))
+        out = solve(x0s)
+        # matches the live solver
+        from accelerated_tinympc_tpu.solver.batched import (
+            init_state_batched,
+            solve_batched,
+        )
+
+        st = init_state_batched(2, 12, 4, 10)
+        st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+        want = solve_batched(st, problem, cache, settings)
+        np.testing.assert_allclose(
+            np.asarray(out["u"]), np.asarray(want.u), rtol=0, atol=1e-6
+        )

@@ -1,0 +1,113 @@
+"""Codegen pipeline end-to-end (capability parity with reference
+codegen.cpp + its generated-project workflow, SURVEY.md §3.3): generate the
+standalone C++ project, build it with the native toolchain, run the emitted
+MPC main, and check the trajectory against the JAX engine. Also exercises the
+generated shared library through the classic ctypes FFI surface
+(reference: src/tinympc/tiny_wrapper.hpp:14-23)."""
+
+import ctypes
+import pathlib
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.api import build_project, mpc_rollout, tiny_codegen
+from accelerated_tinympc_tpu.models import cartpole
+from accelerated_tinympc_tpu.precompute import riccati_cache
+
+X0 = np.array([0.3, 0.0, 0.1, 0.0])
+TICKS = 60
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cg") / "cartpole_project"
+    tiny_codegen(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+        rho=cartpole.RHO, horizon=10, output_dir=out,
+        x_min=-5.0, x_max=5.0, u_min=-5.0, u_max=5.0,
+        settings=atm.Settings(max_iter=25, check_termination=0),
+    )
+    binary = build_project(out)
+    return out, binary
+
+
+def _jax_rollout():
+    problem = cartpole.cartpole_problem(10)
+    cache = riccati_cache(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG, cartpole.RHO
+    )
+    settings = atm.Settings(max_iter=25, check_termination=0)
+    _, _, trace = jax.jit(
+        lambda x: mpc_rollout(problem, cache, settings, x, TICKS)
+    )(jnp.asarray(X0, jnp.float32))
+    return np.asarray(trace.x), np.asarray(trace.u)
+
+
+def test_generated_binary_matches_engine(project):
+    _, binary = project
+    res = subprocess.run(
+        [str(binary), *[str(v) for v in X0], str(TICKS)],
+        capture_output=True, text=True, check=True,
+    )
+    rows = np.array(
+        [[float(v) for v in line.split(",")]
+         for line in res.stdout.strip().splitlines()]
+    )
+    assert rows.shape[0] == TICKS
+    x_cpp = rows[:, 1:5]
+    u_cpp = rows[:, 5:6]
+    x_jax, u_jax = _jax_rollout()
+    np.testing.assert_allclose(u_cpp, u_jax, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(x_cpp, x_jax, rtol=0, atol=1e-4)
+
+
+def test_generated_project_layout(project):
+    out, _ = project
+    for f in ("CMakeLists.txt", "Makefile", "README.md",
+              "include/tiny_dims.h", "include/tiny_api.h",
+              "src/tiny_solver.cpp", "src/tiny_data.cpp",
+              "src/tiny_api.cpp", "src/tiny_main.cpp"):
+        assert (out / f).exists(), f
+
+
+def test_ffi_shared_library(project):
+    out, _ = project
+    lib = ctypes.CDLL(str(out / "libtinympc_deploy.so"))
+    for sym in ("set_x0", "set_xref", "set_umin", "set_umax", "set_xmin",
+                "set_xmax", "reset_dual_variables", "call_tiny_solve",
+                "get_x", "get_u"):
+        assert hasattr(lib, sym), sym
+
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.set_x0.argtypes = [f32p, ctypes.c_int]
+    lib.call_tiny_solve.argtypes = [ctypes.c_int]
+    lib.call_tiny_solve.restype = ctypes.c_int
+    lib.get_u.argtypes = [f32p, ctypes.c_int]
+    lib.reset_dual_variables.argtypes = [ctypes.c_int]
+
+    lib.reset_dual_variables(0)
+    lib.set_x0(np.asarray(X0, np.float32).copy(), 0)
+    lib.call_tiny_solve(0)
+    u = np.zeros(9 * 1, np.float32)
+    lib.get_u(u, 0)
+
+    x_jax, u_jax = _jax_rollout()
+    np.testing.assert_allclose(u[0], u_jax[0, 0], rtol=0, atol=1e-4)
+
+
+def test_precompute_matches_engine_cache(project):
+    """The baked Kinf in the generated data must equal the engine's own
+    precompute (both mirror reference codegen.cpp:268-292)."""
+    out, _ = project
+    data = (out / "src" / "tiny_data.cpp").read_text()
+    cache = riccati_cache(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG, cartpole.RHO,
+        dtype=np.float64,
+    )
+    first_kinf = float(np.asarray(cache.Kinf).reshape(-1)[0])
+    assert f"{first_kinf:.16g}"[:12] in data
