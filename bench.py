@@ -1,0 +1,90 @@
+"""Headline benchmark: batched quadrotor-hovering solves/s on one chip.
+
+Workload (BASELINE.md protocol): the reference's hovering problem shape
+(nx=12, nu=4, N=10 — reference: src/tinympc/glob_opts.hpp:5-8) at a fixed
+100 ADMM iterations per solve (the reference's max_iter ceiling,
+examples/quadrotor_hovering.cpp:75 — fixed-iteration for determinism),
+vmapped over perturbed initial states, steady-state throughput.
+
+Prints ONE JSON line:
+  {"metric": "hovering_solves_per_sec", "value": N, "unit": "solves/s",
+   "vs_baseline": N / 100000}
+(baseline = BASELINE.json north-star target of 100k solves/s/chip).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import accelerated_tinympc_tpu as atm
+    from accelerated_tinympc_tpu.ops import (
+        FusedCarry, fused_solve, pad_problem,
+    )
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+    from accelerated_tinympc_tpu.solver.batched import (
+        init_state_batched, solve_batched,
+    )
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    max_iter = 100
+    batch = 8192 if on_cpu else 65536
+    reps = 2 if on_cpu else 5
+
+    problem, cache, x0 = atm.models.quadrotor_hovering_setup()
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(
+        np.asarray(x0)[None] + 0.05 * rng.standard_normal((batch, 12)),
+        jnp.float32,
+    )
+
+    if on_cpu:
+        # jnp tier fallback (no TPU available).
+        settings = atm.Settings(max_iter=max_iter, check_termination=0)
+        state = init_state_batched(batch, 12, 4, 10)
+        state = state.replace(x=state.x.at[:, 0, :].set(x0s))
+        fn = jax.jit(lambda s: solve_batched(s, problem, cache, settings))
+        args = (state,)
+    else:
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        carry = FusedCarry.zeros(batch, pp)
+        fn = jax.jit(
+            lambda x, c: fused_solve(
+                x, c, pp, max_iter=max_iter, check_termination=0,
+                batch_tile=512,
+            )
+        )
+        args = (x0s, carry)
+
+    # Warm-up (compile) + correctness guard: controls must be finite.
+    out = jax.block_until_ready(fn(*args))
+    first = jax.tree.leaves(out)[0]
+    assert bool(jnp.all(jnp.isfinite(first))), "non-finite solver output"
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.time() - t0)
+
+    value = batch / best
+    print(json.dumps({
+        "metric": "hovering_solves_per_sec",
+        "value": round(value),
+        "unit": "solves/s",
+        "vs_baseline": round(value / 100_000, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
