@@ -120,12 +120,22 @@ def backward_pass_grad(state: State, problem: Problem, cache: Cache) -> State:
 
 
 def admm_iteration(
-    state: State, problem: Problem, cache: Cache, settings: Settings
+    state: State, problem: Problem, cache: Cache, settings: Settings,
+    *,
+    forward=None,
+    backward=None,
 ) -> State:
     """One full ADMM iteration with the reference's exact stage ordering and
-    early-exit data flow (reference: src/tinympc/admm.cpp:117-150)."""
+    early-exit data flow (reference: src/tinympc/admm.cpp:117-150).
+
+    ``forward``/``backward`` override the horizon-sweep realizations (same
+    signature as :func:`forward_pass`/:func:`backward_pass_grad`) — used by the
+    associative-scan long-horizon tier; semantics must match exactly.
+    """
+    forward = forward or forward_pass
+    backward = backward or backward_pass_grad
     state = state.replace(iter=state.iter + 1)
-    state = forward_pass(state, problem, cache)
+    state = forward(state, problem, cache)
     state = update_slack(state, problem, settings)
     state = update_dual(state)
     state = update_linear_cost(state, problem, cache)
@@ -153,7 +163,7 @@ def admm_iteration(
 
     # On convergence the reference returns *before* saving slacks and running the
     # backward pass (src/tinympc/admm.cpp:135-144); replicate by masking.
-    advanced = backward_pass_grad(
+    advanced = backward(
         state.replace(v=state.vnew, z=state.znew), problem, cache
     )
     pick = lambda on_conv, on_cont: jax.tree.map(
