@@ -1,0 +1,146 @@
+"""Native C++ runtime solver (native/src/tinympc_native.cpp via ctypes):
+independent double-precision implementation cross-checked against the JAX
+engine — precompute, single solves (fixed + adaptive), batched solves, and
+the receding-horizon warm-start protocol."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.models import cartpole, quadrotor_hovering_setup
+from accelerated_tinympc_tpu.native import NativeSolver
+from accelerated_tinympc_tpu.precompute import riccati_cache
+
+HOVER_Q = None  # loaded from model data
+
+
+@pytest.fixture(scope="module")
+def quad():
+    problem, cache, x0 = quadrotor_hovering_setup()
+    return problem, cache, np.asarray(x0, np.float64)
+
+
+@pytest.fixture(scope="module")
+def native_quad(quad):
+    problem, cache, x0 = quad
+    ns = NativeSolver(
+        np.asarray(problem.A, np.float64), np.asarray(problem.B, np.float64),
+        np.asarray(problem.Q, np.float64), np.asarray(problem.R, np.float64),
+        rho=float(cache.rho), horizon=10,
+        max_iter=30, check_termination=0,
+    )
+    ns.set_bounds(u_min=-0.5, u_max=0.5, x_min=-5.0, x_max=5.0)
+    ns.set_xref(np.asarray(problem.Xref, np.float64))
+    return ns
+
+
+def test_native_precompute_matches(quad, native_quad):
+    """The C++ Riccati fixed point reproduces the shipped reference cache and
+    the Python precompute."""
+    problem, cache, _ = quad
+    got = native_quad.get_cache()
+    np.testing.assert_allclose(
+        got["Kinf"], np.asarray(cache.Kinf, np.float64), rtol=0, atol=2e-4
+    )
+    ours = riccati_cache(
+        np.asarray(problem.A), np.asarray(problem.B),
+        np.asarray(problem.Q), np.asarray(problem.R), float(cache.rho),
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(got["Kinf"], ours.Kinf, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["Pinf"], ours.Pinf, rtol=1e-9, atol=1e-7)
+
+
+def test_native_solve_matches_jax(quad, native_quad):
+    problem, cache, x0 = quad
+    native_quad.reset_duals()
+    native_quad.set_x0(x0)
+    info = native_quad.solve()
+    assert info["iterations"] == 30
+    u_native = native_quad.get_u()
+
+    st = atm.set_x0(atm.init_state(12, 4, 10), jnp.asarray(x0, jnp.float32))
+    out = jax.jit(
+        lambda s: atm.solve(
+            s, problem, cache, atm.Settings(max_iter=30, check_termination=0)
+        )
+    )(st)
+    np.testing.assert_allclose(
+        u_native, np.asarray(out.u, np.float64), rtol=0, atol=2e-4
+    )
+
+
+def test_native_batch(quad, native_quad):
+    _, _, x0 = quad
+    rng = np.random.default_rng(0)
+    x0s = x0[None] + 0.05 * rng.standard_normal((4, 12))
+    u, iters, status = native_quad.solve_batch(x0s)
+    assert u.shape == (4, 9, 4)
+    assert np.all(iters == 30)
+    # batch solves are cold-start independent: instance 0 equals a standalone
+    # cold solve
+    ns2 = NativeSolver(
+        *(np.asarray(v, np.float64) for v in (
+            quad[0].A, quad[0].B, quad[0].Q, quad[0].R)),
+        rho=float(quad[1].rho), horizon=10, max_iter=30, check_termination=0,
+    )
+    ns2.set_bounds(u_min=-0.5, u_max=0.5, x_min=-5.0, x_max=5.0)
+    ns2.set_xref(np.asarray(quad[0].Xref, np.float64))
+    ns2.set_x0(x0s[0])
+    ns2.solve()
+    np.testing.assert_allclose(u[0], ns2.get_u(), rtol=0, atol=1e-12)
+
+
+def test_native_adaptive_and_warm_start(quad):
+    """Receding-horizon loop with the native solver follows the engine's
+    trajectory (reference protocol: reset duals, carry slacks)."""
+    problem, cache, x0 = quad
+    ns = NativeSolver(
+        np.asarray(problem.A, np.float64), np.asarray(problem.B, np.float64),
+        np.asarray(problem.Q, np.float64), np.asarray(problem.R, np.float64),
+        rho=float(cache.rho), horizon=10,
+        max_iter=100, check_termination=1,
+    )
+    ns.set_bounds(u_min=-0.5, u_max=0.5, x_min=-5.0, x_max=5.0)
+    ns.set_xref(np.asarray(problem.Xref, np.float64))
+    A = np.asarray(problem.A, np.float64)
+    B = np.asarray(problem.B, np.float64)
+    x = x0.copy()
+    errs = []
+    for _ in range(70):
+        ns.reset_duals()
+        ns.set_x0(x)
+        ns.solve()
+        u0 = ns.get_u()[0]
+        x = A @ x + B @ u0
+        errs.append(np.linalg.norm(x - np.asarray(problem.Xref[0])))
+    assert errs[-1] < 0.01, errs[-1]
+
+
+def test_cartpole_native(tmp_path):
+    ns = NativeSolver(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+        rho=cartpole.RHO, horizon=10, max_iter=25, check_termination=0,
+    )
+    ns.set_bounds(u_min=-5.0, u_max=5.0, x_min=-5.0, x_max=5.0)
+    ns.set_x0(np.array([0.3, 0.0, 0.1, 0.0]))
+    ns.solve()
+    u_native = ns.get_u()
+
+    problem = cartpole.cartpole_problem(10)
+    cache = riccati_cache(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG, cartpole.RHO
+    )
+    st = atm.set_x0(
+        atm.init_state(4, 1, 10), jnp.asarray([0.3, 0, 0.1, 0], jnp.float32)
+    )
+    out = jax.jit(
+        lambda s: atm.solve(
+            s, problem, cache, atm.Settings(max_iter=25, check_termination=0)
+        )
+    )(st)
+    np.testing.assert_allclose(
+        u_native, np.asarray(out.u, np.float64), rtol=0, atol=1e-4
+    )
