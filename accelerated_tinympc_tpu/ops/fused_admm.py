@@ -46,7 +46,15 @@ from ..precompute import CondensedOperators
 from ..types import Cache, Problem
 
 LANES = 128
-STATS = 8  # per-instance stats lanes: iters, solved, 4 residuals, 2 pad
+# Stats output is a full 128-lane row per instance (lane-1 vectors trip Mosaic
+# relayout); only the first 6 lanes carry data: iters, solved, 4 residuals.
+STATS = 128
+
+
+def _lane_onehot(i: int, width: int = LANES) -> "jax.Array":
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) == i
+    ).astype(jnp.float32)
 
 
 def _pad_to(n: int, m: int = LANES) -> int:
@@ -268,16 +276,19 @@ def _kernel_fixed(
     G_out[:] = Gn
     Z_out[:] = Znew
     V_out[:] = Vnew
-    pri_s = jnp.max(jnp.abs(X - Vnew), axis=-1, keepdims=True)
-    dua_s = rho * jnp.max(jnp.abs(V - Vnew), axis=-1, keepdims=True)
-    pri_u = jnp.max(jnp.abs(U - Znew), axis=-1, keepdims=True)
-    dua_u = rho * jnp.max(jnp.abs(Z - Znew), axis=-1, keepdims=True)
     bt = U.shape[0]
-    iters = jnp.full((bt, 1), float(max_iter), jnp.float32)
-    solved = jnp.zeros((bt, 1), jnp.float32)
-    pad = jnp.zeros((bt, 2), jnp.float32)
-    stats_out[:] = jnp.concatenate(
-        [iters, solved, pri_s, dua_s, pri_u, dua_u, pad], axis=-1
+    wide = lambda v: jnp.broadcast_to(
+        jnp.max(v, axis=-1, keepdims=True), (bt, STATS)
+    )
+    pri_s = wide(jnp.abs(X - Vnew))
+    dua_s = rho * wide(jnp.abs(V - Vnew))
+    pri_u = wide(jnp.abs(U - Znew))
+    dua_u = rho * wide(jnp.abs(Z - Znew))
+    iters = jnp.full((bt, STATS), float(max_iter), jnp.float32)
+    stats_out[:] = (
+        iters * _lane_onehot(0, STATS)
+        + pri_s * _lane_onehot(2, STATS) + dua_s * _lane_onehot(3, STATS)
+        + pri_u * _lane_onehot(4, STATS) + dua_u * _lane_onehot(5, STATS)
     )
 
 
@@ -321,7 +332,7 @@ def _kernel_adaptive(
         return jnp.logical_and(k < max_iter, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        k, done, D, Y, G, Z, V, Uf, Xf, itf, resf = state
+        k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3 = state
         Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
         # Residuals (admm.cpp:95-98): pre-projection iterates vs new slacks;
         # old-vs-new slacks scaled by rho.
@@ -329,7 +340,7 @@ def _kernel_adaptive(
         dua_s = rho * jnp.max(jnp.abs(V - Vnew), axis=-1, keepdims=True)
         pri_u = jnp.max(jnp.abs(U - Znew), axis=-1, keepdims=True)
         dua_u = rho * jnp.max(jnp.abs(Z - Znew), axis=-1, keepdims=True)
-        checking = (k + 1) % check_every == 0
+        checking = (k + 1) % check_every == 0  # traced scalar: splats fine
         conv_now = jnp.logical_and(
             checking,
             (pri_s < pri_tol) & (pri_u < pri_tol)
@@ -340,33 +351,49 @@ def _kernel_adaptive(
         newly = jnp.logical_and(adv, conv_now)
         live = jnp.logical_and(adv, jnp.logical_not(conv_now))
 
-        sel = jnp.where  # (mask (bt,1) broadcasts over lanes)
+        # Freeze/advance via EXACT 0/1-mask arithmetic: a*m + b*(1-m) is
+        # exact for binary masks, and avoids select_n — Mosaic cannot lower a
+        # (bt, 1)-mask select over these layouts (illegal concrete->replicated
+        # relayout). (bt, 1) float masks broadcast over lanes in elementwise
+        # multiplies, which Mosaic handles natively.
+        m_adv = adv.astype(jnp.float32)
+        m_live = live.astype(jnp.float32)
+
+        def pick(m, a, b):
+            return a * m + b * (1.0 - m)
+
         # Newly-converged keep pre-backward state: D/Z/V stay, Y/G advance.
-        D = sel(live, Dn, D)
-        Y = sel(adv, Yn, Y)
-        G = sel(adv, Gn, G)
-        Z = sel(live, Znew, Z)
-        V = sel(live, Vnew, V)
-        Uf = sel(adv, U, Uf)
-        Xf = sel(adv, X, Xf)
-        itf = sel(adv, jnp.full_like(itf, (k + 1).astype(jnp.float32)), itf)
-        res_now = jnp.concatenate([pri_s, dua_s, pri_u, dua_u], axis=-1)
+        D = pick(m_live, Dn, D)
+        Y = pick(m_adv, Yn, Y)
+        G = pick(m_adv, Gn, G)
+        Z = pick(m_live, Znew, Z)
+        V = pick(m_live, Vnew, V)
+        Uf = pick(m_adv, U, Uf)
+        Xf = pick(m_adv, X, Xf)
+        # itf is carried full-width (bt, STATS) so the scalar k+1 splat lands
+        # in a native layout.
+        kf = (k + 1).astype(jnp.float32)
+        itf = pick(m_adv, itf * 0.0 + kf, itf)
         # Residual fields persist between checks (reference stores them only at
         # check iterations — admm.cpp:93-98).
-        upd_res = jnp.logical_and(adv, jnp.full_like(adv, checking))
-        resf = sel(upd_res, res_now, resf)
+        m_upd = jnp.logical_and(adv, checking).astype(jnp.float32)
+        r0 = pick(m_upd, pri_s, r0)
+        r1 = pick(m_upd, dua_s, r1)
+        r2 = pick(m_upd, pri_u, r2)
+        r3 = pick(m_upd, dua_u, r3)
         return (k + 1, jnp.logical_or(done, newly),
-                D, Y, G, Z, V, Uf, Xf, itf, resf)
+                D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3)
 
+    b1 = jnp.zeros((bt, 1), jnp.float32)
     init = (
         jnp.zeros((), jnp.int32),
         jnp.zeros((bt, 1), bool),
         D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:],
         jnp.zeros_like(U_out), jnp.zeros_like(X_out),
-        jnp.zeros((bt, 1), jnp.float32), jnp.zeros((bt, 4), jnp.float32),
+        jnp.zeros((bt, STATS), jnp.float32), b1, b1, b1, b1,
     )
-    (_k, done, D, Y, G, Z, V, Uf, Xf, itf, resf) = jax.lax.while_loop(
-        cond, body, init
+    (_k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3) = (
+        jax.lax.while_loop(cond, body, init)
     )
     U_out[:] = Uf
     X_out[:] = Xf
@@ -375,9 +402,11 @@ def _kernel_adaptive(
     G_out[:] = G
     Z_out[:] = Z
     V_out[:] = V
-    pad = jnp.zeros((bt, 2), jnp.float32)
-    stats_out[:] = jnp.concatenate(
-        [itf, done.astype(jnp.float32), resf, pad], axis=-1
+    stats_out[:] = (
+        itf * _lane_onehot(0, STATS)
+        + done.astype(jnp.float32) * _lane_onehot(1, STATS)
+        + r0 * _lane_onehot(2, STATS) + r1 * _lane_onehot(3, STATS)
+        + r2 * _lane_onehot(4, STATS) + r3 * _lane_onehot(5, STATS)
     )
 
 
