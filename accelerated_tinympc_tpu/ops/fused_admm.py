@@ -292,6 +292,27 @@ def _kernel_fixed(
     )
 
 
+def _max_all_lanes(x: jax.Array, interpret: bool) -> jax.Array:
+    """Row max of ``x (bt, W)`` replicated into every lane of a (bt, LANES)
+    result — built entirely from full-width ops (chunked maxima + log2 lane
+    rotations). Mosaic cannot keep lane-1 vectors (keepdims reductions) in
+    consistent layouts across while-loop carries, so the adaptive kernel does
+    all per-instance bookkeeping at full lane width."""
+    w = x.shape[-1]
+    m = x[:, :LANES]
+    for i in range(1, w // LANES):
+        m = jnp.maximum(m, x[:, i * LANES:(i + 1) * LANES])
+    if interpret:
+        # pltpu.roll is TPU-only; the interpreter path uses the plain
+        # reduction (layouts are irrelevant there).
+        return jnp.broadcast_to(jnp.max(m, axis=-1, keepdims=True), m.shape)
+    shift = 1
+    while shift < LANES:
+        m = jnp.maximum(m, pltpu.roll(m, shift, axis=1))
+        shift *= 2
+    return m
+
+
 def _kernel_adaptive(
     rho_ref, tol_ref,
     x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
@@ -299,7 +320,7 @@ def _kernel_adaptive(
     u_min_ref, u_max_ref, x_min_ref, x_max_ref,
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_eq_ref, w_er_ref, w_ep_ref,
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    *, max_iter: int, check_every: int,
+    *, max_iter: int, check_every: int, interpret: bool = False,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
 
@@ -307,6 +328,12 @@ def _kernel_adaptive(
     slack save and backward pass, exactly like the reference's early return
     (reference: src/tinympc/admm.cpp:135-144) — and the tile exits when all
     instances are done or ``max_iter`` is reached.
+
+    Layout discipline (hard-won, see CLAUDE.md): every per-instance scalar
+    (done flag, iteration count, residuals) is carried as a full-width
+    (bt, LANES) array with the value replicated across lanes; freezes use
+    exact 0/1-mask arithmetic instead of select_n. Lane-1 vectors and
+    replicated constants in while-loop carries are unlowerable in Mosaic.
     """
     dot_hi = functools.partial(
         jnp.dot, preferred_element_type=jnp.float32,
@@ -325,72 +352,77 @@ def _kernel_adaptive(
     rho = rho_ref[0, 0]
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
-    bt = x0_ref.shape[0]
+    Dup = D0_ref.shape[-1]
+    Dxp = G0_ref.shape[-1]
+
+    def widen(m, w):
+        if w == LANES:
+            return m
+        return jnp.concatenate([m] * (w // LANES), axis=1)
+
+    lane_max = functools.partial(_max_all_lanes, interpret=interpret)
 
     def cond(state):
         k, done = state[0], state[1]
-        return jnp.logical_and(k < max_iter, jnp.logical_not(jnp.all(done)))
+        return jnp.logical_and(k < max_iter, jnp.logical_not(jnp.all(done > 0.5)))
 
     def body(state):
         k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3 = state
         Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
         # Residuals (admm.cpp:95-98): pre-projection iterates vs new slacks;
-        # old-vs-new slacks scaled by rho.
-        pri_s = jnp.max(jnp.abs(X - Vnew), axis=-1, keepdims=True)
-        dua_s = rho * jnp.max(jnp.abs(V - Vnew), axis=-1, keepdims=True)
-        pri_u = jnp.max(jnp.abs(U - Znew), axis=-1, keepdims=True)
-        dua_u = rho * jnp.max(jnp.abs(Z - Znew), axis=-1, keepdims=True)
+        # old-vs-new slacks scaled by rho. (bt, LANES), lane-replicated.
+        pri_s = lane_max(jnp.abs(X - Vnew))
+        dua_s = rho * lane_max(jnp.abs(V - Vnew))
+        pri_u = lane_max(jnp.abs(U - Znew))
+        dua_u = rho * lane_max(jnp.abs(Z - Znew))
         checking = (k + 1) % check_every == 0  # traced scalar: splats fine
         conv_now = jnp.logical_and(
             checking,
             (pri_s < pri_tol) & (pri_u < pri_tol)
             & (dua_s < dua_tol) & (dua_u < dua_tol),
-        )
-        frozen = done                       # (bt, 1) bool: done before this iter
-        adv = jnp.logical_not(frozen)       # executed this iteration
-        newly = jnp.logical_and(adv, conv_now)
-        live = jnp.logical_and(adv, jnp.logical_not(conv_now))
+        ).astype(jnp.float32)
+        frozen = done                   # 1.0 where done before this iteration
+        m_adv = 1.0 - frozen            # executed this iteration
+        m_newly = m_adv * conv_now
+        m_live = m_adv * (1.0 - conv_now)
 
         # Freeze/advance via EXACT 0/1-mask arithmetic: a*m + b*(1-m) is
-        # exact for binary masks, and avoids select_n — Mosaic cannot lower a
-        # (bt, 1)-mask select over these layouts (illegal concrete->replicated
-        # relayout). (bt, 1) float masks broadcast over lanes in elementwise
-        # multiplies, which Mosaic handles natively.
-        m_adv = adv.astype(jnp.float32)
-        m_live = live.astype(jnp.float32)
-
+        # exact for binary masks and avoids select_n entirely.
         def pick(m, a, b):
             return a * m + b * (1.0 - m)
 
+        mu_live, mx_live = widen(m_live, Dup), widen(m_live, Dxp)
+        mu_adv, mx_adv = widen(m_adv, Dup), widen(m_adv, Dxp)
         # Newly-converged keep pre-backward state: D/Z/V stay, Y/G advance.
-        D = pick(m_live, Dn, D)
-        Y = pick(m_adv, Yn, Y)
-        G = pick(m_adv, Gn, G)
-        Z = pick(m_live, Znew, Z)
-        V = pick(m_live, Vnew, V)
-        Uf = pick(m_adv, U, Uf)
-        Xf = pick(m_adv, X, Xf)
-        # itf is carried full-width (bt, STATS) so the scalar k+1 splat lands
-        # in a native layout.
-        kf = (k + 1).astype(jnp.float32)
-        itf = pick(m_adv, itf * 0.0 + kf, itf)
-        # Residual fields persist between checks (reference stores them only at
-        # check iterations — admm.cpp:93-98).
-        m_upd = jnp.logical_and(adv, checking).astype(jnp.float32)
+        D = pick(mu_live, Dn, D)
+        Y = pick(mu_adv, Yn, Y)
+        G = pick(mx_adv, Gn, G)
+        Z = pick(mu_live, Znew, Z)
+        V = pick(mx_live, Vnew, V)
+        Uf = pick(mu_adv, U, Uf)
+        Xf = pick(mx_adv, X, Xf)
+        # Iteration count = number of iterations this instance advanced
+        # (instances advance every iteration until frozen).
+        itf = itf + m_adv
+        # Residual fields persist between checks (reference stores them only
+        # at check iterations — admm.cpp:93-98).
+        m_upd = m_adv * jnp.float32(1.0) * checking.astype(jnp.float32)
         r0 = pick(m_upd, pri_s, r0)
         r1 = pick(m_upd, dua_s, r1)
         r2 = pick(m_upd, pri_u, r2)
         r3 = pick(m_upd, dua_u, r3)
-        return (k + 1, jnp.logical_or(done, newly),
+        return (k + 1, jnp.maximum(done, m_newly),
                 D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3)
 
-    b1 = jnp.zeros((bt, 1), jnp.float32)
+    # Carry inits derive from real data (pure constants materialize in a
+    # replicated layout that poisons the whole carry chain).
+    bl = _max_all_lanes(D0_ref[:] * 0.0, interpret=interpret)  # (bt, LANES) zeros
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.zeros((bt, 1), bool),
+        bl,
         D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:],
-        jnp.zeros_like(U_out), jnp.zeros_like(X_out),
-        jnp.zeros((bt, STATS), jnp.float32), b1, b1, b1, b1,
+        D0_ref[:] * 0.0, G0_ref[:] * 0.0,
+        bl, bl, bl, bl, bl,
     )
     (_k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3) = (
         jax.lax.while_loop(cond, body, init)
@@ -404,7 +436,7 @@ def _kernel_adaptive(
     V_out[:] = V
     stats_out[:] = (
         itf * _lane_onehot(0, STATS)
-        + done.astype(jnp.float32) * _lane_onehot(1, STATS)
+        + done * _lane_onehot(1, STATS)
         + r0 * _lane_onehot(2, STATS) + r1 * _lane_onehot(3, STATS)
         + r2 * _lane_onehot(4, STATS) + r3 * _lane_onehot(5, STATS)
     )
@@ -513,7 +545,8 @@ def fused_solve(
         scalar_specs = [smem_spec]
     else:
         kernel = functools.partial(
-            _kernel_adaptive, max_iter=max_iter, check_every=check_termination
+            _kernel_adaptive, max_iter=max_iter,
+            check_every=check_termination, interpret=interpret,
         )
         tols = jnp.asarray(
             [[abs_pri_tol, abs_dua_tol]], jnp.float32
