@@ -220,6 +220,8 @@ class TinyMPC:
         results via :meth:`get_u`/:meth:`get_x`."""
         if self.tier == "fused":
             return self._solve_fused()
+        if self.tier == "condensed":
+            return self._solve_condensed()
         if self.batch is None:
             self.state = jax.jit(admm.solve, static_argnums=())(
                 self.state, self.problem, self.cache, self.settings
@@ -234,6 +236,44 @@ class TinyMPC:
         return {
             k: np.asarray(v) for k, v in
             batch_stats(self.state, self.settings).items()
+        }
+
+    def _solve_condensed(self) -> dict[str, Any]:
+        from ..solver.condensed import (
+            flat_from_state,
+            flatten_problem,
+            solve_condensed,
+            state_from_flat,
+        )
+
+        if self._ops is None:
+            self._ops = condensed_operators(
+                self.cache,
+                np.asarray(self.problem.A),
+                np.asarray(self.problem.B),
+                self.problem.horizon,
+            )
+        nx, nu, N = self.problem.nx, self.problem.nu, self.problem.horizon
+        state = self.state
+        single = self.batch is None
+        if single:
+            state = jax.tree.map(lambda a: a[None], state)
+        fp = flatten_problem(self.problem, self.cache)
+        out = solve_condensed(
+            flat_from_state(state, nx, nu), fp, self._ops, self.settings, nx
+        )
+        state = state_from_flat(out, nx, nu, N)
+        if single:
+            state = jax.tree.map(lambda a: a[0], state)
+            self.state = state
+            return {
+                "iterations": int(state.iter),
+                "solved": bool(state.status == 1),
+            }
+        self.state = state
+        return {
+            k: np.asarray(v) for k, v in
+            batch_stats(state, self.settings).items()
         }
 
     def _solve_fused(self) -> dict[str, Any]:

@@ -70,7 +70,7 @@ class TestTinyMPCObject:
         problem, cache, x0 = quadrotor_hovering_setup()
         settings = atm.Settings(max_iter=30, check_termination=0)
         us = {}
-        for tier in ("scan", "fused"):
+        for tier in ("scan", "condensed", "fused"):
             mpc = TinyMPC.from_parts(
                 problem, cache, settings=settings, tier=tier,
                 interpret=(tier == "fused"),
@@ -80,6 +80,9 @@ class TestTinyMPCObject:
             us[tier] = mpc.get_u()
         np.testing.assert_allclose(
             us["scan"], us["fused"], rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            us["scan"], us["condensed"], rtol=0, atol=1e-4
         )
 
     def test_batched_solve_and_stats(self):

@@ -1,0 +1,131 @@
+"""Extended benchmark suite (BASELINE.md measurement protocol).
+
+Prints one JSON line per metric. The driver-facing single-metric headline
+lives in bench.py; this tool produces the fuller table: throughput vs batch,
+adaptive-mode throughput, small-batch latency percentiles vs the reference's
+real-time budgets, and on-device MPC rollout rates.
+
+Run on the TPU: python tools/bench_suite.py
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}),
+          flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import accelerated_tinympc_tpu as atm
+    from accelerated_tinympc_tpu.api import mpc_rollout
+    from accelerated_tinympc_tpu.ops import (
+        FusedCarry, fused_solve, pad_problem, unpad_controls,
+    )
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    platform = jax.devices()[0].platform
+    emit("platform", platform, "")
+
+    problem, cache, x0 = atm.models.quadrotor_hovering_setup()
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    rng = np.random.default_rng(0)
+
+    def perturbed(batch):
+        return jnp.asarray(
+            np.asarray(x0)[None] + 0.05 * rng.standard_normal((batch, 12)),
+            jnp.float32,
+        )
+
+    def best_time(fn, *args, reps=5):
+        jax.block_until_ready(fn(*args))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts), ts
+
+    # --- throughput vs batch, fixed 100 iterations (fused tier) -------------
+    for B in (4096, 16384, 65536):
+        x0s = perturbed(B)
+        carry = FusedCarry.zeros(B, pp)
+        f = jax.jit(lambda x, c: fused_solve(
+            x, c, pp, max_iter=100, check_termination=0, batch_tile=512))
+        best, _ = best_time(f, x0s, carry, reps=3)
+        emit("fused_fixed100_solves_per_sec", round(B / best), "solves/s",
+             batch=B)
+
+    # --- adaptive-mode throughput (tol 0.05, <=400 iters) --------------------
+    B = 4096
+    x0s = perturbed(B)
+    carry = FusedCarry.zeros(B, pp)
+    fa = jax.jit(lambda x, c: fused_solve(
+        x, c, pp, max_iter=400, check_termination=1,
+        abs_pri_tol=0.05, abs_dua_tol=0.05, batch_tile=256))
+    best, _ = best_time(fa, x0s, carry, reps=3)
+    out = fa(x0s, carry)
+    emit("fused_adaptive_solves_per_sec", round(B / best), "solves/s",
+         batch=B, mean_iters=float(np.asarray(out.stats)[:, 0].mean()))
+
+    # --- small-batch latency vs the reference real-time budgets --------------
+    for B in (1, 128):
+        x0s = perturbed(B)
+        carry = FusedCarry.zeros(B, pp)
+        f = jax.jit(lambda x, c: fused_solve(
+            x, c, pp, max_iter=100, check_termination=0,
+            batch_tile=min(128, B)))
+        jax.block_until_ready(f(x0s, carry))
+        ts = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x0s, carry))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        emit("fused_fixed100_latency_p50", round(ts[len(ts) // 2], 3), "ms",
+             batch=B, p90=round(ts[int(len(ts) * 0.9)], 3),
+             budget_100hz_ms=10.0)
+
+    # --- on-device MPC rollout (scenario MPC) --------------------------------
+    B, ticks = 4096, 20
+    x0s = perturbed(B)
+    settings = atm.Settings(max_iter=100, check_termination=0)
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def run(x0s):
+        carry = FusedCarry.zeros(B, pp)
+
+        def tick(c, _):
+            x, carry = c
+            res = fused_solve(x, carry.reset_duals(), pp, max_iter=100,
+                              check_termination=0, batch_tile=512)
+            u0 = unpad_controls(res, pp)
+            x_next = (jnp.matmul(x, problem.A.T, precision=hi)
+                      + jnp.matmul(u0, problem.B.T, precision=hi))
+            return (x_next, res.carry), u0
+
+        (xf, _), us = jax.lax.scan(tick, (x0s, FusedCarry.zeros(B, pp)),
+                                   None, length=ticks)
+        return xf, us
+
+    best, _ = best_time(run, x0s, reps=3)
+    emit("mpc_rollout_solves_per_sec", round(B * ticks / best), "solves/s",
+         batch=B, ticks=ticks)
+
+
+if __name__ == "__main__":
+    main()
