@@ -3,7 +3,13 @@ offline codegen, and AOT export (capability parity with the reference's
 L3 layers — SURVEY.md §1)."""
 
 from .solver import TinyMPC  # noqa: F401
-from .mpc import MPCTrace, default_plant, mpc_rollout, tracking_error  # noqa: F401
+from .mpc import (  # noqa: F401
+    MPCTrace,
+    default_plant,
+    fused_mpc_rollout,
+    mpc_rollout,
+    tracking_error,
+)
 from .codegen import build_project, tiny_codegen  # noqa: F401
 from .export import (  # noqa: F401
     export_batched_solve,

@@ -115,3 +115,47 @@ def tracking_error(trace: MPCTrace, Xref_total: jax.Array) -> jax.Array:
     if trace.x.ndim == 3:  # batched
         ref = ref[:, None, :]
     return jnp.linalg.norm(trace.x - ref, axis=-1)
+
+
+def fused_mpc_rollout(
+    pp,
+    x0: jax.Array,
+    n_ticks: int,
+    *,
+    problem: Problem,
+    max_iter: int = 100,
+    batch_tile: int = 512,
+    carry=None,
+    interpret: bool = False,
+):
+    """Receding-horizon rollout on the fused Pallas tier: ``n_ticks`` of
+    (dual reset -> fused solve -> apply pre-projection u0 -> plant step) under
+    one ``lax.scan`` — the peak-throughput scenario-MPC path (~1M solves/s on
+    one v5e chip at batch 4096, tools/bench_suite.py).
+
+    ``pp`` is a :class:`..ops.fused_admm.PaddedProblem`; ``x0`` is ``(B, nx)``.
+    Returns ``(x_final, u0_trace (n_ticks, B, nu), carry)`` with warm-start
+    carries matching the reference tick protocol (duals reset, slacks kept —
+    reference: examples/quadrotor_hovering.cpp:99-104).
+    """
+    from ..ops.fused_admm import FusedCarry, fused_solve, unpad_controls
+
+    hi = jax.lax.Precision.HIGHEST
+    if carry is None:
+        carry = FusedCarry.zeros(x0.shape[0], pp)
+
+    def tick(c, _):
+        x, cy = c
+        res = fused_solve(
+            x, cy.reset_duals(), pp, max_iter=max_iter, check_termination=0,
+            batch_tile=min(batch_tile, x.shape[0]), interpret=interpret,
+        )
+        u0 = unpad_controls(res, pp)
+        x_next = (
+            jnp.matmul(x, problem.A.T, precision=hi)
+            + jnp.matmul(u0, problem.B.T, precision=hi)
+        )
+        return (x_next, res.carry), u0
+
+    (x_final, carry), us = jax.lax.scan(tick, (x0, carry), None, length=n_ticks)
+    return x_final, us, carry

@@ -198,3 +198,31 @@ class TestAOTExport:
         np.testing.assert_allclose(
             np.asarray(out["u"]), np.asarray(want.u), rtol=0, atol=1e-6
         )
+
+
+class TestFusedRollout:
+    def test_fused_rollout_matches_jnp_rollout(self):
+        from accelerated_tinympc_tpu.api import fused_mpc_rollout
+        from accelerated_tinympc_tpu.ops import pad_problem
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        x0s = jnp.tile(jnp.asarray(x0, jnp.float32), (2, 1))
+        xf, us, carry = fused_mpc_rollout(
+            pp, x0s, 15, problem=problem, max_iter=20, interpret=True
+        )
+        settings = atm.Settings(max_iter=20, check_termination=0)
+        _, xf_ref, trace = jax.jit(
+            lambda x: mpc_rollout(problem, cache, settings, x, 15)
+        )(x0s[0])
+        np.testing.assert_allclose(
+            np.asarray(us[:, 0, :]), np.asarray(trace.u), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
+        )
