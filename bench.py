@@ -44,14 +44,15 @@ def main() -> None:
         jnp.float32,
     )
 
-    if on_cpu:
-        # jnp tier fallback (no TPU available).
+    def build_jnp():
         settings = atm.Settings(max_iter=max_iter, check_termination=0)
         state = init_state_batched(batch, 12, 4, 10)
         state = state.replace(x=state.x.at[:, 0, :].set(x0s))
-        fn = jax.jit(lambda s: solve_batched(s, problem, cache, settings))
-        args = (state,)
-    else:
+        return jax.jit(lambda s: solve_batched(s, problem, cache, settings)), (
+            state,
+        )
+
+    def build_fused():
         ops = condensed_operators(
             cache, np.asarray(problem.A), np.asarray(problem.B),
             problem.horizon,
@@ -64,10 +65,22 @@ def main() -> None:
                 batch_tile=512,
             )
         )
-        args = (x0s, carry)
+        return fn, (x0s, carry)
 
-    # Warm-up (compile) + correctness guard: controls must be finite.
-    out = jax.block_until_ready(fn(*args))
+    if on_cpu:
+        fn, args = build_jnp()
+        out = jax.block_until_ready(fn(*args))
+    else:
+        try:
+            fn, args = build_fused()
+            out = jax.block_until_ready(fn(*args))
+        except Exception as exc:  # Pallas compile/runtime failure: jnp tier
+            print(f"fused tier unavailable ({exc}); jnp fallback",
+                  file=sys.stderr)
+            fn, args = build_jnp()
+            out = jax.block_until_ready(fn(*args))
+
+    # Correctness guard: solver outputs must be finite.
     first = jax.tree.leaves(out)[0]
     assert bool(jnp.all(jnp.isfinite(first))), "non-finite solver output"
 

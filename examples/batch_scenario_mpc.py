@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import accelerated_tinympc_tpu as atm
-from accelerated_tinympc_tpu.api import mpc_rollout
-from accelerated_tinympc_tpu.ops import FusedCarry, fused_solve, pad_problem, unpad_controls
+from accelerated_tinympc_tpu.api import fused_mpc_rollout, mpc_rollout
+from accelerated_tinympc_tpu.ops import pad_problem
 from accelerated_tinympc_tpu.precompute import condensed_operators
 
 
@@ -48,27 +48,12 @@ def main() -> None:
             cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
         )
         pp = pad_problem(problem, cache, ops)
-        hi = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def run(x0s):
-            carry = FusedCarry.zeros(args.batch, pp)
-
-            def tick(c, _):
-                x, carry = c
-                res = fused_solve(
-                    x, carry.reset_duals(), pp,
-                    max_iter=args.iters, check_termination=0, batch_tile=512,
-                )
-                u0 = unpad_controls(res, pp)
-                x_next = (
-                    jnp.matmul(x, problem.A.T, precision=hi)
-                    + jnp.matmul(u0, problem.B.T, precision=hi)
-                )
-                return (x_next, res.carry), u0
-
-            (xf, _), us = jax.lax.scan(tick, (x0s, carry), None,
-                                       length=args.ticks)
+            xf, us, _carry = fused_mpc_rollout(
+                pp, x0s, args.ticks, problem=problem, max_iter=args.iters,
+            )
             return xf, us
     else:
         @jax.jit
