@@ -19,6 +19,7 @@ batched over thousands of problem instances.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -39,6 +40,19 @@ from ..ops.fused_admm import (
 )
 
 TIERS = ("scan", "condensed", "fused")
+
+# Module-level jitted entry points: stable function identity keeps the jit
+# cache warm across TinyMPC.solve() calls (tracing the while_loop tiers
+# eagerly costs seconds per call).
+_solve_single = jax.jit(admm.solve)
+_solve_batched = jax.jit(solve_batched)
+
+
+@functools.lru_cache(maxsize=1)
+def _jit_solve_condensed():
+    from ..solver.condensed import solve_condensed
+
+    return jax.jit(solve_condensed, static_argnums=(4,))
 
 
 @dataclasses.dataclass
@@ -223,14 +237,14 @@ class TinyMPC:
         if self.tier == "condensed":
             return self._solve_condensed()
         if self.batch is None:
-            self.state = jax.jit(admm.solve, static_argnums=())(
+            self.state = _solve_single(
                 self.state, self.problem, self.cache, self.settings
             )
             return {
                 "iterations": int(self.state.iter),
                 "solved": bool(self.state.status == 1),
             }
-        self.state = solve_batched(
+        self.state = _solve_batched(
             self.state, self.problem, self.cache, self.settings
         )
         return {
@@ -242,7 +256,6 @@ class TinyMPC:
         from ..solver.condensed import (
             flat_from_state,
             flatten_problem,
-            solve_condensed,
             state_from_flat,
         )
 
@@ -259,7 +272,7 @@ class TinyMPC:
         if single:
             state = jax.tree.map(lambda a: a[None], state)
         fp = flatten_problem(self.problem, self.cache)
-        out = solve_condensed(
+        out = _jit_solve_condensed()(
             flat_from_state(state, nx, nu), fp, self._ops, self.settings, nx
         )
         state = state_from_flat(out, nx, nu, N)

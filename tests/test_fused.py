@@ -148,3 +148,57 @@ class TestAdaptive:
             axis=-1,
         )
         np.testing.assert_allclose(res, want_res, rtol=0, atol=3e-4)
+
+
+class TestWideHorizon:
+    """Generality beyond one 128-lane tile: N=22 -> Dx=264 -> Dxp=384 (three
+    lane tiles on the state side), exercising the widen/chunked-max paths."""
+
+    @pytest.fixture(scope="class")
+    def wide_setup(self):
+        from accelerated_tinympc_tpu.models import random_lti_problem
+        from accelerated_tinympc_tpu.precompute import riccati_cache
+
+        problem, rho = random_lti_problem(seed=11, nx=12, nu=4, horizon=22)
+        cache = riccati_cache(
+            np.asarray(problem.A), np.asarray(problem.B),
+            np.asarray(problem.Q), np.asarray(problem.R), rho,
+        )
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B), 22
+        )
+        pp = pad_problem(problem, cache, ops)
+        assert pp.Dxp == 384 and pp.Dup == 128  # the case under test
+        rng = np.random.default_rng(2)
+        x0s = jnp.asarray(rng.standard_normal((8, 12)) * 0.3, jnp.float32)
+        return problem, cache, pp, x0s
+
+    @pytest.mark.parametrize("mode", ["fixed", "adaptive"])
+    def test_parity_vs_scan(self, wide_setup, mode):
+        problem, cache, pp, x0s = wide_setup
+        carry = FusedCarry.zeros(8, pp)
+        if mode == "fixed":
+            got = fused_solve(
+                x0s, carry, pp, max_iter=20, check_termination=0,
+                batch_tile=8, interpret=True,
+            )
+            settings = atm.Settings(max_iter=20, check_termination=0)
+        else:
+            got = fused_solve(
+                x0s, carry, pp, max_iter=100, check_termination=1,
+                abs_pri_tol=0.05, abs_dua_tol=0.05, batch_tile=8,
+                interpret=True,
+            )
+            settings = atm.Settings(
+                abs_pri_tol=0.05, abs_dua_tol=0.05, max_iter=100,
+                check_termination=1,
+            )
+        want = _run_scan(problem, cache, x0s, settings)
+        u = np.asarray(got.U[:, : 21 * 4]).reshape(8, 21, 4)
+        np.testing.assert_allclose(
+            u, np.asarray(want.u), rtol=1e-4, atol=2e-4
+        )
+        if mode == "adaptive":
+            np.testing.assert_array_equal(
+                np.asarray(got.stats[:, 0]).astype(int), np.asarray(want.iter)
+            )
