@@ -1,1 +1,14 @@
+"""Solver tiers: scan (ground truth), assoc (long-horizon), condensed (MXU
+operators), batched (vmap + masked early termination). The fused Pallas tier
+lives in ops/fused_admm.py."""
+
 from . import admm  # noqa: F401
+from .admm import admm_iteration, solve  # noqa: F401
+from .assoc_scan import solve_assoc  # noqa: F401
+from .batched import init_state_batched, solve_batched, batch_stats  # noqa: F401
+from .condensed import (  # noqa: F401
+    FlatState,
+    flatten_problem,
+    init_flat_state,
+    solve_condensed,
+)
