@@ -111,3 +111,39 @@ def test_precompute_matches_engine_cache(project):
     )
     first_kinf = float(np.asarray(cache.Kinf).reshape(-1)[0])
     assert f"{first_kinf:.16g}"[:12] in data
+
+
+class TestQuadrotorDeploymentVsReference:
+    """The emitted standalone C++ solver vs the *reference's own* compiled
+    solver: generate the quadrotor hovering deployment project, run its MPC
+    main, and compare controls against the golden trajectory dumped from the
+    unmodified reference binary (tests/golden/hovering_fixed50_traj.csv,
+    produced by tools/golden/golden_quadrotor.cpp)."""
+
+    def test_quadrotor_project_matches_reference_golden(self, tmp_path):
+        import accelerated_tinympc_tpu.models.quadrotor as qm
+        from golden_utils import load_traj_csv
+
+        d = dict(np.load(qm.DATA_DIR / "quadrotor_20hz_params.npz"))
+        Xref = np.tile(qm.HOVER_SETPOINT, (10, 1))
+        out = tiny_codegen(
+            d["Adyn"], d["Bdyn"], d["Q"], d["R"], rho=float(d["rho"]),
+            horizon=10, output_dir=tmp_path / "quad_project",
+            u_min=-0.5, u_max=0.5, x_min=-5.0, x_max=5.0, Xref=Xref,
+            settings=atm.Settings(max_iter=50, check_termination=0),
+            gen_wrapper=False,
+        )
+        binary = build_project(out)
+        res = subprocess.run(
+            [str(binary), *[str(v) for v in qm.HOVER_X0], "70"],
+            capture_output=True, text=True, check=True,
+        )
+        rows = np.array(
+            [[float(v) for v in line.split(",")]
+             for line in res.stdout.strip().splitlines()]
+        )
+        u_cpp = rows[:, 13:17]
+        x_cpp = rows[:, 1:13]
+        want = load_traj_csv("hovering_fixed50", 12, 4)
+        np.testing.assert_allclose(u_cpp, want["u0"], rtol=0, atol=1e-4)
+        np.testing.assert_allclose(x_cpp, want["x0"], rtol=0, atol=1e-3)
