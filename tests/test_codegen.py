@@ -31,6 +31,7 @@ def project(tmp_path_factory):
         rho=cartpole.RHO, horizon=10, output_dir=out,
         x_min=-5.0, x_max=5.0, u_min=-5.0, u_max=5.0,
         settings=atm.Settings(max_iter=25, check_termination=0),
+        augment_Q=False,  # compare against the engine's examples convention
     )
     binary = build_project(out)
     return out, binary
@@ -132,6 +133,10 @@ class TestQuadrotorDeploymentVsReference:
             u_min=-0.5, u_max=0.5, x_min=-5.0, x_max=5.0, Xref=Xref,
             settings=atm.Settings(max_iter=50, check_termination=0),
             gen_wrapper=False,
+            # the golden harness follows the reference *examples* convention
+            # (raw workspace Q); default augment_Q=True mirrors
+            # reference-codegen-generated workspaces instead
+            augment_Q=False,
         )
         binary = build_project(out)
         res = subprocess.run(
@@ -147,3 +152,52 @@ class TestQuadrotorDeploymentVsReference:
         want = load_traj_csv("hovering_fixed50", 12, 4)
         np.testing.assert_allclose(u_cpp, want["u0"], rtol=0, atol=1e-4)
         np.testing.assert_allclose(x_cpp, want["x0"], rtol=0, atol=1e-3)
+
+
+def test_augmented_q_convention(tmp_path):
+    """Default codegen bakes the rho-augmented cost diagonal like the
+    reference's generated workspaces (reference: codegen.cpp:254-258); the
+    examples convention is opt-out. The two emitted solvers must match the
+    engine when the engine's workspace Q is set correspondingly."""
+    import accelerated_tinympc_tpu.models.quadrotor as qm
+    import jax
+    import jax.numpy as jnp
+
+    d = np.load(qm.DATA_DIR / "quadrotor_20hz_params.npz")
+    Xref = np.tile(qm.HOVER_SETPOINT, (10, 1))
+    outs = {}
+    for name, aug in (("aug", True), ("raw", False)):
+        out = tiny_codegen(
+            d["Adyn"], d["Bdyn"], d["Q"], d["R"], rho=float(d["rho"]),
+            horizon=10, output_dir=tmp_path / name,
+            u_min=-0.5, u_max=0.5, x_min=-5.0, x_max=5.0, Xref=Xref,
+            settings=atm.Settings(max_iter=30, check_termination=0),
+            gen_wrapper=False, augment_Q=aug,
+        )
+        binary = build_project(out)
+        res = subprocess.run(
+            [str(binary), *[str(v) for v in qm.HOVER_X0], "1"],
+            capture_output=True, text=True, check=True,
+        )
+        outs[name] = np.array(
+            [float(v) for v in res.stdout.strip().split(",")[13:17]]
+        )
+    # conventions genuinely differ with a nonzero reference
+    assert np.max(np.abs(outs["aug"] - outs["raw"])) > 1e-4
+
+    # the augmented-convention binary matches the engine with augmented
+    # workspace Q (the cache is identical; only update_linear_cost changes)
+    from accelerated_tinympc_tpu.models import quadrotor_hovering_setup
+
+    problem, cache, x0 = quadrotor_hovering_setup()
+    problem_aug = problem.replace(Q=problem.Q + cache.rho)
+    st = atm.set_x0(atm.init_state(12, 4, 10), jnp.asarray(x0, jnp.float32))
+    got = jax.jit(
+        lambda s: atm.solve(
+            s, problem_aug, cache,
+            atm.Settings(max_iter=30, check_termination=0),
+        )
+    )(st)
+    np.testing.assert_allclose(
+        outs["aug"], np.asarray(got.u[0], np.float64), rtol=0, atol=1e-4
+    )
