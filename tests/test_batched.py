@@ -126,3 +126,26 @@ def test_batch_stats(setup):
     assert float(stats["converged_fraction"]) == 1.0
     assert float(stats["iterations_max"]) <= 400
     assert float(stats["primal_residual_state_max"]) < 0.05
+
+
+def test_check_termination_interval(setup):
+    """check_termination=k checks only every k-th iteration (reference:
+    src/tinympc/admm.cpp:92-93): convergence iteration is a multiple of k,
+    and never earlier than the every-iteration count."""
+    problem, cache, x0 = setup
+    x0s = _perturbed_batch(x0, 3)
+    every = _batched_solve(
+        problem, cache, x0s,
+        atm.Settings(abs_pri_tol=0.05, abs_dua_tol=0.05, max_iter=400,
+                     check_termination=1),
+    )
+    sparse = _batched_solve(
+        problem, cache, x0s,
+        atm.Settings(abs_pri_tol=0.05, abs_dua_tol=0.05, max_iter=400,
+                     check_termination=7),
+    )
+    it_e = np.asarray(every.iter)
+    it_s = np.asarray(sparse.iter)
+    assert np.all(it_s % 7 == 0)
+    assert np.all(it_s >= it_e)
+    assert np.all(it_s <= it_e + 6)

@@ -85,3 +85,55 @@ class TestCheckpointResume:
             np.asarray(trace_tail.u), np.asarray(trace_full.u[10:]),
             rtol=0, atol=1e-6,
         )
+
+
+class TestFaultDetection:
+    """Divergence surfaces as per-instance non-finite flags (SURVEY.md §5
+    failure-detection row): an unstable plant with bounds disabled blows up
+    within the solve, and health_report pinpoints the instances."""
+
+    def test_diverging_instance_flagged(self):
+        import accelerated_tinympc_tpu.models.quadrotor as qm
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        # unstable plant + no projection: rollout explodes
+        problem = problem.replace(
+            A=problem.A * 3.0,
+        )
+        settings = atm.Settings(
+            max_iter=200, check_termination=0,
+            en_state_bound=False, en_input_bound=False,
+        )
+        from accelerated_tinympc_tpu.solver.batched import (
+            init_state_batched, solve_batched,
+        )
+
+        st = init_state_batched(2, 12, 4, 10)
+        st = st.replace(
+            x=st.x.at[:, 0, :].set(
+                jnp.asarray(np.stack([np.asarray(x0), np.zeros(12)]),
+                            jnp.float32)
+            )
+        )
+        out = jax.jit(
+            lambda s: solve_batched(s, problem, cache, settings)
+        )(st)
+        rep = health_report(out)
+        if not rep["all_finite"]:
+            assert 0 in rep["nonfinite_instances"]
+        else:
+            # even if it stays finite, residuals must reflect the blow-up
+            assert rep["max_residual"] > 1e3
+
+
+class TestProfilerTrace:
+    def test_trace_writes_artifacts(self, tmp_path):
+        from accelerated_tinympc_tpu.utils import trace
+
+        f = jax.jit(lambda x: x @ x.T)
+        x = jnp.ones((64, 64))
+        with trace(str(tmp_path)):
+            jax.block_until_ready(f(x))
+        files = list(tmp_path.rglob("*"))
+        assert any("trace" in str(p) or p.suffix in (".pb", ".gz", ".json")
+                   for p in files), files
