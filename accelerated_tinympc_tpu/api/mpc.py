@@ -127,6 +127,8 @@ def fused_mpc_rollout(
     batch_tile: int = 512,
     carry=None,
     interpret: bool = False,
+    Xref_total: jax.Array | None = None,
+    Pinf: jax.Array | None = None,
 ):
     """Receding-horizon rollout on the fused Pallas tier: ``n_ticks`` of
     (dual reset -> fused solve -> apply pre-projection u0 -> plant step) under
@@ -134,21 +136,35 @@ def fused_mpc_rollout(
     one v5e chip at batch 4096, tools/bench_suite.py).
 
     ``pp`` is a :class:`..ops.fused_admm.PaddedProblem`; ``x0`` is ``(B, nx)``.
+    With ``Xref_total`` (and the cache's ``Pinf``) the horizon window slides
+    each tick on device (tracking mode — the reference-dependent kernel
+    operands are recomputed with :func:`..ops.fused_admm.ref_vectors`).
     Returns ``(x_final, u0_trace (n_ticks, B, nu), carry)`` with warm-start
     carries matching the reference tick protocol (duals reset, slacks kept —
     reference: examples/quadrotor_hovering.cpp:99-104).
     """
-    from ..ops.fused_admm import FusedCarry, fused_solve, unpad_controls
+    from ..ops.fused_admm import (
+        FusedCarry, fused_solve, ref_vectors, unpad_controls,
+    )
 
     hi = jax.lax.Precision.HIGHEST
     if carry is None:
         carry = FusedCarry.zeros(x0.shape[0], pp)
+    if Xref_total is not None and Pinf is None:
+        raise ValueError("tracking mode needs the cache Pinf for ref_vectors")
+    N = problem.horizon
 
-    def tick(c, _):
+    def tick(c, k):
         x, cy = c
+        refs = {}
+        if Xref_total is not None:
+            window = jax.lax.dynamic_slice_in_dim(Xref_total, k, N, axis=0)
+            xref_q, pterm_c = ref_vectors(pp, problem.Q, Pinf, window)
+            refs = {"xref_q": xref_q, "pterm_c": pterm_c}
         res = fused_solve(
             x, cy.reset_duals(), pp, max_iter=max_iter, check_termination=0,
             batch_tile=min(batch_tile, x.shape[0]), interpret=interpret,
+            **refs,
         )
         u0 = unpad_controls(res, pp)
         x_next = (
@@ -157,5 +173,7 @@ def fused_mpc_rollout(
         )
         return (x_next, res.carry), u0
 
-    (x_final, carry), us = jax.lax.scan(tick, (x0, carry), None, length=n_ticks)
+    (x_final, carry), us = jax.lax.scan(
+        tick, (x0, carry), jnp.arange(n_ticks)
+    )
     return x_final, us, carry

@@ -156,6 +156,36 @@ def pad_problem(
     )
 
 
+def ref_vectors(
+    pp: PaddedProblem,
+    Q: jax.Array,
+    Pinf: jax.Array,
+    Xref: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side recomputation of the reference-dependent kernel operands
+    for a new horizon window (tracking mode, reference:
+    quadrotor_tracking.cpp:101 sliding the window each tick): the baked
+    ``xref_q``/``pterm_c`` in :func:`pad_problem` are just these two vectors,
+    so updating the reference costs two tiny jnp ops — no re-padding of
+    operators.
+
+    ``Q`` is the (nx,) workspace cost diagonal, ``Pinf`` the (nx, nx) cache
+    matrix, ``Xref`` the (N, nx) window. Returns ``(xref_q, pterm_c)`` shaped
+    ``(1, Dxp)``.
+    """
+    nx, _nu, N = pp.dims
+    Dx = N * nx
+    t0 = Dx - nx
+    hi = jax.lax.Precision.HIGHEST
+    dtype = pp.xref_q.dtype
+    xref_q = jnp.zeros((1, pp.Dxp), dtype).at[0, :Dx].set(
+        -(Xref * Q).reshape(-1).astype(dtype)
+    )
+    pterm = -jnp.matmul(Xref[-1], Pinf, precision=hi).astype(dtype)
+    pterm_c = jnp.zeros((1, pp.Dxp), dtype).at[0, t0:Dx].set(pterm)
+    return xref_q, pterm_c
+
+
 class FusedCarry(NamedTuple):
     """Warm-start carries persisting across MPC ticks, flat-padded ``(B, .)``.
     The reference keeps these in its global workspace between tiny_solve calls
@@ -453,6 +483,8 @@ def fused_solve(
     abs_dua_tol: float = 1e-3,
     batch_tile: int = 256,
     interpret: bool = False,
+    xref_q: jax.Array | None = None,
+    pterm_c: jax.Array | None = None,
 ) -> FusedResult:
     """Run the fused whole-solve kernel over a batch.
 
@@ -462,8 +494,16 @@ def fused_solve(
     the fixed-iteration kernel, otherwise the adaptive freezing kernel with
     checks every ``check_termination`` iterations.
 
+    ``xref_q``/``pterm_c`` override the baked reference vectors (tracking
+    mode — build them with :func:`ref_vectors`).
+
     ``interpret=True`` runs the Pallas interpreter (CPU-testable).
     """
+    if xref_q is not None or pterm_c is not None:
+        pp = pp._replace(
+            xref_q=xref_q if xref_q is not None else pp.xref_q,
+            pterm_c=pterm_c if pterm_c is not None else pp.pterm_c,
+        )
     B, nx = x0.shape
     bt = min(batch_tile, B)
     if B % bt:

@@ -226,3 +226,35 @@ class TestFusedRollout:
         np.testing.assert_allclose(
             np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
         )
+
+    def test_fused_tracking_matches_jnp(self):
+        from accelerated_tinympc_tpu.api import fused_mpc_rollout
+        from accelerated_tinympc_tpu.models import quadrotor_tracking_setup
+        from accelerated_tinympc_tpu.ops import pad_problem
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+
+        problem, cache, x0, Xref_total = quadrotor_tracking_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        Xref_dev = jnp.asarray(Xref_total, jnp.float32)
+        x0s = jnp.asarray(x0, jnp.float32)[None]
+        T = 25
+        xf, us, _ = fused_mpc_rollout(
+            pp, x0s, T, problem=problem, max_iter=15, interpret=True,
+            Xref_total=Xref_dev, Pinf=cache.Pinf,
+        )
+        settings = atm.Settings(max_iter=15, check_termination=0)
+        _, xf_ref, trace = jax.jit(
+            lambda x: mpc_rollout(
+                problem, cache, settings, x, T, Xref_total=Xref_dev
+            )
+        )(x0s[0])
+        np.testing.assert_allclose(
+            np.asarray(us[:, 0, :]), np.asarray(trace.u), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
+        )
