@@ -41,14 +41,43 @@ def main() -> None:
     )
 
     Xref_dev = jnp.asarray(Xref_total, jnp.float32)
-    rollout = jax.jit(
-        lambda x: mpc_rollout(
-            problem, cache, settings, x, ticks, Xref_total=Xref_dev
-        )
-    )
-    _, _, trace = rollout(jnp.asarray(x0, jnp.float32))
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and not args.adaptive:
+        # fused Pallas tier with the sliding window recomputed on device
+        from accelerated_tinympc_tpu.api import fused_mpc_rollout
+        from accelerated_tinympc_tpu.ops import pad_problem
+        from accelerated_tinympc_tpu.precompute import condensed_operators
 
-    err = np.asarray(tracking_error(trace, Xref_dev))
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        rollout = jax.jit(
+            lambda x: fused_mpc_rollout(
+                pp, x[None], ticks, problem=problem,
+                max_iter=settings.max_iter,
+                Xref_total=Xref_dev, Pinf=cache.Pinf,
+            )
+        )
+        _xf, us, _ = rollout(jnp.asarray(x0, jnp.float32))
+        # reconstruct the plant trace for error reporting
+        xs = [np.asarray(x0, np.float64)]
+        A = np.asarray(problem.A, np.float64)
+        Bm = np.asarray(problem.B, np.float64)
+        for k in range(ticks - 1):
+            xs.append(A @ xs[-1] + Bm @ np.asarray(us[k, 0], np.float64))
+        err = np.linalg.norm(
+            np.stack(xs) - np.asarray(Xref_total[:ticks]), axis=-1
+        )
+    else:
+        rollout = jax.jit(
+            lambda x: mpc_rollout(
+                problem, cache, settings, x, ticks, Xref_total=Xref_dev
+            )
+        )
+        _, _, trace = rollout(jnp.asarray(x0, jnp.float32))
+        err = np.asarray(tracking_error(trace, Xref_dev))
     for k in range(0, ticks, max(1, ticks // 20)):
         print(f"tick {k:3d}  tracking error: {err[k]:.6f}")
     print(f"mean tracking error: {err.mean():.6f}  max: {err.max():.6f}")

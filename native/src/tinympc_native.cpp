@@ -394,9 +394,14 @@ void tn_get_cache(void *h, double *Kinf, double *Pinf, double *Quu_inv,
 
 // Batched host solve: B independent cold-start instances sharing this
 // solver's problem data; x0s (Bn, nx), u_out (Bn, (N-1)*nu) row-major.
+// Instances are embarrassingly parallel (each works on a private Solver
+// copy), so the loop threads with OpenMP when compiled with -fopenmp.
 void tn_solve_batch(void *h, const double *x0s, int Bn, double *u_out,
                     int *iters_out, int *status_out) {
     auto *base = static_cast<Solver *>(h);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int b = 0; b < Bn; ++b) {
         Solver s = *base;  // value copy: independent iterates
         for (auto *vec : {&s.x, &s.q, &s.p, &s.v, &s.vnew, &s.g,
