@@ -201,3 +201,36 @@ def test_augmented_q_convention(tmp_path):
     np.testing.assert_allclose(
         outs["aug"], np.asarray(got.u[0], np.float64), rtol=0, atol=1e-4
     )
+
+
+def test_ffi_runtime_bound_update(project):
+    """Bound setters genuinely change the solve (parity with the reference
+    wrapper's mutable workspace bounds, tiny_wrapper.cpp:43-129): tightening
+    u bounds must saturate the returned first control at the new bound."""
+    out, _ = project
+    lib = ctypes.CDLL(str(out / "libtinympc_deploy.so"))
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    for name in ("set_x0", "set_umin", "set_umax", "get_u"):
+        getattr(lib, name).argtypes = [f32p, ctypes.c_int]
+    lib.reset_dual_variables.argtypes = [ctypes.c_int]
+    lib.call_tiny_solve.argtypes = [ctypes.c_int]
+    lib.call_tiny_solve.restype = ctypes.c_int
+
+    def solve_u0(umax):
+        lib.set_umin(np.full(9, -umax, np.float32), 0)
+        lib.set_umax(np.full(9, umax, np.float32), 0)
+        lib.reset_dual_variables(0)
+        lib.set_x0(np.asarray(X0, np.float32).copy(), 0)
+        lib.call_tiny_solve(0)
+        u = np.zeros(9, np.float32)
+        lib.get_u(u, 0)
+        return u
+
+    u_wide = solve_u0(5.0)
+    u_tight = solve_u0(0.5)
+    assert np.abs(u_wide[0]) > 0.5  # wide bounds leave u unconstrained
+    # tightened bounds pull the (pre-projection, 25-iteration) control toward
+    # the new box; restoring the bounds reproduces the original solve exactly
+    assert abs(u_tight[0]) < abs(u_wide[0])
+    u_restored = solve_u0(5.0)
+    np.testing.assert_array_equal(u_restored, u_wide)
