@@ -16,7 +16,7 @@ perturbed instances) — state/x0 just carry a leading batch axis.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

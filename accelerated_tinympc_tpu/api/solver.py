@@ -35,7 +35,6 @@ from ..ops.fused_admm import (
     PaddedProblem,
     fused_solve,
     pad_problem,
-    unpad_controls,
     unpad_states,
 )
 

@@ -110,14 +110,15 @@ class NativeSolver:
             self._h = None
 
     def set_bounds(self, u_min=None, u_max=None, x_min=None, x_max=None):
+        keep = []  # keeps the arrays alive for the duration of the call
+
         def ptr(v, size):
             if v is None:
                 return None
             arr = np.ascontiguousarray(
                 np.broadcast_to(np.asarray(v, np.float64), size).reshape(-1)
             )
-            # keep alive for the call
-            self._keep = getattr(self, "_keep", []) + [arr]
+            keep.append(arr)
             return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
         su = (self.N - 1, self.nu)

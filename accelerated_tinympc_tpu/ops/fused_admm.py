@@ -217,7 +217,7 @@ class FusedResult(NamedTuple):
     U: jax.Array
     X: jax.Array
     carry: FusedCarry
-    stats: jax.Array  # (B, STATS) float32
+    stats: jax.Array  # (B, STATS) float32; lanes 0-5 meaningful (see above)
 
 
 def _iteration(D, Y, G, W, consts, precision=jax.lax.Precision.HIGHEST):
@@ -490,7 +490,7 @@ def fused_solve(
 
     ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded
     (:class:`FusedCarry`). ``B`` must be a multiple of ``batch_tile``
-    (callers pad; see :func:`round_batch`). ``check_termination == 0`` selects
+    (pad the batch up if needed). ``check_termination == 0`` selects
     the fixed-iteration kernel, otherwise the adaptive freezing kernel with
     checks every ``check_termination`` iterations.
 
@@ -565,7 +565,9 @@ def fused_solve(
     w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_eq, pp.W_er, pp.W_ep)
     state_args = (x0p, carry.D, carry.Y, carry.G, carry.Z, carry.V)
 
-    # FLOPs: 7 padded matmuls per iteration per instance (see _iteration).
+    # FLOPs: 5 in-loop padded matmuls per iteration per instance plus the
+    # two hoisted x0 contractions (see _iteration); the x0 terms are counted
+    # per iteration here as a conservative upper bound.
     flops_iter = 2 * B * (
         nxp * Dxp + Dup * Dxp + nxp * Dup + Dup * Dup
         + Dxp * Dup + Dup * Dup + Dxp * Dup
