@@ -506,8 +506,20 @@ def fused_solve(
         )
     B, nx = x0.shape
     bt = min(batch_tile, B)
-    if B % bt:
-        raise ValueError(f"batch {B} not a multiple of batch_tile {bt}")
+    # Pad the batch up to a tile multiple (padded instances solve zeros and
+    # are sliced off below — the kernel is oblivious).
+    B_pad = ((B + bt - 1) // bt) * bt
+    if B_pad != B:
+        extra = B_pad - B
+        x0 = jnp.concatenate(
+            [x0, jnp.zeros((extra, nx), x0.dtype)], axis=0
+        )
+        carry = FusedCarry(*(
+            jnp.concatenate(
+                [a, jnp.zeros((extra, a.shape[1]), a.dtype)], axis=0
+            ) for a in carry
+        ))
+    orig_B, B = B, B_pad
     grid = (B // bt,)
     Dxp, Dup, nxp = pp.Dxp, pp.Dup, pp.nx_pad
     dtype = x0.dtype
@@ -610,6 +622,10 @@ def fused_solve(
     )(*scalar_args, *state_args, *vec_args, *w_args)
 
     U, X, D, Y, G, Z, V, stats = outs
+    if orig_B != B:
+        U, X, D, Y, G, Z, V, stats = (
+            a[:orig_B] for a in (U, X, D, Y, G, Z, V, stats)
+        )
     return FusedResult(
         U=U, X=X, carry=FusedCarry(D=D, Y=Y, G=G, Z=Z, V=V), stats=stats
     )

@@ -202,3 +202,22 @@ class TestWideHorizon:
             np.testing.assert_array_equal(
                 np.asarray(got.stats[:, 0]).astype(int), np.asarray(want.iter)
             )
+
+
+def test_non_tile_multiple_batch(setup):
+    """Batches that aren't tile multiples are padded internally and sliced
+    back (serving-friendly; TinyMPC produces such batches)."""
+    problem, cache, pp, x0s = setup
+    x0_odd = x0s[:5]
+    got = fused_solve(
+        x0_odd, FusedCarry.zeros(5, pp), pp, max_iter=20,
+        check_termination=0, batch_tile=4, interpret=True,
+    )
+    assert got.U.shape[0] == 5 and got.stats.shape[0] == 5
+    want = fused_solve(
+        x0s[:8], FusedCarry.zeros(8, pp), pp, max_iter=20,
+        check_termination=0, batch_tile=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U[:5]), rtol=0, atol=1e-6
+    )
