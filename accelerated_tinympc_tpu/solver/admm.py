@@ -40,11 +40,28 @@ from ..types import SOLVED, UNSOLVED, Cache, Problem, Settings, State
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _scoped(name):
+    """Tag a stage with jax.named_scope so profiler traces show the ADMM
+    stages by name (SURVEY.md §5 tracing row)."""
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with jax.named_scope(name):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
+    return deco
+
+
 def _mv(M: jax.Array, v: jax.Array) -> jax.Array:
     """Matrix-vector product at full f32 precision (MXU HIGHEST)."""
     return jnp.matmul(M, v, precision=_HI)
 
 
+@_scoped("admm/forward_pass")
 def forward_pass(state: State, problem: Problem, cache: Cache) -> State:
     """LQR rollout: u_i = -Kinf x_i - d_i; x_{i+1} = A x_i + B u_i
     (reference: src/tinympc/admm.cpp:27-37)."""
@@ -59,6 +76,7 @@ def forward_pass(state: State, problem: Problem, cache: Cache) -> State:
     return state.replace(u=u, x=x)
 
 
+@_scoped("admm/update_slack")
 def update_slack(state: State, problem: Problem, settings: Settings) -> State:
     """Project slack variables onto the box constraints
     (reference: src/tinympc/admm.cpp:45-61)."""
@@ -71,6 +89,7 @@ def update_slack(state: State, problem: Problem, settings: Settings) -> State:
     return state.replace(znew=znew, vnew=vnew)
 
 
+@_scoped("admm/update_dual")
 def update_dual(state: State) -> State:
     """Scaled dual ascent (reference: src/tinympc/admm.cpp:67-71)."""
     return state.replace(
@@ -79,6 +98,7 @@ def update_dual(state: State) -> State:
     )
 
 
+@_scoped("admm/update_linear_cost")
 def update_linear_cost(state: State, problem: Problem, cache: Cache) -> State:
     """Refresh linear cost terms from references, slacks and duals
     (reference: src/tinympc/admm.cpp:77-85)."""
@@ -100,6 +120,7 @@ def compute_residuals(state: State, cache: Cache) -> tuple[jax.Array, ...]:
     return pri_state, dua_state, pri_input, dua_input
 
 
+@_scoped("admm/backward_pass_grad")
 def backward_pass_grad(state: State, problem: Problem, cache: Cache) -> State:
     """Riccati backward gradient recursion
     (reference: src/tinympc/admm.cpp:15-22; coeff_d2p term dropped as there)."""
