@@ -141,3 +141,56 @@ def initialize_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def sharded_fused_solve(
+    mesh: Mesh,
+    pp,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    batch_tile: int = 512,
+    interpret: bool = False,
+):
+    """The production configuration: the fused Pallas kernel per shard under
+    ``shard_map`` — each device runs its local batch through one whole-solve
+    kernel launch, with only the convergence stats psum'd over the mesh.
+
+    Returns a jitted ``(x0s, carry) -> (FusedResult, stats)`` where ``x0s``
+    and every carry leaf are batch-sharded (see :func:`shard_batch`) and the
+    result stays batch-sharded. ``pp`` (operators/problem vectors) is
+    replicated automatically as closure constants.
+    """
+    from ..ops.fused_admm import fused_solve
+
+    def shard_fn(x0s, carry):
+        res = fused_solve(
+            x0s, carry, pp, max_iter=max_iter,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            batch_tile=batch_tile, interpret=interpret,
+        )
+        n_local = jnp.asarray(res.stats.shape[0], jnp.float32)
+        stats = {
+            "n_total": jax.lax.psum(n_local, BATCH_AXIS),
+            "n_converged": jax.lax.psum(jnp.sum(res.stats[:, 1]), BATCH_AXIS),
+            "iterations_sum": jax.lax.psum(
+                jnp.sum(res.stats[:, 0]), BATCH_AXIS
+            ),
+            "iterations_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 0]), BATCH_AXIS
+            ),
+        }
+        return res, stats
+
+    batch_spec = P(BATCH_AXIS)
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec),
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -100,3 +100,35 @@ def test_uneven_convergence_stats(setup):
     assert s["converged_fraction"] == pytest.approx(
         float(np.mean(statuses == atm.SOLVED))
     )
+
+
+def test_sharded_fused_solve(setup):
+    """Fused kernel per shard under shard_map (Pallas interpreter on the CPU
+    mesh): matches the unsharded fused solve, stats psum correctly."""
+    from accelerated_tinympc_tpu.ops import FusedCarry, fused_solve, pad_problem
+    from accelerated_tinympc_tpu.parallel import sharded_fused_solve
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    problem, cache, x0s = setup
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    mesh = make_batch_mesh(8)
+    solve = sharded_fused_solve(
+        mesh, pp, max_iter=20, check_termination=0, batch_tile=2,
+        interpret=True,
+    )
+    carry = FusedCarry.zeros(B, pp)
+    x0_sh = shard_batch(x0s, mesh)
+    carry_sh = shard_batch(carry, mesh)
+    res, stats = solve(x0_sh, carry_sh)
+    assert res.U.sharding.spec[0] == BATCH_AXIS
+    assert float(stats["n_total"]) == B
+    want = fused_solve(
+        x0s, carry, pp, max_iter=20, check_termination=0, batch_tile=2,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.U), rtol=0, atol=1e-5
+    )
