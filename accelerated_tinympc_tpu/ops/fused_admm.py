@@ -505,7 +505,17 @@ def fused_solve(
             pterm_c=pterm_c if pterm_c is not None else pp.pterm_c,
         )
     B, nx = x0.shape
-    bt = min(batch_tile, B)
+    # Cap the batch tile so the kernel's VMEM footprint (state blocks,
+    # double-buffered in/out, elementwise temps, operators) stays inside the
+    # ~16 MB budget — wide horizons (large Dxp) otherwise OOM at compile time.
+    per_row_bytes = 34 * max(pp.Dxp, pp.Dup) * 4  # empirical buffer count
+    w_bytes = sum(int(np.prod(w.shape)) * 4 for w in
+                  (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd,
+                   pp.W_eq, pp.W_er, pp.W_ep))
+    budget = 12 * 1024 * 1024 - w_bytes
+    bt_cap = max(8, budget // per_row_bytes)
+    bt = min(batch_tile, B, int(bt_cap))
+    bt = max(8, (bt // 8) * 8)  # sublane multiple
     # Pad the batch up to a tile multiple (padded instances solve zeros and
     # are sliced off below — the kernel is oblivious).
     B_pad = ((B + bt - 1) // bt) * bt
