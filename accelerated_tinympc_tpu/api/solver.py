@@ -54,6 +54,22 @@ def _jit_solve_condensed():
     return jax.jit(solve_condensed, static_argnums=(4,))
 
 
+@functools.lru_cache(maxsize=16)
+def _jit_fused(max_iter, check_termination, abs_pri_tol, abs_dua_tol,
+               batch_tile, interpret):
+    def fn(x0, carry, pp):
+        return fused_solve(
+            x0, carry, pp, max_iter=max_iter,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            batch_tile=batch_tile, interpret=interpret,
+        )
+
+    # The interpreter path rejects jit-of-pallas on CPU test runs; eager is
+    # fine there (tests only).
+    return fn if interpret else jax.jit(fn)
+
+
 @dataclasses.dataclass
 class TinyMPC:
     """One MPC problem bound to a solver tier and (optional) batch.
@@ -174,7 +190,7 @@ class TinyMPC:
             b = self.batch or 1
             self._fused_carry = FusedCarry.zeros(b, self._pp)
 
-    def _build_fused(self) -> None:
+    def _ensure_ops(self) -> CondensedOperators:
         if self._ops is None:
             self._ops = condensed_operators(
                 self.cache,
@@ -182,7 +198,29 @@ class TinyMPC:
                 np.asarray(self.problem.B),
                 self.problem.horizon,
             )
-        self._pp = pad_problem(self.problem, self.cache, self._ops)
+        return self._ops
+
+    def _bounded_problem(self) -> Problem:
+        """Problem with disabled bound sets neutralized (the fused kernel
+        clips unconditionally; scan/condensed honor the Settings flags —
+        reference: src/tinympc/types.hpp:44-45 en_*_bound)."""
+        prob = self.problem
+        if not self.settings.en_input_bound:
+            prob = prob.replace(
+                u_min=jnp.full_like(prob.u_min, -jnp.inf),
+                u_max=jnp.full_like(prob.u_max, jnp.inf),
+            )
+        if not self.settings.en_state_bound:
+            prob = prob.replace(
+                x_min=jnp.full_like(prob.x_min, -jnp.inf),
+                x_max=jnp.full_like(prob.x_max, jnp.inf),
+            )
+        return prob
+
+    def _build_fused(self) -> None:
+        self._pp = pad_problem(
+            self._bounded_problem(), self.cache, self._ensure_ops()
+        )
 
     # ----------------------------------------------------------- setters ----
     # Functional analogues of the reference FFI setters
@@ -202,21 +240,36 @@ class TinyMPC:
         Xref = jnp.asarray(Xref, self.problem.A.dtype)
         self.problem = self.problem.replace(Xref=Xref)
         if self.tier == "fused":
-            self._pp = pad_problem(self.problem, self.cache, self._ops)
+            from ..ops.fused_admm import ref_vectors
+
+            xref_q, pterm_c = ref_vectors(
+                self._pp, self.problem.Q, self.cache.Pinf, Xref
+            )
+            self._pp = self._pp._replace(xref_q=xref_q, pterm_c=pterm_c)
 
     def set_bounds(
         self,
         u_min=None, u_max=None, x_min=None, x_max=None,
     ) -> None:
-        """Box-bound updates (reference: tiny_wrapper.cpp:43-129)."""
+        """Box-bound updates (reference: tiny_wrapper.cpp:43-129). Providing
+        a complete bound pair enables the corresponding constraint set
+        (mirroring the reference's non-null enable logic,
+        codegen.cpp:227-243) so every tier starts clipping."""
         rep = {}
         for name, val in (("u_min", u_min), ("u_max", u_max),
                           ("x_min", x_min), ("x_max", x_max)):
             if val is not None:
-                rep[name] = jnp.asarray(val, self.problem.A.dtype)
+                rep[name] = jnp.broadcast_to(
+                    jnp.asarray(val, self.problem.A.dtype),
+                    getattr(self.problem, name).shape,
+                )
         self.problem = self.problem.replace(**rep)
+        if u_min is not None and u_max is not None:
+            self.settings = self.settings.replace(en_input_bound=True)
+        if x_min is not None and x_max is not None:
+            self.settings = self.settings.replace(en_state_bound=True)
         if self.tier == "fused" and rep:
-            self._pp = pad_problem(self.problem, self.cache, self._ops)
+            self._build_fused()
 
     def reset_duals(self) -> None:
         """Zero y/g between MPC ticks (reference: tiny_wrapper.cpp:131-140)."""
@@ -258,13 +311,7 @@ class TinyMPC:
             state_from_flat,
         )
 
-        if self._ops is None:
-            self._ops = condensed_operators(
-                self.cache,
-                np.asarray(self.problem.A),
-                np.asarray(self.problem.B),
-                self.problem.horizon,
-            )
+        ops = self._ensure_ops()
         nx, nu, N = self.problem.nx, self.problem.nu, self.problem.horizon
         state = self.state
         single = self.batch is None
@@ -272,7 +319,7 @@ class TinyMPC:
             state = jax.tree.map(lambda a: a[None], state)
         fp = flatten_problem(self.problem, self.cache)
         out = _jit_solve_condensed()(
-            flat_from_state(state, nx, nu), fp, self._ops, self.settings, nx
+            flat_from_state(state, nx, nu), fp, ops, self.settings, nx
         )
         state = state_from_flat(out, nx, nu, N)
         if single:
@@ -292,15 +339,11 @@ class TinyMPC:
         x0 = self.state.x[..., 0, :]
         if self.batch is None:
             x0 = x0[None]
-        res = fused_solve(
-            x0, self._fused_carry, self._pp,
-            max_iter=self.settings.max_iter,
-            check_termination=self.settings.check_termination,
-            abs_pri_tol=float(self.settings.abs_pri_tol),
-            abs_dua_tol=float(self.settings.abs_dua_tol),
-            batch_tile=min(256, x0.shape[0]),
-            interpret=self.interpret,
-        )
+        res = _jit_fused(
+            self.settings.max_iter, self.settings.check_termination,
+            float(self.settings.abs_pri_tol), float(self.settings.abs_dua_tol),
+            min(256, x0.shape[0]), self.interpret,
+        )(x0, self._fused_carry, self._pp)
         self._fused_carry = res.carry
         self._fused_result = res
         stats = np.asarray(res.stats)
@@ -314,6 +357,8 @@ class TinyMPC:
         """Control trajectory (reference: tiny_wrapper.cpp:165-176). Shape
         (N-1, nu) or (batch, N-1, nu)."""
         if self.tier == "fused":
+            if self._fused_result is None:  # pre-solve: zero state, like
+                return np.asarray(self.state.u)  # the other tiers
             nx, nu, N = self._pp.dims
             u = np.asarray(self._fused_result.U[:, : (N - 1) * nu])
             u = u.reshape(-1, N - 1, nu)
@@ -323,6 +368,8 @@ class TinyMPC:
     def get_x(self) -> np.ndarray:
         """State trajectory (reference: tiny_wrapper.cpp:152-163)."""
         if self.tier == "fused":
+            if self._fused_result is None:
+                return np.asarray(self.state.x)
             x = np.asarray(unpad_states(self._fused_result, self._pp))
             return x[0] if self.batch is None else x
         return np.asarray(self.state.x)

@@ -138,7 +138,10 @@ class NativeSolver:
         )
 
     def set_x0(self, x0: np.ndarray) -> None:
-        self._lib.tn_set_x0(self._h, np.ascontiguousarray(x0, np.float64))
+        x0 = np.ascontiguousarray(x0, np.float64)
+        if x0.shape != (self.nx,):
+            raise ValueError(f"x0 shape {x0.shape} != ({self.nx},)")
+        self._lib.tn_set_x0(self._h, x0)
 
     def reset_duals(self) -> None:
         self._lib.tn_reset_duals(self._h)
@@ -175,6 +178,8 @@ class NativeSolver:
 
     def solve_batch(self, x0s: np.ndarray):
         x0s = np.ascontiguousarray(x0s, np.float64)
+        if x0s.ndim != 2 or x0s.shape[1] != self.nx:
+            raise ValueError(f"x0s shape {x0s.shape} != (B, {self.nx})")
         Bn = x0s.shape[0]
         u = np.zeros((Bn, (self.N - 1) * self.nu), np.float64)
         iters = np.zeros(Bn, np.int32)

@@ -489,8 +489,8 @@ def fused_solve(
     """Run the fused whole-solve kernel over a batch.
 
     ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded
-    (:class:`FusedCarry`). ``B`` must be a multiple of ``batch_tile``
-    (pad the batch up if needed). ``check_termination == 0`` selects
+    (:class:`FusedCarry`); batches that are not tile multiples are padded
+    internally and sliced back. ``check_termination == 0`` selects
     the fixed-iteration kernel, otherwise the adaptive freezing kernel with
     checks every ``check_termination`` iterations.
 
@@ -504,6 +504,9 @@ def fused_solve(
             xref_q=xref_q if xref_q is not None else pp.xref_q,
             pterm_c=pterm_c if pterm_c is not None else pp.pterm_c,
         )
+    if max_iter < 1:
+        raise ValueError("the fused tier runs at least one iteration; "
+                         "use the scan tier for max_iter=0")
     B, nx = x0.shape
     # Cap the batch tile so the kernel's VMEM footprint (state blocks,
     # double-buffered in/out, elementwise temps, operators) stays inside the

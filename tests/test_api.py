@@ -258,3 +258,78 @@ class TestFusedRollout:
         np.testing.assert_allclose(
             np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
         )
+
+
+class TestTierBoundConsistency:
+    """Bound semantics must agree across tiers (review finding): set_bounds
+    enables clipping everywhere, and disabled bound sets are inert on the
+    fused tier too."""
+
+    def test_set_bounds_enables_flags(self):
+        from accelerated_tinympc_tpu.models import cartpole
+
+        mpc = TinyMPC.setup(
+            cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+            rho=CARTPOLE_RHO, horizon=10,
+        )
+        assert not mpc.settings.en_input_bound
+        mpc.set_bounds(u_min=-0.1, u_max=0.1, x_min=-5.0, x_max=5.0)
+        assert mpc.settings.en_input_bound and mpc.settings.en_state_bound
+        mpc.settings = mpc.settings.replace(max_iter=30, check_termination=0)
+        x0 = jnp.asarray([0.5, 0, 0.2, 0], jnp.float32)
+
+        mpc.set_x0(x0)
+        mpc.solve()
+        u_bounded = mpc.get_u()
+        # the projected slack iterate lives inside the new box
+        assert float(jnp.abs(mpc.state.znew).max()) <= 0.1 + 1e-6
+        # and the (pre-projection) controls are pulled well below unbounded
+        unb = TinyMPC.setup(
+            cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+            rho=CARTPOLE_RHO, horizon=10,
+            settings=mpc.settings.replace(
+                en_input_bound=False, en_state_bound=False
+            ),
+        )
+        unb.set_x0(x0)
+        unb.solve()
+        assert np.abs(u_bounded).max() < np.abs(unb.get_u()).max()
+
+    def test_disabled_bounds_inert_on_fused(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(
+            max_iter=20, check_termination=0,
+            en_input_bound=False, en_state_bound=False,
+        )
+        us = {}
+        for tier in ("scan", "fused"):
+            mpc = TinyMPC.from_parts(
+                problem, cache, settings=settings, tier=tier,
+                interpret=(tier == "fused"),
+            )
+            mpc.set_x0(jnp.asarray(x0, jnp.float32))
+            mpc.solve()
+            us[tier] = mpc.get_u()
+        np.testing.assert_allclose(us["scan"], us["fused"], rtol=0, atol=1e-4)
+
+    def test_get_before_solve(self):
+        problem, cache, _ = quadrotor_hovering_setup()
+        mpc = TinyMPC.from_parts(problem, cache, tier="fused", interpret=True)
+        assert mpc.get_u().shape == (9, 4)
+        assert np.all(mpc.get_u() == 0)
+
+    def test_set_xref_updates_fused_reference(self):
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=20, check_termination=0)
+        mpc = TinyMPC.from_parts(
+            problem, cache, settings=settings, tier="fused", interpret=True
+        )
+        mpc.set_x0(jnp.asarray(x0, jnp.float32))
+        mpc.solve()
+        u_hover = mpc.get_u()
+        new_ref = jnp.zeros_like(problem.Xref)
+        mpc.set_xref(new_ref)
+        mpc._fused_carry = mpc._fused_carry.zeros(1, mpc._pp)  # cold restart
+        mpc.solve()
+        u_zero = mpc.get_u()
+        assert np.abs(u_hover - u_zero).max() > 1e-3  # reference took effect

@@ -119,8 +119,6 @@ def main() -> None:
 
     @jax.jit
     def run(x0s):
-        carry = FusedCarry.zeros(B, pp)
-
         def tick(c, _):
             x, carry = c
             res = fused_solve(x, carry.reset_duals(), pp, max_iter=100,
