@@ -145,3 +145,30 @@ class TestCartpole:
         _, u0, _ = run_mpc_loop(problem, cache, settings, x0, steps=300)
         want = load_traj_csv(golden, 4, 1)
         np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=U_TOL)
+
+
+class TestFusedVsReferenceGolden:
+    """The fused Pallas tier (via the interpreter) reproduces the reference
+    C++ binary end-to-end: 70 hovering ticks at fixed 50 iterations against
+    the golden trajectory dumped from the unmodified reference solver."""
+
+    def test_fused_rollout_matches_reference(self):
+        from accelerated_tinympc_tpu.api import fused_mpc_rollout
+        from accelerated_tinympc_tpu.ops import pad_problem
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+        import jax.numpy as jnp
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        _, us, _ = fused_mpc_rollout(
+            pp, jnp.asarray(x0, jnp.float32)[None], 70, problem=problem,
+            max_iter=50, interpret=True,
+        )
+        want = load_traj_csv("hovering_fixed50", 12, 4)
+        np.testing.assert_allclose(
+            np.asarray(us[:, 0, :]), want["u0"], rtol=0, atol=U_TOL
+        )
