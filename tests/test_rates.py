@@ -49,3 +49,23 @@ def test_hover_trajectory_tracking(hz, traj):
     )(jnp.asarray(x0, jnp.float32))
     err = np.asarray(tracking_error(trace, Xref_dev))
     assert err[5:].max() < 0.1, err.max()
+
+
+def test_hovering_100hz_matches_reference_golden():
+    """Direct reference parity at 100 Hz: engine rollout vs the golden
+    trajectory dumped from the reference binary built with the 100 Hz
+    problem data (tools/golden harness, PARAM_HEADER=quadrotor_100hz)."""
+    from golden_utils import load_traj_csv
+
+    problem, cache, x0 = quadrotor_hovering_setup(100)
+    settings = atm.Settings(max_iter=50, check_termination=0)
+    _, _, trace = jax.jit(
+        lambda x: mpc_rollout(problem, cache, settings, x, 250)
+    )(jnp.asarray(x0, jnp.float32))
+    want = load_traj_csv("hovering100_fixed50", 12, 4)
+    np.testing.assert_allclose(
+        np.asarray(trace.u), want["u0"], rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(trace.x), want["x0"], rtol=0, atol=1e-3
+    )

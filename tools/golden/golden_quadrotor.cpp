@@ -17,8 +17,16 @@
 #include <cstring>
 
 #include <tinympc/admm.hpp>
-#include "problem_data/quadrotor_20hz_params.hpp"
-#include "trajectory_data/quadrotor_20hz_y_axis_line.hpp"
+// Parameter rate selectable at compile time:
+//   g++ ... -DPARAM_HEADER='"problem_data/quadrotor_100hz_params.hpp"' ...
+#ifndef PARAM_HEADER
+#define PARAM_HEADER "problem_data/quadrotor_20hz_params.hpp"
+#endif
+#ifndef TRAJ_HEADER
+#define TRAJ_HEADER "trajectory_data/quadrotor_20hz_y_axis_line.hpp"
+#endif
+#include PARAM_HEADER
+#include TRAJ_HEADER
 
 extern "C" {
 
