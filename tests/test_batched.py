@@ -149,3 +149,45 @@ def test_check_termination_interval(setup):
     assert np.all(it_s % 7 == 0)
     assert np.all(it_s >= it_e)
     assert np.all(it_s <= it_e + 6)
+
+
+def test_per_instance_problems():
+    """problem_axes=0: each instance carries its own plant (the random-plant
+    sweep configuration); results match per-instance standalone solves."""
+    from accelerated_tinympc_tpu.models import random_lti_problem
+    from accelerated_tinympc_tpu.precompute import riccati_cache
+
+    problems, caches, x0s = [], [], []
+    rng = np.random.default_rng(5)
+    for seed in (1, 2, 3):
+        prob, rho = random_lti_problem(seed=seed, nx=6, nu=2, horizon=8)
+        problems.append(prob)
+        caches.append(riccati_cache(
+            np.asarray(prob.A), np.asarray(prob.B),
+            np.asarray(prob.Q), np.asarray(prob.R), rho,
+        ))
+        x0s.append(rng.standard_normal(6) * 0.3)
+    prob_b = jax.tree.map(lambda *ls: jnp.stack(ls), *problems)
+    cache_b = jax.tree.map(lambda *ls: jnp.stack(ls), *caches)
+    x0_b = jnp.asarray(np.stack(x0s), jnp.float32)
+
+    from accelerated_tinympc_tpu.solver.batched import BATCHED
+
+    settings = atm.Settings(max_iter=20, check_termination=0)
+    st = init_state_batched(3, 6, 2, 8)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0_b))
+    got = jax.jit(
+        lambda s, p, c: solve_batched(
+            s, p, c, settings, problem_axes=BATCHED, cache_axes=BATCHED
+        )
+    )(st, prob_b, cache_b)
+
+    for i in range(3):
+        sti = atm.set_x0(atm.init_state(6, 2, 8),
+                         jnp.asarray(x0s[i], jnp.float32))
+        want = jax.jit(
+            lambda s: atm.solve(s, problems[i], caches[i], settings)
+        )(sti)
+        np.testing.assert_allclose(
+            np.asarray(got.u[i]), np.asarray(want.u), rtol=0, atol=1e-4
+        )

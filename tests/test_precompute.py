@@ -64,3 +64,26 @@ def test_jax_riccati_matches_host_riccati():
     np.testing.assert_allclose(cj.Kinf, c64.Kinf, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(cj.Quu_inv, c64.Quu_inv, rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(cj.AmBKt, c64.AmBKt, rtol=1e-3, atol=1e-4)
+
+
+def test_riccati_cache_jax_vmapped():
+    """On-device cache construction over a batch of random plants (the
+    use-case riccati_cache_jax exists for)."""
+    import jax
+    import jax.numpy as jnp
+    from accelerated_tinympc_tpu.models import random_lti_problem
+
+    As, Bs, Qs, Rs = [], [], [], []
+    for seed in (10, 11, 12, 13):
+        prob, rho = random_lti_problem(seed=seed, nx=5, nu=2, horizon=6)
+        As.append(np.asarray(prob.A)); Bs.append(np.asarray(prob.B))
+        Qs.append(np.asarray(prob.Q)); Rs.append(np.asarray(prob.R))
+    batch = lambda ls: jnp.asarray(np.stack(ls), jnp.float32)
+    caches = jax.jit(jax.vmap(
+        lambda A, B, Q, R: riccati_cache_jax(A, B, Q, R, jnp.asarray(1.0))
+    ))(batch(As), batch(Bs), batch(Qs), batch(Rs))
+    for i in range(4):
+        want = riccati_cache(As[i], Bs[i], Qs[i], Rs[i], 1.0, dtype=np.float64)
+        np.testing.assert_allclose(
+            np.asarray(caches.Kinf[i]), want.Kinf, rtol=1e-3, atol=2e-4
+        )
