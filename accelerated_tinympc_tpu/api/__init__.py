@@ -13,6 +13,7 @@ from .mpc import (  # noqa: F401
 from .codegen import build_project, tiny_codegen  # noqa: F401
 from .export import (  # noqa: F401
     export_batched_solve,
+    export_fused_solve,
     load_exported,
     save_exported,
 )

@@ -67,3 +67,53 @@ def load_exported(path: str | pathlib.Path) -> Callable[..., Any]:
     """Load a serialized artifact; returns a callable running the baked solve."""
     exported = jax_export.deserialize(pathlib.Path(path).read_bytes())
     return jax.jit(exported.call)
+
+
+def export_fused_solve(
+    pp,
+    batch: int,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    batch_tile: int = 512,
+    platforms: tuple[str, ...] | None = None,
+) -> jax_export.Exported:
+    """Export the fused Pallas whole-solve kernel (operators baked in) as a
+    serialized artifact — the deployment form of the fastest path.
+
+    Signature of the exported callable:
+    ``(x0 (B, nx), D, Y, G, Z, V) -> dict`` with the solved ``U``/``X``,
+    updated carries, and the stats row (plain arrays/dicts only — custom
+    pytree types are not serializable by jax.export). Lowering requires a
+    TPU-capable build unless exported for the interpreter platform.
+    """
+    from ..ops.fused_admm import FusedCarry, fused_solve
+
+    nx = pp.dims[0]
+
+    def fn(x0, D, Y, G, Z, V):
+        res = fused_solve(
+            x0, FusedCarry(D=D, Y=Y, G=G, Z=Z, V=V), pp,
+            max_iter=max_iter, check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            batch_tile=batch_tile,
+        )
+        return {
+            "U": res.U, "X": res.X, "stats": res.stats,
+            "D": res.carry.D, "Y": res.carry.Y, "G": res.carry.G,
+            "Z": res.carry.Z, "V": res.carry.V,
+        }
+
+    f32 = jnp.float32
+    args = (
+        jax.ShapeDtypeStruct((batch, nx), f32),
+        jax.ShapeDtypeStruct((batch, pp.Dup), f32),
+        jax.ShapeDtypeStruct((batch, pp.Dup), f32),
+        jax.ShapeDtypeStruct((batch, pp.Dxp), f32),
+        jax.ShapeDtypeStruct((batch, pp.Dup), f32),
+        jax.ShapeDtypeStruct((batch, pp.Dxp), f32),
+    )
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    return jax_export.export(jax.jit(fn), **kwargs)(*args)

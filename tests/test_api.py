@@ -333,3 +333,33 @@ class TestTierBoundConsistency:
         mpc.solve()
         u_zero = mpc.get_u()
         assert np.abs(u_hover - u_zero).max() > 1e-3  # reference took effect
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "cpu",
+    reason="fused export needs a TPU-lowerable backend",
+)
+def test_export_fused_roundtrip(tmp_path):
+    """Serialize the fused Pallas solve and reload it (deployment artifact of
+    the fast path); validated on real TPU hardware."""
+    from accelerated_tinympc_tpu.api import export_fused_solve
+    from accelerated_tinympc_tpu.ops import FusedCarry, fused_solve, pad_problem
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    problem, cache, x0 = quadrotor_hovering_setup()
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    exported = export_fused_solve(pp, 256, max_iter=50, batch_tile=256)
+    f = tmp_path / "fused.jaxexport"
+    save_exported(f, exported)
+    solve = load_exported(f)
+    x0s = jnp.tile(jnp.asarray(x0, jnp.float32), (256, 1))
+    c = FusedCarry.zeros(256, pp)
+    out = solve(x0s, c.D, c.Y, c.G, c.Z, c.V)
+    want = fused_solve(x0s, c, pp, max_iter=50, check_termination=0,
+                       batch_tile=256)
+    np.testing.assert_allclose(
+        np.asarray(out["U"]), np.asarray(want.U), rtol=0, atol=1e-6
+    )
