@@ -172,3 +172,50 @@ class TestFusedVsReferenceGolden:
         np.testing.assert_allclose(
             np.asarray(us[:, 0, :]), want["u0"], rtol=0, atol=U_TOL
         )
+
+
+class TestFusedAdaptiveVsReferenceGolden:
+    """Adaptive mode end-to-end against the reference binary: 70 warm-started
+    hovering ticks at the reference's default settings (tol 1e-3, check every
+    iteration, max 100) must reproduce the golden per-tick iteration counts
+    and controls — the strongest adaptive-semantics check (early exit, frozen
+    state, dual reset, warm-started slacks)."""
+
+    def test_fused_adaptive_rollout_matches_reference(self):
+        import jax.numpy as jnp
+        from accelerated_tinympc_tpu.ops import (
+            FusedCarry, fused_solve, pad_problem,
+        )
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        want = load_traj_csv("hovering_adaptive", 12, 4)
+
+        x = jnp.asarray(x0, jnp.float32)[None]
+        carry = FusedCarry.zeros(1, pp)
+        iters, u0s = [], []
+        for _ in range(70):
+            res = fused_solve(
+                x, carry.reset_duals(), pp, max_iter=100,
+                check_termination=1, abs_pri_tol=1e-3, abs_dua_tol=1e-3,
+                batch_tile=1, interpret=True,
+            )
+            carry = res.carry
+            u0 = res.U[:, :4]
+            iters.append(int(res.stats[0, 0]))
+            u0s.append(np.asarray(u0[0]))
+            x = (x @ problem.A.T) + (u0 @ problem.B.T)
+
+        np.testing.assert_allclose(
+            np.stack(u0s), want["u0"], rtol=0, atol=U_TOL
+        )
+        # Iteration counts track the reference's; f32-vs-double residuals at
+        # the tolerance boundary may shift an occasional tick by a few iters.
+        diff = np.abs(np.asarray(iters) - want["iters"])
+        assert np.mean(diff == 0) > 0.8, (iters, want["iters"].tolist())
+        assert diff.max() <= 5, (iters, want["iters"].tolist())
