@@ -363,3 +363,30 @@ def test_export_fused_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["U"]), np.asarray(want.U), rtol=0, atol=1e-6
     )
+
+
+def test_repeated_solve_warm_starts_consistently():
+    """Repeated solve() without resets warm-starts from the previous result
+    on every tier (reference: repeated call_tiny_solve over the persistent
+    workspace) — tiers must agree after each call, and the second result must
+    differ from the first (proving state carried)."""
+    problem, cache, x0 = quadrotor_hovering_setup()
+    settings = atm.Settings(max_iter=30, check_termination=0)
+    results = {}
+    for tier in ("scan", "fused"):
+        mpc = TinyMPC.from_parts(
+            problem, cache, settings=settings, tier=tier,
+            interpret=(tier == "fused"),
+        )
+        mpc.set_x0(jnp.asarray(x0, jnp.float32))
+        mpc.solve()
+        first = mpc.get_u().copy()
+        mpc.solve()
+        second = mpc.get_u().copy()
+        results[tier] = (first, second)
+        assert np.abs(second - first).max() > 1e-4, f"{tier}: no warm start"
+    for idx, name in ((0, "first"), (1, "second")):
+        np.testing.assert_allclose(
+            results["scan"][idx], results["fused"][idx], rtol=0, atol=2e-4,
+            err_msg=name,
+        )
