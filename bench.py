@@ -34,7 +34,7 @@ def main() -> None:
 
     on_cpu = jax.devices()[0].platform == "cpu"
     max_iter = 100
-    batch = 8192 if on_cpu else 262144
+    batch = 8192 if on_cpu else 524288
     reps = 2 if on_cpu else 5
 
     problem, cache, x0 = atm.models.quadrotor_hovering_setup()
