@@ -34,17 +34,19 @@ def main() -> None:
 
     on_cpu = jax.devices()[0].platform == "cpu"
     max_iter = 100
-    batch = 8192 if on_cpu else 524288
     reps = 2 if on_cpu else 5
 
     problem, cache, x0 = atm.models.quadrotor_hovering_setup()
     rng = np.random.default_rng(0)
-    x0s = jnp.asarray(
-        np.asarray(x0)[None] + 0.05 * rng.standard_normal((batch, 12)),
-        jnp.float32,
-    )
 
-    def build_jnp():
+    def make_x0s(batch):
+        return jnp.asarray(
+            np.asarray(x0)[None] + 0.05 * rng.standard_normal((batch, 12)),
+            jnp.float32,
+        )
+
+    def build_jnp(batch):
+        x0s = make_x0s(batch)
         settings = atm.Settings(max_iter=max_iter, check_termination=0)
         state = init_state_batched(batch, 12, 4, 10)
         state = state.replace(x=state.x.at[:, 0, :].set(x0s))
@@ -52,7 +54,7 @@ def main() -> None:
             state,
         )
 
-    def build_fused():
+    def build_fused(batch):
         ops = condensed_operators(
             cache, np.asarray(problem.A), np.asarray(problem.B),
             problem.horizon,
@@ -65,19 +67,28 @@ def main() -> None:
                 batch_tile=512,
             )
         )
-        return fn, (x0s, carry)
+        return fn, (make_x0s(batch), carry)
 
     if on_cpu:
-        fn, args = build_jnp()
+        batch = 8192
+        fn, args = build_jnp(batch)
         out = jax.block_until_ready(fn(*args))
     else:
-        try:
-            fn, args = build_fused()
-            out = jax.block_until_ready(fn(*args))
-        except Exception as exc:  # Pallas compile/runtime failure: jnp tier
-            print(f"fused tier unavailable ({exc}); jnp fallback",
-                  file=sys.stderr)
-            fn, args = build_jnp()
+        # Batch cascade: bigger batches amortize dispatch overhead toward the
+        # on-silicon kernel rate; back off on OOM/compile failure.
+        fn = args = out = None
+        for batch in (1048576, 262144, 65536):
+            try:
+                fn, args = build_fused(batch)
+                out = jax.block_until_ready(fn(*args))
+                break
+            except Exception as exc:
+                print(f"fused batch {batch} unavailable ({exc})",
+                      file=sys.stderr)
+                fn = None
+        if fn is None:  # Pallas path dead everywhere: jnp tier
+            batch = 65536
+            fn, args = build_jnp(batch)
             out = jax.block_until_ready(fn(*args))
 
     # Correctness guard: solver outputs must be finite.
