@@ -350,9 +350,15 @@ def _kernel_adaptive(
     u_min_ref, u_max_ref, x_min_ref, x_max_ref,
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_eq_ref, w_er_ref, w_ep_ref,
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    *, max_iter: int, check_every: int, interpret: bool = False,
+    *, max_iter: int, check_every: int, warmup: int = 0,
+    interpret: bool = False,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
+
+    ``warmup > 0`` runs that many iterations in the cheap fixed-mode body
+    (no residuals, no freeze bookkeeping) before the adaptive loop — an
+    opt-in throughput knob equivalent to plain adaptive whenever no instance
+    could converge within the warmup window.
 
     A converged instance's iterates stop advancing — including skipping the
     slack save and backward pass, exactly like the reference's early return
@@ -391,6 +397,11 @@ def _kernel_adaptive(
         return jnp.concatenate([m] * (w // LANES), axis=1)
 
     lane_max = functools.partial(_max_all_lanes, interpret=interpret)
+
+    def warm_body(_, c):
+        D, Y, G, Z, V = c
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
+        return (Dn, Yn, Gn, Znew, Vnew)
 
     def cond(state):
         k, done = state[0], state[1]
@@ -447,12 +458,19 @@ def _kernel_adaptive(
     # Carry inits derive from real data (pure constants materialize in a
     # replicated layout that poisons the whole carry chain).
     bl = _max_all_lanes(D0_ref[:] * 0.0, interpret=interpret)  # (bt, LANES) zeros
+    D0, Y0, G0, Z0, V0 = (
+        D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]
+    )
+    if warmup > 0:
+        D0, Y0, G0, Z0, V0 = jax.lax.fori_loop(
+            0, warmup, warm_body, (D0, Y0, G0, Z0, V0)
+        )
     init = (
-        jnp.zeros((), jnp.int32),
+        jnp.full((), warmup, jnp.int32),
         bl,
-        D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:],
+        D0, Y0, G0, Z0, V0,
         D0_ref[:] * 0.0, G0_ref[:] * 0.0,
-        bl, bl, bl, bl, bl,
+        bl + float(warmup), bl, bl, bl, bl,
     )
     (_k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3) = (
         jax.lax.while_loop(cond, body, init)
@@ -482,6 +500,7 @@ def fused_solve(
     abs_pri_tol: float = 1e-3,
     abs_dua_tol: float = 1e-3,
     batch_tile: int = 256,
+    warmup_iters: int = 0,
     interpret: bool = False,
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
@@ -495,7 +514,10 @@ def fused_solve(
     checks every ``check_termination`` iterations.
 
     ``xref_q``/``pterm_c`` override the baked reference vectors (tracking
-    mode — build them with :func:`ref_vectors`).
+    mode — build them with :func:`ref_vectors`). ``warmup_iters`` (adaptive
+    mode only) runs that many iterations without convergence checks first —
+    cheaper per iteration; results are identical to plain adaptive whenever
+    no instance converges within the warmup window.
 
     ``interpret=True`` runs the Pallas interpreter (CPU-testable).
     """
@@ -613,7 +635,8 @@ def fused_solve(
     else:
         kernel = functools.partial(
             _kernel_adaptive, max_iter=max_iter,
-            check_every=check_termination, interpret=interpret,
+            check_every=check_termination,
+            warmup=min(warmup_iters, max_iter - 1), interpret=interpret,
         )
         tols = jnp.asarray(
             [[abs_pri_tol, abs_dua_tol]], jnp.float32

@@ -221,3 +221,20 @@ def test_non_tile_multiple_batch(setup):
     np.testing.assert_allclose(
         np.asarray(got.U), np.asarray(want.U[:5]), rtol=0, atol=1e-6
     )
+
+
+def test_adaptive_warmup_equivalence(setup):
+    """warmup_iters below the earliest convergence leaves adaptive results
+    identical (the warmup chunk just skips bookkeeping no instance needed)."""
+    problem, cache, pp, x0s = setup
+    kw = dict(max_iter=400, check_termination=1, abs_pri_tol=0.05,
+              abs_dua_tol=0.05, batch_tile=8, interpret=True)
+    plain = fused_solve(x0s, FusedCarry.zeros(8, pp), pp, **kw)
+    warm = fused_solve(x0s, FusedCarry.zeros(8, pp), pp, warmup_iters=32, **kw)
+    assert np.asarray(plain.stats[:, 0]).min() > 32  # premise: no early conv
+    np.testing.assert_array_equal(
+        np.asarray(plain.stats[:, 0]), np.asarray(warm.stats[:, 0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.U), np.asarray(warm.U), rtol=0, atol=1e-6
+    )
