@@ -115,5 +115,7 @@ def export_fused_solve(
         jax.ShapeDtypeStruct((batch, pp.Dup), f32),
         jax.ShapeDtypeStruct((batch, pp.Dxp), f32),
     )
-    kwargs = {"platforms": list(platforms)} if platforms else {}
+    kwargs = (
+        {"platforms": list(platforms)} if platforms is not None else {}
+    )
     return jax_export.export(jax.jit(fn), **kwargs)(*args)

@@ -85,7 +85,8 @@ def main() -> None:
             except Exception as exc:
                 print(f"fused batch {batch} unavailable ({exc})",
                       file=sys.stderr)
-                fn = None
+                # drop the failed batch's device buffers before retrying
+                fn = args = out = None
         if fn is None:  # Pallas path dead everywhere: jnp tier
             batch = 65536
             fn, args = build_jnp(batch)
