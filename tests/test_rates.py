@@ -51,18 +51,22 @@ def test_hover_trajectory_tracking(hz, traj):
     assert err[5:].max() < 0.1, err.max()
 
 
-def test_hovering_100hz_matches_reference_golden():
-    """Direct reference parity at 100 Hz: engine rollout vs the golden
-    trajectory dumped from the reference binary built with the 100 Hz
-    problem data (tools/golden harness, PARAM_HEADER=quadrotor_100hz)."""
+@pytest.mark.parametrize(
+    "hz,golden,ticks",
+    [(50, "hovering50_fixed50", 150), (100, "hovering100_fixed50", 250)],
+)
+def test_hovering_matches_reference_golden(hz, golden, ticks):
+    """Direct reference parity at 50/100 Hz: engine rollout vs the golden
+    trajectory dumped from the reference binary built with the matching
+    problem-data header (tools/golden harness, PARAM_HEADER=...)."""
     from golden_utils import load_traj_csv
 
-    problem, cache, x0 = quadrotor_hovering_setup(100)
+    problem, cache, x0 = quadrotor_hovering_setup(hz)
     settings = atm.Settings(max_iter=50, check_termination=0)
     _, _, trace = jax.jit(
-        lambda x: mpc_rollout(problem, cache, settings, x, 250)
+        lambda x: mpc_rollout(problem, cache, settings, x, ticks)
     )(jnp.asarray(x0, jnp.float32))
-    want = load_traj_csv("hovering100_fixed50", 12, 4)
+    want = load_traj_csv(golden, 12, 4)
     np.testing.assert_allclose(
         np.asarray(trace.u), want["u0"], rtol=0, atol=1e-4
     )
