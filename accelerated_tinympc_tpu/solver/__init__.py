@@ -4,6 +4,7 @@ lives in ops/fused_admm.py."""
 
 from . import admm  # noqa: F401
 from .admm import admm_iteration, solve  # noqa: F401
+from .adaptive_rho import AdaptiveRhoResult, solve_adaptive_rho  # noqa: F401
 from .assoc_scan import solve_assoc  # noqa: F401
 from .batched import init_state_batched, solve_batched, batch_stats  # noqa: F401
 from .condensed import (  # noqa: F401
