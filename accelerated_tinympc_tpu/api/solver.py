@@ -55,13 +55,14 @@ def _jit_solve_condensed():
 
 
 @functools.lru_cache(maxsize=16)
-def _jit_fused(max_iter, check_termination, abs_pri_tol, abs_dua_tol,
-               batch_tile, interpret):
-    def fn(x0, carry, pp):
+def _jit_fused(max_iter, check_termination, batch_tile, interpret):
+    # Tolerances are *traced* operands of the kernel (SMEM), so they stay out
+    # of the cache key — changing tolerances never recompiles.
+    def fn(x0, carry, pp, pri_tol, dua_tol):
         return fused_solve(
             x0, carry, pp, max_iter=max_iter,
             check_termination=check_termination,
-            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
             batch_tile=batch_tile, interpret=interpret,
         )
 
@@ -341,15 +342,82 @@ class TinyMPC:
             x0 = x0[None]
         res = _jit_fused(
             self.settings.max_iter, self.settings.check_termination,
-            float(self.settings.abs_pri_tol), float(self.settings.abs_dua_tol),
-            min(256, x0.shape[0]), self.interpret,
-        )(x0, self._fused_carry, self._pp)
+            min(512, x0.shape[0]), self.interpret,
+        )(
+            x0, self._fused_carry, self._pp,
+            jnp.float32(self.settings.abs_pri_tol),
+            jnp.float32(self.settings.abs_dua_tol),
+        )
         self._fused_carry = res.carry
         self._fused_result = res
         stats = np.asarray(res.stats)
+        # Residual lanes are valid in both modes; the solved flag (lane 1) is
+        # tracked only in adaptive mode (check_termination > 0).
         return {
             "iterations_mean": float(stats[:, 0].mean()),
             "converged_fraction": float(stats[:, 1].mean()),
+            "iterations": stats[:, 0].astype(np.int64),
+            "solved": stats[:, 1] > 0.5,
+            "primal_residual_state_max": float(stats[:, 2].max()),
+            "dual_residual_state_max": float(stats[:, 3].max()),
+            "primal_residual_input_max": float(stats[:, 4].max()),
+            "dual_residual_input_max": float(stats[:, 5].max()),
+        }
+
+    def solve_adaptive_rho(self, **kw) -> dict[str, Any]:
+        """Solve with OSQP-style stall-guarded rho adaptation (beyond the
+        reference, which bakes rho at build time — codegen.cpp:254-258).
+
+        Single instance: runs :func:`..solver.adaptive_rho.solve_adaptive_rho`
+        and adopts the adapted cache for subsequent solves. Batched: runs the
+        fully on-device per-instance form
+        (:func:`..solver.batched_ops.solve_adaptive_rho_batched`) with this
+        solver's plant broadcast over the batch; per-instance rho/iters are
+        returned in the stats dict. Keyword args pass through (chunk,
+        adapt_factor, rho_min/max, ...).
+        """
+        import numpy as np
+
+        from ..solver.adaptive_rho import solve_adaptive_rho
+        from ..solver.batched_ops import (
+            OpsState, solve_adaptive_rho_batched,
+        )
+
+        if self.batch is None:
+            res = solve_adaptive_rho(
+                self.state, self._bounded_problem(), self.cache,
+                self.settings, **kw,
+            )
+            self.state = res.state
+            self.cache = res.cache
+            if self.tier == "fused":
+                self._build_fused()  # operators bake rho — refresh
+            return {
+                "rho": res.rho,
+                "iterations": res.iterations,
+                "solved": res.converged,
+                "rho_history": res.rho_history,
+            }
+
+        B = self.batch
+        prob = self._bounded_problem()
+        bcast = lambda a: jnp.broadcast_to(a, (B,) + a.shape)
+        prob_b = jax.tree.map(bcast, prob)
+        rho0 = jnp.full((B,), float(self.cache.rho), prob.A.dtype)
+        res = solve_adaptive_rho_batched(
+            self.state.x[:, 0, :], prob_b,
+            bcast(prob.A), bcast(prob.B), bcast(prob.Q), bcast(prob.R),
+            rho0, self.settings, **kw,
+        )
+        self._adaptive_rho_result = res
+        return {
+            "rho": np.asarray(res.rho),
+            "iterations": np.asarray(res.total_iter),
+            "solved": np.asarray(res.state.solved),
+            "rounds": int(res.rounds),
+            "converged_fraction": float(
+                res.state.solved.astype(jnp.float32).mean()
+            ),
         }
 
     # ------------------------------------------------------------ getters ----

@@ -10,13 +10,6 @@ condensed operator is VMEM-resident for all iterations — HBM traffic is one
 read of ``x0``/warm-start carries and one write of results per *solve*, not per
 iteration.
 
-Layout: flat time-major vectors padded to the 128-lane width
-(``Dx = N*nx -> Dxp``, ``Du = (N-1)*nu -> Dup``), batch tiles of ``bt``
-instances on sublanes. All padding is arranged so padded lanes stay identically
-zero through every stage (zero operator rows/cols, zero bounds, zero reference
-terms), so no masking is needed anywhere except selecting the terminal-knot
-lanes of the costate — done with a constant 0/1 lane mask, not slicing.
-
 Semantics: stage-for-stage identical to the reference iteration (reference:
 src/tinympc/admm.cpp:111-152): a fixed-iteration mode (the reference with
 termination checks disabled — deterministic benchmarking/golden tier) and an
@@ -24,11 +17,48 @@ adaptive mode with per-instance convergence freezing replicating the early
 exit (residual definitions per reference src/tinympc/admm.cpp:91-109; exit
 skips the slack save + backward pass, admm.cpp:135-144).
 
-The costate ``p`` is not materialized: within one iteration only the terminal
-knot of ``p`` (refreshed by update_linear_cost, admm.cpp:83-84) feeds the
-backward recursion, and the interior knots are never consumed by any later
-stage, so the fused tier simply never computes them. ``d`` is the only
-backward-pass output with a cross-iteration life.
+Kernel-layout design (v2 — multi-instance lane packing):
+
+* **Folded iteration.** The reference's linear-cost stage
+  (admm.cpp:77-85) and backward sweep (admm.cpp:15-22) algebraically
+  collapse: with ``Q = xref_q − ρ(Vnew−Gn)``, ``R = −ρ(Znew−Yn)`` and the
+  terminal costate refresh, the condensed backward output is
+  ``Dn = (Vnew−Gn) @ W_q + (Znew−Yn) @ W_r + const_d`` where
+  ``W_q = −ρ·[Eqᵀ; Epᵀ]``, ``W_r = −ρ·Erᵀ`` are baked offline (float64) and
+  ``const_d = xref_q@W_eq + pterm_c@W_ep`` is reference-dependent but
+  iteration-invariant — hoisted out of the loop entirely. Four in-loop
+  matmuls instead of five, and the Q/R/ptermv vectors never materialize.
+
+* **Instance packing.** At the flagship shape (nx=12, nu=4, N=10) the
+  input-side flat vector is Du = 36 lanes — 3 instances fit in one 128-lane
+  row. All Du-space iterates (D/Y/Z/U and the W_r contraction) pack ``g``
+  instances per sublane row at stride ``Du`` with block-diagonal operators
+  (g identical blocks), cutting the Du-side matmul and VPU cost by ``g``.
+  Dx-space arrays pack at stride ``Dxp`` (one 128-multiple slab per
+  instance), which makes the host-side pack/unpack of state-space arrays a
+  pure reshape. The cross-space operators (``W_fd``: packed-D → g state
+  slabs; ``W_q``: g state slabs → packed-D) carry the per-instance blocks on
+  their (row, col) diagonal. ``g = 1`` degenerates to the unpacked layout
+  (used automatically when Du > 64).
+
+* **Check-block adaptive loop.** Convergence can only trigger at check
+  iterations (reference: admm.cpp:93 ``iter % check_termination``), so the
+  adaptive loop runs ``check_every`` *unmasked* fixed-mode iterations per
+  outer step and does residuals/freeze bookkeeping once per block: a frozen
+  instance's result set is *snapshotted* at its freezing check (duals
+  advanced, slack save + backward skipped — exactly the reference early
+  return) while the live SIMD lanes keep iterating harmlessly. Per-iteration
+  adaptive overhead is thereby ~zero for ``check_every > 1``.
+
+All padding is arranged so padded lanes stay identically zero through every
+stage (zero operator rows/cols, zero bounds, zero reference terms), so no
+masking is needed anywhere in the fixed path.
+
+Mosaic layout discipline (hard-won, see CLAUDE.md): every per-instance scalar
+(done flag, iteration count, residuals) lives in full-width (rows, 128)
+arrays; freezes use exact 0/1-mask arithmetic ``a*m + b*(1-m)``; row maxima
+use chunked ``jnp.maximum`` + log2 ``pltpu.roll`` rotations; zero inits derive
+from real ref data. Lane-1 vectors in while-loop carries are unlowerable.
 """
 
 from __future__ import annotations
@@ -39,6 +69,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,6 +80,10 @@ LANES = 128
 # Stats output is a full 128-lane row per instance (lane-1 vectors trip Mosaic
 # relayout); only the first 6 lanes carry data: iters, solved, 4 residuals.
 STATS = 128
+# Packing cap: beyond 8 instances/row the per-check segmented-max cost and
+# generated-code size grow linearly for marginal matmul savings.
+MAX_PACK = 8
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _lane_onehot(i: int, width: int = LANES) -> "jax.Array":
@@ -61,45 +96,59 @@ def _pad_to(n: int, m: int = LANES) -> int:
     return ((n + m - 1) // m) * m
 
 
-class PaddedProblem(NamedTuple):
-    """Lane-padded condensed operators + problem vectors, kernel-ready.
+@struct.dataclass
+class PaddedProblem:
+    """Lane-packed condensed operators + problem vectors, kernel-ready.
 
-    All ``W_*`` are stored transposed, ``(in_pad, out_pad)``, so every kernel
-    contraction is ``Y = X @ W``. ``W_eq`` has zero rows for the terminal-knot
-    and padding lanes, making ``Q @ W_eq`` equal the reference's
-    ``q_{0..N-2}`` contraction without slicing; ``W_ep`` rows live at the
-    terminal-knot lanes so the full-width costate vector contracts like the
-    reference's terminal ``p``.
+    All ``W_*`` are stored transposed, ``(in, out)``, so every kernel
+    contraction is ``Y = X @ W``; ``g`` instances are packed per row with
+    per-instance blocks at stride ``Du`` (input space) / ``Dxp`` (state
+    space) — see the module docstring. ``W_eq_u``/``W_ep_u`` are *unpacked*
+    single-instance operators used only outside the kernel to fold the
+    reference vectors into ``const_d``.
+
+    ``dims``/``g`` are static pytree metadata: they stay Python ints under
+    ``jit`` (shape-deriving code depends on it).
     """
 
-    W_fx: jax.Array   # (nx_pad, Dxp)  x0 -> X
-    W_fd: jax.Array   # (Dup, Dxp)     D  -> X
-    W_gx: jax.Array   # (nx_pad, Dup)  x0 -> U
-    W_gd: jax.Array   # (Dup, Dup)     D  -> U
-    W_eq: jax.Array   # (Dxp, Dup)     Q  -> D
-    W_er: jax.Array   # (Dup, Dup)     R  -> D
-    W_ep: jax.Array   # (Dxp, Dup)     pterm-vec -> D
-    xref_q: jax.Array     # (1, Dxp)  = -(Xref * Qdiag), padded
-    pterm_c: jax.Array    # (1, Dxp)  = -Xref[-1] @ Pinf in terminal lanes
-    mask_term: jax.Array  # (1, Dxp)  1.0 on terminal-knot lanes
-    u_min: jax.Array      # (1, Dup)
+    W_fx: jax.Array    # (nxg, g*Dxp)   packed x0 -> X slabs
+    W_fd: jax.Array    # (Dug, g*Dxp)   packed D  -> X slabs
+    W_gx: jax.Array    # (nxg, Dug)     packed x0 -> packed U
+    W_gd: jax.Array    # (Dug, Dug)     packed D  -> packed U
+    W_q: jax.Array     # (g*Dxp, Dug)   packed (Vnew-Gn) -> packed D  [-rho folded]
+    W_r: jax.Array     # (Dug, Dug)     packed (Znew-Yn) -> packed D  [-rho folded]
+    W_eq_u: jax.Array  # (Dxp, Dup)     unpacked Eq^T (zero terminal rows)
+    W_ep_u: jax.Array  # (Dxp, Dup)     unpacked Ep^T at terminal rows
+    xref_q: jax.Array  # (1, Dxp)  = -(Xref * Qdiag), padded, per instance
+    pterm_c: jax.Array  # (1, Dxp) = -Xref[-1] @ Pinf in terminal lanes
+    u_min: jax.Array   # (1, Dug)   g-tiled
     u_max: jax.Array
-    x_min: jax.Array      # (1, Dxp)
+    x_min: jax.Array   # (1, g*Dxp) g-tiled
     x_max: jax.Array
-    rho: jax.Array        # (1, 1)
-    dims: tuple[int, int, int]  # (nx, nu, horizon) — static metadata
+    seg: jax.Array     # (pad8(g), Dug) row j: 1.0 on instance-j lanes
+    rho: jax.Array     # (1, 1)
+    dims: tuple = struct.field(pytree_node=False)  # (nx, nu, horizon)
+    g: int = struct.field(pytree_node=False)       # instances packed per row
+
+    # NamedTuple-compat alias (call sites predate the struct form).
+    def _replace(self, **kw) -> "PaddedProblem":
+        return self.replace(**kw)
 
     @property
     def nx_pad(self) -> int:
-        return self.W_fx.shape[0]
+        return _pad_to(self.dims[0])
 
     @property
     def Dxp(self) -> int:
-        return self.W_fx.shape[1]
+        """Per-instance padded state-space width (external carry layout)."""
+        nx, _nu, N = self.dims
+        return _pad_to(N * nx)
 
     @property
     def Dup(self) -> int:
-        return self.W_gd.shape[1]
+        """Per-instance padded input-space width (external carry layout)."""
+        _nx, nu, N = self.dims
+        return _pad_to((N - 1) * nu)
 
 
 def _place(v: np.ndarray, size: int, at: int) -> np.ndarray:
@@ -114,45 +163,87 @@ def _pad_vec(v: np.ndarray, width: int, dtype) -> jax.Array:
     return jnp.asarray(out, dtype)
 
 
+def auto_pack(nu: int, horizon: int) -> int:
+    """Packing factor: as many instances as fit a 128-lane row (capped)."""
+    Du = (horizon - 1) * nu
+    if 2 * Du > LANES:
+        return 1
+    return max(1, min(MAX_PACK, LANES // Du))
+
+
 def pad_problem(
     problem: Problem, cache: Cache, ops: CondensedOperators,
-    dtype: Any = jnp.float32,
+    dtype: Any = jnp.float32, pack: int | None = None,
 ) -> PaddedProblem:
-    """Pad condensed operators/problem data into the kernel layout (host-side,
-    float64 until the final cast)."""
+    """Build the packed kernel layout (host-side, float64 until the final
+    cast). ``pack`` overrides the automatic instance-packing factor."""
     nx, nu, N = problem.nx, problem.nu, problem.horizon
     m = N - 1
     Dx, Du = N * nx, m * nu
-    Dxp, Dup, nxp = _pad_to(Dx), _pad_to(Du), _pad_to(nx)
+    Dxp, Dup = _pad_to(Dx), _pad_to(Du)
+    g = auto_pack(nu, N) if pack is None else max(1, int(pack))
+    if g * Du > LANES and g > 1:
+        raise ValueError(f"pack={g} needs {g * Du} input lanes > {LANES}")
+    Dug = _pad_to(g * Du)
+    gDxp = g * Dxp
+    nxg = _pad_to(g * nx)
     t0 = Dx - nx  # first terminal-knot lane
 
-    def padW(Wt: np.ndarray, rows: int, cols: int, row0: int = 0) -> jax.Array:
+    o = {k: np.asarray(getattr(ops, k), np.float64) for k in ops._fields}
+    rho_f = float(np.asarray(cache.rho, np.float64))
+
+    def packW(core: np.ndarray, rows: int, cols: int,
+              rstride: int, cstride: int) -> jax.Array:
         out = np.zeros((rows, cols), np.float64)
-        out[row0:row0 + Wt.shape[0], : Wt.shape[1]] = Wt
+        for j in range(g):
+            out[j * rstride: j * rstride + core.shape[0],
+                j * cstride: j * cstride + core.shape[1]] = core
         return jnp.asarray(out, dtype)
 
-    o = {k: np.asarray(getattr(ops, k), np.float64) for k in ops._fields}
+    def padW(core: np.ndarray, rows: int, cols: int, row0: int = 0) -> jax.Array:
+        out = np.zeros((rows, cols), np.float64)
+        out[row0:row0 + core.shape[0], : core.shape[1]] = core
+        return jnp.asarray(out, dtype)
+
+    # Backward operator with the terminal-costate rows folded in
+    # (reference: admm.cpp:15-22 backward sweep + admm.cpp:83-84 terminal
+    # costate refresh — both rho-scaled linear-cost contractions).
+    Eqp_core = np.vstack([o["Eq"].T, o["Ep"].T])  # (Dx, Du)
+
+    def tile_vec(core: np.ndarray, stride: int, width: int) -> jax.Array:
+        out = np.zeros((1, width), np.float64)
+        for j in range(g):
+            out[0, j * stride: j * stride + core.size] = core
+        return jnp.asarray(out, dtype)
+
+    seg = np.zeros((_pad_to(max(g, 1), 8), Dug), np.float64)
+    for j in range(g):
+        seg[j, j * Du: (j + 1) * Du] = 1.0
+
+    f64 = np.float64
     return PaddedProblem(
-        W_fx=padW(o["Fx0"].T, nxp, Dxp),
-        W_fd=padW(o["Fd"].T, Dup, Dxp),
-        W_gx=padW(o["Gx0"].T, nxp, Dup),
-        W_gd=padW(o["Gd"].T, Dup, Dup),
-        W_eq=padW(o["Eq"].T, Dxp, Dup),
-        W_er=padW(o["Er"].T, Dup, Dup),
-        W_ep=padW(o["Ep"].T, Dxp, Dup, row0=t0),
+        W_fx=packW(o["Fx0"].T, nxg, gDxp, nx, Dxp),
+        W_fd=packW(o["Fd"].T, Dug, gDxp, Du, Dxp),
+        W_gx=packW(o["Gx0"].T, nxg, Dug, nx, Du),
+        W_gd=packW(o["Gd"].T, Dug, Dug, Du, Du),
+        W_q=packW(-rho_f * Eqp_core, gDxp, Dug, Dxp, Du),
+        W_r=packW(-rho_f * o["Er"].T, Dug, Dug, Du, Du),
+        W_eq_u=padW(o["Eq"].T, Dxp, Dup),
+        W_ep_u=padW(o["Ep"].T, Dxp, Dup, row0=t0),
         xref_q=_pad_vec(
-            -(np.asarray(problem.Xref, np.float64)
-              * np.asarray(problem.Q, np.float64)).reshape(-1), Dxp, dtype),
+            -(np.asarray(problem.Xref, f64)
+              * np.asarray(problem.Q, f64)).reshape(-1), Dxp, dtype),
         pterm_c=_pad_vec(
-            _place(-np.asarray(problem.Xref[-1], np.float64)
-                   @ np.asarray(cache.Pinf, np.float64), Dx, t0), Dxp, dtype),
-        mask_term=_pad_vec(_place(np.ones(nx), Dx, t0), Dxp, dtype),
-        u_min=_pad_vec(np.asarray(problem.u_min, np.float64).reshape(-1), Dup, dtype),
-        u_max=_pad_vec(np.asarray(problem.u_max, np.float64).reshape(-1), Dup, dtype),
-        x_min=_pad_vec(np.asarray(problem.x_min, np.float64).reshape(-1), Dxp, dtype),
-        x_max=_pad_vec(np.asarray(problem.x_max, np.float64).reshape(-1), Dxp, dtype),
-        rho=jnp.asarray(np.asarray(cache.rho, np.float64).reshape(1, 1), dtype),
+            _place(-np.asarray(problem.Xref[-1], f64)
+                   @ np.asarray(cache.Pinf, f64), Dx, t0), Dxp, dtype),
+        u_min=tile_vec(np.asarray(problem.u_min, f64).reshape(-1), Du, Dug),
+        u_max=tile_vec(np.asarray(problem.u_max, f64).reshape(-1), Du, Dug),
+        x_min=tile_vec(np.asarray(problem.x_min, f64).reshape(-1), Dxp, gDxp),
+        x_max=tile_vec(np.asarray(problem.x_max, f64).reshape(-1), Dxp, gDxp),
+        seg=jnp.asarray(seg, jnp.float32),
+        rho=jnp.asarray(np.asarray(rho_f).reshape(1, 1), dtype),
         dims=(nx, nu, N),
+        g=g,
     )
 
 
@@ -162,12 +253,12 @@ def ref_vectors(
     Pinf: jax.Array,
     Xref: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Device-side recomputation of the reference-dependent kernel operands
-    for a new horizon window (tracking mode, reference:
-    quadrotor_tracking.cpp:101 sliding the window each tick): the baked
-    ``xref_q``/``pterm_c`` in :func:`pad_problem` are just these two vectors,
-    so updating the reference costs two tiny jnp ops — no re-padding of
-    operators.
+    """Device-side recomputation of the reference-dependent operands for a new
+    horizon window (tracking mode, reference: quadrotor_tracking.cpp:101
+    sliding the window each tick): the baked ``xref_q``/``pterm_c`` in
+    :func:`pad_problem` are just these two vectors, so updating the reference
+    costs two tiny jnp ops — no re-packing of operators (``const_d`` is folded
+    from them inside :func:`fused_solve` each call).
 
     ``Q`` is the (nx,) workspace cost diagonal, ``Pinf`` the (nx, nx) cache
     matrix, ``Xref`` the (N, nx) window. Returns ``(xref_q, pterm_c)`` shaped
@@ -176,18 +267,18 @@ def ref_vectors(
     nx, _nu, N = pp.dims
     Dx = N * nx
     t0 = Dx - nx
-    hi = jax.lax.Precision.HIGHEST
     dtype = pp.xref_q.dtype
     xref_q = jnp.zeros((1, pp.Dxp), dtype).at[0, :Dx].set(
         -(Xref * Q).reshape(-1).astype(dtype)
     )
-    pterm = -jnp.matmul(Xref[-1], Pinf, precision=hi).astype(dtype)
+    pterm = -jnp.matmul(Xref[-1], Pinf, precision=_HI).astype(dtype)
     pterm_c = jnp.zeros((1, pp.Dxp), dtype).at[0, t0:Dx].set(pterm)
     return xref_q, pterm_c
 
 
 class FusedCarry(NamedTuple):
-    """Warm-start carries persisting across MPC ticks, flat-padded ``(B, .)``.
+    """Warm-start carries persisting across MPC ticks, flat-padded ``(B, .)``
+    in the *unpacked* per-instance layout (packing is kernel-internal).
     The reference keeps these in its global workspace between tiny_solve calls
     (examples/quadrotor_hovering.cpp:99-104 resets only the duals)."""
 
@@ -220,114 +311,49 @@ class FusedResult(NamedTuple):
     stats: jax.Array  # (B, STATS) float32; lanes 0-5 meaningful (see above)
 
 
-def _iteration(D, Y, G, W, consts, precision=jax.lax.Precision.HIGHEST):
-    """One condensed ADMM iteration on VMEM-resident values.
+def _iteration(D, Y, G, W, consts):
+    """One folded condensed ADMM iteration on VMEM-resident packed values.
+
+    Stage order is the reference's (src/tinympc/admm.cpp:117-150): forward
+    pass (admm.cpp:27-37, x0 terms hoisted into ``Xb``/``Ub``), slack
+    projection (admm.cpp:45-61), dual ascent (admm.cpp:67-71), then the
+    linear-cost + backward stages folded into the single ``W_q``/``W_r``
+    contraction (see module docstring; admm.cpp:77-85 + 15-22).
 
     ``precision=HIGHEST`` forces multi-pass f32 MXU matmuls — the default
     single-pass bf16 loses ~3 decimal digits per iteration and drifts the
     100-iteration solve by ~1e-2, blowing the 1e-4 parity bar
     (``preferred_element_type`` alone only pins the accumulator dtype).
     """
-    (Xb, Ub, xref_q, pterm_c, mask_term, u_min, u_max, x_min, x_max, rho) = consts
+    (Xb, Ub, const_d, u_min, u_max, x_min, x_max) = consts
     dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32, precision=precision
+        jnp.dot, preferred_element_type=jnp.float32, precision=_HI
     )
-    # forward pass (reference: src/tinympc/admm.cpp:27-37); the x0 contractions
-    # are loop-invariant and hoisted by the caller (Xb = x0 @ W_fx etc.),
-    # leaving 5 matmuls on the per-iteration critical path instead of 7.
     X = Xb + dot(D, W.W_fd)
     U = Ub + dot(D, W.W_gd)
-    # slack projection (admm.cpp:45-61)
-    Znew = jnp.clip(U + Y, u_min, u_max)
-    Vnew = jnp.clip(X + G, x_min, x_max)
-    # dual ascent (admm.cpp:67-71)
-    Yn = Y + U - Znew
-    Gn = G + X - Vnew
-    # linear cost (admm.cpp:77-85)
-    R = -rho * (Znew - Yn)
-    Q = xref_q - rho * (Vnew - Gn)
-    ptermv = mask_term * (Q - xref_q) + pterm_c
-    # backward pass (admm.cpp:15-22), condensed; only d survives the iteration
-    Dn = dot(Q, W.W_eq) + dot(R, W.W_er) + dot(ptermv, W.W_ep)
+    S = U + Y
+    Znew = jnp.clip(S, u_min, u_max)
+    Yn = S - Znew
+    T = X + G
+    Vnew = jnp.clip(T, x_min, x_max)
+    Gn = T - Vnew
+    Dn = dot(Vnew - Gn, W.W_q) + dot(Znew - Yn, W.W_r) + const_d
     return Dn, Yn, Gn, Znew, Vnew, U, X
 
 
 class _W(NamedTuple):
-    W_fx: jax.Array
     W_fd: jax.Array
-    W_gx: jax.Array
     W_gd: jax.Array
-    W_eq: jax.Array
-    W_er: jax.Array
-    W_ep: jax.Array
-
-
-def _kernel_fixed(
-    rho_ref,
-    x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
-    xref_q_ref, pterm_c_ref, mask_term_ref,
-    u_min_ref, u_max_ref, x_min_ref, x_max_ref,
-    w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_eq_ref, w_er_ref, w_ep_ref,
-    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    *, max_iter: int,
-):
-    """Fixed-iteration fused solve (deterministic tier)."""
-    dot_hi = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    Xb = dot_hi(x0_ref[:], w_fx_ref[:])
-    Ub = dot_hi(x0_ref[:], w_gx_ref[:])
-    consts = (
-        Xb, Ub, xref_q_ref[:], pterm_c_ref[:], mask_term_ref[:],
-        u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:], rho_ref[0, 0],
-    )
-    W = _W(
-        w_fx_ref[:], w_fd_ref[:], w_gx_ref[:], w_gd_ref[:],
-        w_eq_ref[:], w_er_ref[:], w_ep_ref[:],
-    )
-    rho = rho_ref[0, 0]
-
-    def body(_, carry):
-        D, Y, G, Z, V = carry
-        Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
-        return (Dn, Yn, Gn, Znew, Vnew)
-
-    D, Y, G, Z, V = jax.lax.fori_loop(
-        0, max_iter - 1, body,
-        (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]),
-    )
-    # Final iteration keeps the full iterate set for outputs.
-    Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
-    U_out[:] = U
-    X_out[:] = X
-    D_out[:] = Dn
-    Y_out[:] = Yn
-    G_out[:] = Gn
-    Z_out[:] = Znew
-    V_out[:] = Vnew
-    bt = U.shape[0]
-    wide = lambda v: jnp.broadcast_to(
-        jnp.max(v, axis=-1, keepdims=True), (bt, STATS)
-    )
-    pri_s = wide(jnp.abs(X - Vnew))
-    dua_s = rho * wide(jnp.abs(V - Vnew))
-    pri_u = wide(jnp.abs(U - Znew))
-    dua_u = rho * wide(jnp.abs(Z - Znew))
-    iters = jnp.full((bt, STATS), float(max_iter), jnp.float32)
-    stats_out[:] = (
-        iters * _lane_onehot(0, STATS)
-        + pri_s * _lane_onehot(2, STATS) + dua_s * _lane_onehot(3, STATS)
-        + pri_u * _lane_onehot(4, STATS) + dua_u * _lane_onehot(5, STATS)
-    )
+    W_q: jax.Array
+    W_r: jax.Array
 
 
 def _max_all_lanes(x: jax.Array, interpret: bool) -> jax.Array:
-    """Row max of ``x (bt, W)`` replicated into every lane of a (bt, LANES)
-    result — built entirely from full-width ops (chunked maxima + log2 lane
-    rotations). Mosaic cannot keep lane-1 vectors (keepdims reductions) in
-    consistent layouts across while-loop carries, so the adaptive kernel does
-    all per-instance bookkeeping at full lane width."""
+    """Row max of ``x (rows, W)`` replicated into every lane of a
+    (rows, LANES) result — built entirely from full-width ops (chunked maxima
+    + log2 lane rotations). Mosaic cannot keep lane-1 vectors (keepdims
+    reductions) in consistent layouts across while-loop carries, so all
+    per-instance bookkeeping stays at full lane width."""
     w = x.shape[-1]
     m = x[:, :LANES]
     for i in range(1, w // LANES):
@@ -343,151 +369,313 @@ def _max_all_lanes(x: jax.Array, interpret: bool) -> jax.Array:
     return m
 
 
+def _seg_tools(g: int, Dug: int, Dxp: int, seg_ref, interpret: bool):
+    """Per-instance segment helpers for the packed layout.
+
+    Returns (seg_max_du, seg_max_dx, to_du, to_dx, cat, uncat):
+    ``seg_max_*(arr, j)`` -> (rows, LANES) instance-j max replicated;
+    ``to_du/to_dx(flags)`` broadcast per-instance (rows, LANES) flags into the
+    packed Du/Dx mask layouts; ``cat``/``uncat`` move between a list of g
+    per-instance lane blocks and the (rows, g*LANES) concatenated carry form.
+    """
+    lane_max = functools.partial(_max_all_lanes, interpret=interpret)
+    cx = Dxp // LANES
+    segs = [seg_ref[j:j + 1, :] for j in range(g)]
+
+    def seg_max_du(x, j):
+        return lane_max(x if g == 1 else x * segs[j])
+
+    def seg_max_dx(x, j):
+        return lane_max(x[:, j * Dxp:(j + 1) * Dxp])
+
+    def tile_dx(f):
+        return f if cx == 1 else jnp.concatenate([f] * cx, axis=1)
+
+    def to_du(fs):
+        if g == 1:
+            f = fs[0]
+            return f if Dug == LANES else jnp.concatenate(
+                [f] * (Dug // LANES), axis=1)
+        out = fs[0] * segs[0]
+        for j in range(1, g):
+            out = out + fs[j] * segs[j]
+        return out
+
+    def to_dx(fs):
+        ws = [tile_dx(f) for f in fs]
+        return ws[0] if g == 1 else jnp.concatenate(ws, axis=1)
+
+    def cat(fs):
+        return fs[0] if g == 1 else jnp.concatenate(fs, axis=1)
+
+    def uncat(c, j):
+        return c[:, j * LANES:(j + 1) * LANES]
+
+    return seg_max_du, seg_max_dx, to_du, to_dx, cat, uncat
+
+
+def _stats_onehot(i: int, g: int) -> jax.Array:
+    oh = _lane_onehot(i, STATS)
+    return oh if g == 1 else jnp.concatenate([oh] * g, axis=1)
+
+
+def _kernel_fixed(
+    rho_ref,
+    x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
+    const_ref, u_min_ref, u_max_ref, x_min_ref, x_max_ref, seg_ref,
+    w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
+    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
+    *, max_iter: int, g: int, interpret: bool,
+):
+    """Fixed-iteration fused solve (deterministic tier; reference with
+    termination checks disabled). Residual stats lanes are still filled from
+    the final iteration (the solved flag, lane 1, stays 0 — untracked)."""
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=_HI
+    )
+    Xb = dot(x0_ref[:], w_fx_ref[:])
+    Ub = dot(x0_ref[:], w_gx_ref[:])
+    consts = (
+        Xb, Ub, const_ref[:],
+        u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
+    )
+    W = _W(w_fd_ref[:], w_gd_ref[:], w_q_ref[:], w_r_ref[:])
+    rho = rho_ref[0, 0]
+    Dug = D0_ref.shape[-1]
+    Dxp = G0_ref.shape[-1] // g
+    smd, smx, _to_du, _to_dx, cat, _uncat = _seg_tools(
+        g, Dug, Dxp, seg_ref, interpret
+    )
+
+    def body(_, carry):
+        D, Y, G, Z, V = carry
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
+        return (Dn, Yn, Gn, Znew, Vnew)
+
+    D, Y, G, Z, V = jax.lax.fori_loop(
+        0, max_iter - 1, body,
+        (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]),
+    )
+    # Final iteration keeps the full iterate set for outputs + residuals
+    # (residual definitions per reference admm.cpp:95-98: pre-projection
+    # iterates vs new slacks; old-vs-new slacks scaled by rho).
+    Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
+    U_out[:] = U
+    X_out[:] = X
+    D_out[:] = Dn
+    Y_out[:] = Yn
+    G_out[:] = Gn
+    Z_out[:] = Znew
+    V_out[:] = Vnew
+    aX, aV = jnp.abs(X - Vnew), jnp.abs(V - Vnew)
+    aU, aZ = jnp.abs(U - Znew), jnp.abs(Z - Znew)
+    p_s = cat([smx(aX, j) for j in range(g)])
+    d_s = rho * cat([smx(aV, j) for j in range(g)])
+    p_u = cat([smd(aU, j) for j in range(g)])
+    d_u = rho * cat([smd(aZ, j) for j in range(g)])
+    iters = p_s * 0.0 + float(max_iter)
+    stats_out[:] = (
+        iters * _stats_onehot(0, g)
+        + p_s * _stats_onehot(2, g) + d_s * _stats_onehot(3, g)
+        + p_u * _stats_onehot(4, g) + d_u * _stats_onehot(5, g)
+    )
+
+
 def _kernel_adaptive(
     rho_ref, tol_ref,
     x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
-    xref_q_ref, pterm_c_ref, mask_term_ref,
-    u_min_ref, u_max_ref, x_min_ref, x_max_ref,
-    w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_eq_ref, w_er_ref, w_ep_ref,
+    const_ref, u_min_ref, u_max_ref, x_min_ref, x_max_ref, seg_ref,
+    w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    *, max_iter: int, check_every: int, warmup: int = 0,
-    interpret: bool = False,
+    *, max_iter: int, check_every: int, warmup: int, g: int, interpret: bool,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
 
-    ``warmup > 0`` runs that many iterations in the cheap fixed-mode body
-    (no residuals, no freeze bookkeeping) before the adaptive loop — an
-    opt-in throughput knob equivalent to plain adaptive whenever no instance
-    could converge within the warmup window.
+    Check-block structure: between termination checks the loop runs plain
+    fixed-mode iterations (no masks, no residuals — convergence can only
+    trigger at check iterations, reference admm.cpp:93). At each check the
+    newly-converged instances' result set is *snapshotted* with the exact
+    early-exit semantics (duals advanced, slack save + backward pass skipped
+    — reference admm.cpp:135-144) and their SIMD lanes simply keep iterating;
+    outputs select snapshot-vs-live by the frozen flag at the end. Iterates
+    of a converged ADMM instance stay in the fixed-point basin, so the dead
+    lanes cannot overflow.
 
-    A converged instance's iterates stop advancing — including skipping the
-    slack save and backward pass, exactly like the reference's early return
-    (reference: src/tinympc/admm.cpp:135-144) — and the tile exits when all
-    instances are done or ``max_iter`` is reached.
-
-    Layout discipline (hard-won, see CLAUDE.md): every per-instance scalar
-    (done flag, iteration count, residuals) is carried as a full-width
-    (bt, LANES) array with the value replicated across lanes; freezes use
-    exact 0/1-mask arithmetic instead of select_n. Lane-1 vectors and
-    replicated constants in while-loop carries are unlowerable in Mosaic.
+    ``warmup > 0`` runs that many iterations before the first possible check
+    — an opt-in throughput knob; results are identical to plain adaptive
+    whenever no instance converges within the warmup window (recorded
+    residual lanes always come from actual check iterations).
     """
-    dot_hi = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=_HI
     )
-    Xb = dot_hi(x0_ref[:], w_fx_ref[:])
-    Ub = dot_hi(x0_ref[:], w_gx_ref[:])
+    Xb = dot(x0_ref[:], w_fx_ref[:])
+    Ub = dot(x0_ref[:], w_gx_ref[:])
     consts = (
-        Xb, Ub, xref_q_ref[:], pterm_c_ref[:], mask_term_ref[:],
-        u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:], rho_ref[0, 0],
+        Xb, Ub, const_ref[:],
+        u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
     )
-    W = _W(
-        w_fx_ref[:], w_fd_ref[:], w_gx_ref[:], w_gd_ref[:],
-        w_eq_ref[:], w_er_ref[:], w_ep_ref[:],
-    )
+    W = _W(w_fd_ref[:], w_gd_ref[:], w_q_ref[:], w_r_ref[:])
     rho = rho_ref[0, 0]
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
-    Dup = D0_ref.shape[-1]
-    Dxp = G0_ref.shape[-1]
+    Dug = D0_ref.shape[-1]
+    Dxp = G0_ref.shape[-1] // g
+    smd, smx, to_du, to_dx, cat, uncat = _seg_tools(
+        g, Dug, Dxp, seg_ref, interpret
+    )
 
-    def widen(m, w):
-        if w == LANES:
-            return m
-        return jnp.concatenate([m] * (w // LANES), axis=1)
+    def pick(m, a, b):
+        # Exact for binary masks; avoids select_n (unlowerable layouts).
+        return a * m + b * (1.0 - m)
 
-    lane_max = functools.partial(_max_all_lanes, interpret=interpret)
-
-    def warm_body(_, c):
+    def plain_body(_, c):
         D, Y, G, Z, V = c
         Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
         return (Dn, Yn, Gn, Znew, Vnew)
 
-    def cond(state):
-        k, done = state[0], state[1]
-        return jnp.logical_and(k < max_iter, jnp.logical_not(jnp.all(done > 0.5)))
+    def cond(st):
+        k, done = st[0], st[1]
+        return jnp.logical_and(
+            k < max_iter, jnp.logical_not(jnp.all(done > 0.5))
+        )
 
-    def body(state):
-        k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3 = state
+    def body(st):
+        (k, done, D, Y, G, Z, V, lU, lX,
+         sD, sY, sG, sZ, sV, sU, sX, itf, r0, r1, r2, r3) = st
+        if check_every > 1:
+            n_plain = jnp.minimum(
+                check_every - jnp.remainder(k, check_every), max_iter - k
+            ) - 1
+            D, Y, G, Z, V = jax.lax.fori_loop(
+                0, n_plain, plain_body, (D, Y, G, Z, V)
+            )
+            kc = k + n_plain + 1
+        else:
+            kc = k + 1
+        # The check iteration. D/Z/V going in are the pre-backward /
+        # pre-slack-save values a newly-frozen instance must keep.
         Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
-        # Residuals (admm.cpp:95-98): pre-projection iterates vs new slacks;
-        # old-vs-new slacks scaled by rho. (bt, LANES), lane-replicated.
-        pri_s = lane_max(jnp.abs(X - Vnew))
-        dua_s = rho * lane_max(jnp.abs(V - Vnew))
-        pri_u = lane_max(jnp.abs(U - Znew))
-        dua_u = rho * lane_max(jnp.abs(Z - Znew))
-        checking = (k + 1) % check_every == 0  # traced scalar: splats fine
-        conv_now = jnp.logical_and(
-            checking,
-            (pri_s < pri_tol) & (pri_u < pri_tol)
-            & (dua_s < dua_tol) & (dua_u < dua_tol),
-        ).astype(jnp.float32)
-        frozen = done                   # 1.0 where done before this iteration
-        m_adv = 1.0 - frozen            # executed this iteration
-        m_newly = m_adv * conv_now
-        m_live = m_adv * (1.0 - conv_now)
+        is_check = jnp.remainder(kc, check_every) == 0
+        chk = is_check.astype(jnp.float32)
+        aX, aV = jnp.abs(X - Vnew), jnp.abs(V - Vnew)
+        aU, aZ = jnp.abs(U - Znew), jnp.abs(Z - Znew)
+        newly, advs, p_s, d_s, p_u, d_u = [], [], [], [], [], []
+        for j in range(g):
+            ps = smx(aX, j)
+            ds = rho * smx(aV, j)
+            pu = smd(aU, j)
+            du_ = rho * smd(aZ, j)
+            adv = 1.0 - uncat(done, j)
+            conv = (
+                (ps < pri_tol) & (pu < pri_tol)
+                & (ds < dua_tol) & (du_ < dua_tol)
+            ).astype(jnp.float32) * chk
+            newly.append(adv * conv)
+            advs.append(adv)
+            p_s.append(ps); d_s.append(ds); p_u.append(pu); d_u.append(du_)
+        m_new_cat = cat(newly)
+        m_new_du = to_du(newly)
+        m_new_dx = to_dx(newly)
+        sD = pick(m_new_du, D, sD)       # backward pass skipped
+        sZ = pick(m_new_du, Z, sZ)       # slack save skipped
+        sV = pick(m_new_dx, V, sV)
+        sY = pick(m_new_du, Yn, sY)      # duals advanced before the check
+        sG = pick(m_new_dx, Gn, sG)
+        sU = pick(m_new_du, U, sU)
+        sX = pick(m_new_dx, X, sX)
+        itf = pick(m_new_cat, itf * 0.0 + kc.astype(jnp.float32), itf)
+        # Residual fields persist between checks for every still-advancing
+        # instance (reference stores them only at check iterations,
+        # admm.cpp:93-98).
+        m_rec = cat(advs) * chk
+        r0 = pick(m_rec, cat(p_s), r0)
+        r1 = pick(m_rec, cat(d_s), r1)
+        r2 = pick(m_rec, cat(p_u), r2)
+        r3 = pick(m_rec, cat(d_u), r3)
+        done = jnp.maximum(done, m_new_cat)
+        return (kc, done, Dn, Yn, Gn, Znew, Vnew, U, X,
+                sD, sY, sG, sZ, sV, sU, sX, itf, r0, r1, r2, r3)
 
-        # Freeze/advance via EXACT 0/1-mask arithmetic: a*m + b*(1-m) is
-        # exact for binary masks and avoids select_n entirely.
-        def pick(m, a, b):
-            return a * m + b * (1.0 - m)
-
-        mu_live, mx_live = widen(m_live, Dup), widen(m_live, Dxp)
-        mu_adv, mx_adv = widen(m_adv, Dup), widen(m_adv, Dxp)
-        # Newly-converged keep pre-backward state: D/Z/V stay, Y/G advance.
-        D = pick(mu_live, Dn, D)
-        Y = pick(mu_adv, Yn, Y)
-        G = pick(mx_adv, Gn, G)
-        Z = pick(mu_live, Znew, Z)
-        V = pick(mx_live, Vnew, V)
-        Uf = pick(mu_adv, U, Uf)
-        Xf = pick(mx_adv, X, Xf)
-        # Iteration count = number of iterations this instance advanced
-        # (instances advance every iteration until frozen).
-        itf = itf + m_adv
-        # Residual fields persist between checks (reference stores them only
-        # at check iterations — admm.cpp:93-98).
-        m_upd = m_adv * jnp.float32(1.0) * checking.astype(jnp.float32)
-        r0 = pick(m_upd, pri_s, r0)
-        r1 = pick(m_upd, dua_s, r1)
-        r2 = pick(m_upd, pri_u, r2)
-        r3 = pick(m_upd, dua_u, r3)
-        return (k + 1, jnp.maximum(done, m_newly),
-                D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3)
-
-    # Carry inits derive from real data (pure constants materialize in a
+    # Carry inits derive from real ref data (pure constants materialize in a
     # replicated layout that poisons the whole carry chain).
-    bl = _max_all_lanes(D0_ref[:] * 0.0, interpret=interpret)  # (bt, LANES) zeros
+    zdu = D0_ref[:] * 0.0
+    zdx = G0_ref[:] * 0.0
+    z128 = zdu[:, :LANES]
+    zcat = z128 if g == 1 else jnp.concatenate([z128] * g, axis=1)
     D0, Y0, G0, Z0, V0 = (
         D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]
     )
     if warmup > 0:
         D0, Y0, G0, Z0, V0 = jax.lax.fori_loop(
-            0, warmup, warm_body, (D0, Y0, G0, Z0, V0)
+            0, warmup, plain_body, (D0, Y0, G0, Z0, V0)
         )
     init = (
-        jnp.full((), warmup, jnp.int32),
-        bl,
-        D0, Y0, G0, Z0, V0,
-        D0_ref[:] * 0.0, G0_ref[:] * 0.0,
-        bl + float(warmup), bl, bl, bl, bl,
+        jnp.full((), warmup, jnp.int32), zcat,
+        D0, Y0, G0, Z0, V0, zdu, zdx,
+        zdu, zdu, zdx, zdu, zdx, zdu, zdx,
+        zcat, zcat, zcat, zcat, zcat,
     )
-    (_k, done, D, Y, G, Z, V, Uf, Xf, itf, r0, r1, r2, r3) = (
+    (_k, done, D, Y, G, Z, V, lU, lX,
+     sD, sY, sG, sZ, sV, sU, sX, itf, r0, r1, r2, r3) = (
         jax.lax.while_loop(cond, body, init)
     )
-    U_out[:] = Uf
-    X_out[:] = Xf
-    D_out[:] = D
-    Y_out[:] = Y
-    G_out[:] = G
-    Z_out[:] = Z
-    V_out[:] = V
+    dones = [uncat(done, j) for j in range(g)]
+    d_du = to_du(dones)
+    d_dx = to_dx(dones)
+
+    def pick(m, a, b):
+        return a * m + b * (1.0 - m)
+
+    U_out[:] = pick(d_du, sU, lU)
+    X_out[:] = pick(d_dx, sX, lX)
+    D_out[:] = pick(d_du, sD, D)
+    Y_out[:] = pick(d_du, sY, Y)
+    G_out[:] = pick(d_dx, sG, G)
+    Z_out[:] = pick(d_du, sZ, Z)
+    V_out[:] = pick(d_dx, sV, V)
+    itf = pick(done, itf, itf * 0.0 + float(max_iter))
     stats_out[:] = (
-        itf * _lane_onehot(0, STATS)
-        + done * _lane_onehot(1, STATS)
-        + r0 * _lane_onehot(2, STATS) + r1 * _lane_onehot(3, STATS)
-        + r2 * _lane_onehot(4, STATS) + r3 * _lane_onehot(5, STATS)
+        itf * _stats_onehot(0, g) + done * _stats_onehot(1, g)
+        + r0 * _stats_onehot(2, g) + r1 * _stats_onehot(3, g)
+        + r2 * _stats_onehot(4, g) + r3 * _stats_onehot(5, g)
     )
+
+
+# ------------------------------------------------------------------ pack ----
+
+def _pack_du(a: jax.Array, g: int, Du: int, Dug: int) -> jax.Array:
+    """(B, Dup) unpacked -> (B/g, Dug) packed at stride Du."""
+    if g == 1:
+        return a
+    R = a.shape[0] // g
+    core = a[:, :Du].reshape(R, g * Du)
+    if Dug == g * Du:
+        return core
+    return jnp.pad(core, ((0, 0), (0, Dug - g * Du)))
+
+
+def _unpack_du(p: jax.Array, g: int, Du: int, Dup: int) -> jax.Array:
+    if g == 1:
+        return p
+    B = p.shape[0] * g
+    core = p[:, : g * Du].reshape(B, Du)
+    if Dup == Du:
+        return core
+    return jnp.pad(core, ((0, 0), (0, Dup - Du)))
+
+
+def _pack_dx(a: jax.Array, g: int) -> jax.Array:
+    """(B, Dxp) -> (B/g, g*Dxp): pure reshape (instances at stride Dxp)."""
+    if g == 1:
+        return a
+    return a.reshape(a.shape[0] // g, g * a.shape[1])
+
+
+def _unpack_dx(p: jax.Array, g: int) -> jax.Array:
+    if g == 1:
+        return p
+    return p.reshape(p.shape[0] * g, p.shape[1] // g)
 
 
 def fused_solve(
@@ -497,9 +685,9 @@ def fused_solve(
     *,
     max_iter: int = 100,
     check_termination: int = 0,
-    abs_pri_tol: float = 1e-3,
-    abs_dua_tol: float = 1e-3,
-    batch_tile: int = 256,
+    abs_pri_tol: float | jax.Array = 1e-3,
+    abs_dua_tol: float | jax.Array = 1e-3,
+    batch_tile: int = 512,
     warmup_iters: int = 0,
     interpret: bool = False,
     xref_q: jax.Array | None = None,
@@ -507,62 +695,88 @@ def fused_solve(
 ) -> FusedResult:
     """Run the fused whole-solve kernel over a batch.
 
-    ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded
+    ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded per instance
     (:class:`FusedCarry`); batches that are not tile multiples are padded
     internally and sliced back. ``check_termination == 0`` selects
     the fixed-iteration kernel, otherwise the adaptive freezing kernel with
-    checks every ``check_termination`` iterations.
+    checks every ``check_termination`` iterations. Tolerances are *traced*
+    operands (SMEM) — changing them does not recompile.
 
     ``xref_q``/``pterm_c`` override the baked reference vectors (tracking
     mode — build them with :func:`ref_vectors`). ``warmup_iters`` (adaptive
     mode only) runs that many iterations without convergence checks first —
-    cheaper per iteration; results are identical to plain adaptive whenever
-    no instance converges within the warmup window.
+    results are identical to plain adaptive whenever no instance converges
+    within the warmup window (iterates/controls exactly; recorded residual
+    lanes always reflect the freezing check iteration).
 
     ``interpret=True`` runs the Pallas interpreter (CPU-testable).
     """
-    if xref_q is not None or pterm_c is not None:
-        pp = pp._replace(
-            xref_q=xref_q if xref_q is not None else pp.xref_q,
-            pterm_c=pterm_c if pterm_c is not None else pp.pterm_c,
-        )
     if max_iter < 1:
         raise ValueError("the fused tier runs at least one iteration; "
                          "use the scan tier for max_iter=0")
-    B, nx = x0.shape
-    # Cap the batch tile so the kernel's VMEM footprint (state blocks,
+    nx, nu, N = pp.dims
+    g = pp.g
+    Du, Dx = (N - 1) * nu, N * nx
+    Dxp, Dup = pp.Dxp, pp.Dup
+    Dug = pp.u_min.shape[1]
+    gDxp = pp.x_min.shape[1]
+    nxg = pp.W_fx.shape[0]
+    B, _ = x0.shape
+    dtype = x0.dtype
+
+    # Reference-dependent loop constant: const_d = xref_q@Eq^T + pterm_c@Ep^T
+    # (the iteration-invariant part of the folded linear-cost/backward stage).
+    xq = xref_q if xref_q is not None else pp.xref_q
+    pc = pterm_c if pterm_c is not None else pp.pterm_c
+    const_core = (
+        jnp.matmul(xq, pp.W_eq_u, precision=_HI)
+        + jnp.matmul(pc, pp.W_ep_u, precision=_HI)
+    )[:, :Du]
+    const_d = jnp.tile(const_core, (1, g))
+    if Dug != g * Du:
+        const_d = jnp.pad(const_d, ((0, 0), (0, Dug - g * Du)))
+
+    # Tile sizing: cap rows so the kernel's VMEM footprint (state blocks,
     # double-buffered in/out, elementwise temps, operators) stays inside the
-    # ~16 MB budget — wide horizons (large Dxp) otherwise OOM at compile time.
-    per_row_bytes = 34 * max(pp.Dxp, pp.Dup) * 4  # empirical buffer count
+    # ~16 MB budget. Widths here are the packed ones.
     w_bytes = sum(int(np.prod(w.shape)) * 4 for w in
-                  (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd,
-                   pp.W_eq, pp.W_er, pp.W_ep))
+                  (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r))
+    per_row = 4 * (
+        2 * (nxg + 3 * Dug + 2 * gDxp)        # input blocks (double-buffered)
+        + 2 * (4 * Dug + 3 * gDxp + g * STATS)  # output blocks
+        + 10 * gDxp + 6 * Dug                 # loop temporaries (estimate)
+    )
+    if check_termination > 0:
+        per_row += 4 * (6 * g * LANES + 5 * Dug + 5 * gDxp)
     budget = 12 * 1024 * 1024 - w_bytes
-    bt_cap = max(8, budget // per_row_bytes)
-    bt = min(batch_tile, B, int(bt_cap))
-    bt = max(8, (bt // 8) * 8)  # sublane multiple
-    # Pad the batch up to a tile multiple (padded instances solve zeros and
-    # are sliced off below — the kernel is oblivious).
-    B_pad = ((B + bt - 1) // bt) * bt
+    rows_cap = max(8, (budget // per_row) // 8 * 8)
+    rows_want = max(8, (-(-min(batch_tile, max(B, 1)) // g) + 7) // 8 * 8)
+    bt_rows = min(rows_want, rows_cap)
+    inst_tile = g * bt_rows
+
+    B_pad = ((B + inst_tile - 1) // inst_tile) * inst_tile
     if B_pad != B:
         extra = B_pad - B
-        x0 = jnp.concatenate(
-            [x0, jnp.zeros((extra, nx), x0.dtype)], axis=0
-        )
+        x0 = jnp.concatenate([x0, jnp.zeros((extra, nx), dtype)], axis=0)
         carry = FusedCarry(*(
             jnp.concatenate(
                 [a, jnp.zeros((extra, a.shape[1]), a.dtype)], axis=0
             ) for a in carry
         ))
-    orig_B, B = B, B_pad
-    grid = (B // bt,)
-    Dxp, Dup, nxp = pp.Dxp, pp.Dup, pp.nx_pad
-    dtype = x0.dtype
+    R = B_pad // g
+    grid = (R // bt_rows,)
 
-    x0p = jnp.zeros((B, nxp), dtype).at[:, :nx].set(x0)
+    x0p = x0.reshape(R, g * nx)
+    if nxg != g * nx:
+        x0p = jnp.pad(x0p, ((0, 0), (0, nxg - g * nx)))
+    Dp = _pack_du(carry.D, g, Du, Dug)
+    Yp = _pack_du(carry.Y, g, Du, Dug)
+    Zp = _pack_du(carry.Z, g, Du, Dug)
+    Gp = _pack_dx(carry.G, g)
+    Vp = _pack_dx(carry.V, g)
 
     def batch_spec(width):
-        return pl.BlockSpec((bt, width), lambda i: (i, 0),
+        return pl.BlockSpec((bt_rows, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -570,77 +784,74 @@ def fused_solve(
 
     smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    state_specs = [
+        batch_spec(nxg), batch_spec(Dug), batch_spec(Dug),
+        batch_spec(gDxp), batch_spec(Dug), batch_spec(gDxp),
+    ]
     vec_specs = [
-        const_spec((1, Dxp)),  # xref_q
-        const_spec((1, Dxp)),  # pterm_c
-        const_spec((1, Dxp)),  # mask_term
-        const_spec((1, Dup)),  # u_min
-        const_spec((1, Dup)),  # u_max
-        const_spec((1, Dxp)),  # x_min
-        const_spec((1, Dxp)),  # x_max
+        const_spec((1, Dug)),   # const_d
+        const_spec((1, Dug)),   # u_min
+        const_spec((1, Dug)),   # u_max
+        const_spec((1, gDxp)),  # x_min
+        const_spec((1, gDxp)),  # x_max
+        const_spec(pp.seg.shape),
     ]
     w_specs = [
         const_spec(pp.W_fx.shape), const_spec(pp.W_fd.shape),
         const_spec(pp.W_gx.shape), const_spec(pp.W_gd.shape),
-        const_spec(pp.W_eq.shape), const_spec(pp.W_er.shape),
-        const_spec(pp.W_ep.shape),
-    ]
-    state_specs = [
-        batch_spec(nxp),  # x0
-        batch_spec(Dup),  # D
-        batch_spec(Dup),  # Y
-        batch_spec(Dxp),  # G
-        batch_spec(Dup),  # Z
-        batch_spec(Dxp),  # V
+        const_spec(pp.W_q.shape), const_spec(pp.W_r.shape),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, Dup), dtype),  # U
-        jax.ShapeDtypeStruct((B, Dxp), dtype),  # X
-        jax.ShapeDtypeStruct((B, Dup), dtype),  # D
-        jax.ShapeDtypeStruct((B, Dup), dtype),  # Y
-        jax.ShapeDtypeStruct((B, Dxp), dtype),  # G
-        jax.ShapeDtypeStruct((B, Dup), dtype),  # Z
-        jax.ShapeDtypeStruct((B, Dxp), dtype),  # V
-        jax.ShapeDtypeStruct((B, STATS), jnp.float32),
+        jax.ShapeDtypeStruct((R, Dug), dtype),   # U
+        jax.ShapeDtypeStruct((R, gDxp), dtype),  # X
+        jax.ShapeDtypeStruct((R, Dug), dtype),   # D
+        jax.ShapeDtypeStruct((R, Dug), dtype),   # Y
+        jax.ShapeDtypeStruct((R, gDxp), dtype),  # G
+        jax.ShapeDtypeStruct((R, Dug), dtype),   # Z
+        jax.ShapeDtypeStruct((R, gDxp), dtype),  # V
+        jax.ShapeDtypeStruct((R, g * STATS), jnp.float32),
     ]
     out_specs = [
-        batch_spec(Dup), batch_spec(Dxp), batch_spec(Dup), batch_spec(Dup),
-        batch_spec(Dxp), batch_spec(Dup), batch_spec(Dxp), batch_spec(STATS),
+        batch_spec(Dug), batch_spec(gDxp), batch_spec(Dug), batch_spec(Dug),
+        batch_spec(gDxp), batch_spec(Dug), batch_spec(gDxp),
+        batch_spec(g * STATS),
     ]
-    vec_args = (pp.xref_q, pp.pterm_c, pp.mask_term,
-                pp.u_min, pp.u_max, pp.x_min, pp.x_max)
-    w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_eq, pp.W_er, pp.W_ep)
-    state_args = (x0p, carry.D, carry.Y, carry.G, carry.Z, carry.V)
+    vec_args = (const_d, pp.u_min, pp.u_max, pp.x_min, pp.x_max, pp.seg)
+    w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r)
+    state_args = (x0p, Dp, Yp, Gp, Zp, Vp)
 
-    # FLOPs: 5 in-loop padded matmuls per iteration per instance plus the
-    # two hoisted x0 contractions (see _iteration); the x0 terms are counted
-    # per iteration here as a conservative upper bound.
-    flops_iter = 2 * B * (
-        nxp * Dxp + Dup * Dxp + nxp * Dup + Dup * Dup
-        + Dxp * Dup + Dup * Dup + Dxp * Dup
+    # FLOPs: 4 in-loop packed matmuls per iteration per row plus the two
+    # hoisted x0 contractions (counted per iteration as an upper bound).
+    flops_iter = 2 * R * (
+        Dug * gDxp + Dug * Dug + gDxp * Dug + Dug * Dug
+        + nxg * gDxp + nxg * Dug
     )
+    io_args = state_args + vec_args + w_args
     cost = pl.CostEstimate(
         flops=flops_iter * max_iter,
-        bytes_accessed=sum(
-            int(np.prod(a.shape)) * a.dtype.itemsize
-            for a in state_args + vec_args + w_args
+        bytes_accessed=(
+            sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in io_args)
+            + sum(int(np.prod(s.shape)) * s.dtype.itemsize for s in out_shape)
         ),
         transcendentals=0,
     )
 
     if check_termination <= 0:
-        kernel = functools.partial(_kernel_fixed, max_iter=max_iter)
+        kernel = functools.partial(
+            _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret
+        )
         scalar_args = (pp.rho,)
         scalar_specs = [smem_spec]
     else:
         kernel = functools.partial(
             _kernel_adaptive, max_iter=max_iter,
             check_every=check_termination,
-            warmup=min(warmup_iters, max_iter - 1), interpret=interpret,
+            warmup=min(warmup_iters, max_iter - 1), g=g, interpret=interpret,
         )
-        tols = jnp.asarray(
-            [[abs_pri_tol, abs_dua_tol]], jnp.float32
-        )
+        tols = jnp.stack([
+            jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),
+            jnp.asarray(abs_dua_tol, jnp.float32).reshape(()),
+        ]).reshape(1, 2)
         scalar_args = (pp.rho, tols)
         scalar_specs = [
             smem_spec,
@@ -657,10 +868,18 @@ def fused_solve(
         interpret=interpret,
     )(*scalar_args, *state_args, *vec_args, *w_args)
 
-    U, X, D, Y, G, Z, V, stats = outs
-    if orig_B != B:
+    Up, Xp, Dp, Yp, Gp, Zp, Vp, stats_p = outs
+    U = _unpack_du(Up, g, Du, Dup)
+    D = _unpack_du(Dp, g, Du, Dup)
+    Y = _unpack_du(Yp, g, Du, Dup)
+    Z = _unpack_du(Zp, g, Du, Dup)
+    X = _unpack_dx(Xp, g)
+    G = _unpack_dx(Gp, g)
+    V = _unpack_dx(Vp, g)
+    stats = stats_p.reshape(B_pad, STATS)
+    if B_pad != B:
         U, X, D, Y, G, Z, V, stats = (
-            a[:orig_B] for a in (U, X, D, Y, G, Z, V, stats)
+            a[:B] for a in (U, X, D, Y, G, Z, V, stats)
         )
     return FusedResult(
         U=U, X=X, carry=FusedCarry(D=D, Y=Y, G=G, Z=Z, V=V), stats=stats

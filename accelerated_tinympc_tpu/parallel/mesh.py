@@ -182,10 +182,11 @@ def sharded_fused_solve(
             "iterations_max": jax.lax.pmax(
                 jnp.max(res.stats[:, 0]), BATCH_AXIS
             ),
-            # residual lanes (2-5): pri_state, dua_state, pri_input, dua_input.
-            # NB: in fixed-iteration mode (check_termination=0) the solved
-            # flag (lane 1) and dual residuals are not tracked — n_converged
-            # is meaningful only in adaptive mode.
+            # residual lanes (2-5): pri_state, dua_state, pri_input, dua_input
+            # — valid in both modes (the fixed kernel fills them from its
+            # final iteration). Only the solved flag (lane 1) is untracked in
+            # fixed-iteration mode, so n_converged is meaningful only in
+            # adaptive mode.
             "primal_residual_state_max": jax.lax.pmax(
                 jnp.max(res.stats[:, 2]), BATCH_AXIS
             ),

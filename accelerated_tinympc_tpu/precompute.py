@@ -25,6 +25,7 @@ into two MXU matmuls over the batch — the design the 128x128 systolic array wa
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -189,6 +190,92 @@ class CondensedOperators(NamedTuple):
     Eq: jax.Array
     Er: jax.Array
     Ep: jax.Array
+
+
+def condensed_operators_jax(
+    cache: Cache,
+    A: jax.Array,
+    B: jax.Array,
+    horizon: int,
+) -> CondensedOperators:
+    """Jittable/vmappable condensed-operator build (same math as
+    :func:`condensed_operators`, which see for the derivation).
+
+    This is the on-device half of the per-instance-plant fast tier: vmapping
+    it over a leading plant axis (together with :func:`riccati_cache_jax`)
+    builds one operator set per instance entirely on the TPU — the capability
+    the reference's one-problem-per-process design rules out (reference:
+    src/tinympc/tiny_wrapper.hpp:6). Horizon is static; tracing cost is
+    O(N^2) small blocks, intended for MCU-class horizons (the assoc-scan tier
+    covers long horizons).
+    """
+    K = cache.Kinf
+    AmBKt = cache.AmBKt
+    Quu_inv = cache.Quu_inv
+    Kt = K.T
+    N = int(horizon)
+    m = N - 1
+    nx, nu = B.shape
+    dtype = A.dtype
+    hi = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jnp.matmul, precision=hi)
+    zx = jnp.zeros((nx, nx), dtype)
+    zxu = jnp.zeros((nx, nu), dtype)
+    zux = jnp.zeros((nu, nx), dtype)
+    zu = jnp.zeros((nu, nu), dtype)
+
+    Acl = A - mm(B, K)
+    powers = [jnp.eye(nx, dtype=dtype)]
+    for _ in range(N - 1):
+        powers.append(mm(Acl, powers[-1]))
+    pB = [-mm(p, B) for p in powers]  # -Acl^k B
+
+    # forward: x_i = Acl^i x0 + sum_{j<i} Acl^{i-1-j} (-B) d_j;  u_i = -K x_i - d_i
+    Fx0 = jnp.concatenate(powers, axis=0)
+    Fd = jnp.block([
+        [pB[i - 1 - j] if j < i else zxu for j in range(m)] for i in range(N)
+    ])
+    Gx0 = jnp.concatenate([-mm(K, powers[i]) for i in range(m)], axis=0)
+    Gd = jnp.block([
+        [-jnp.eye(nu, dtype=dtype) if j == i
+         else (-mm(K, pB[i - 1 - j]) if j < i else zu) for j in range(m)]
+        for i in range(m)
+    ])
+
+    # backward: p_i = sum_{j>=i} AmBKt^{j-i} (q_j - K^T r_j) + AmBKt^{N-1-i} p_{N-1}
+    Mp = [jnp.eye(nx, dtype=dtype)]
+    for _ in range(N - 1):
+        Mp.append(mm(AmBKt, Mp[-1]))
+    MpKt = [-mm(p, Kt) for p in Mp]
+    Hq = jnp.block([
+        [Mp[j - i] if j >= i else zx for j in range(m)]
+        for i in range(N - 1)
+    ] + [[zx for _ in range(m)]])
+    Hr = jnp.block([
+        [MpKt[j - i] if j >= i else zxu for j in range(m)]
+        for i in range(N - 1)
+    ] + [[zxu for _ in range(m)]])
+    Hp = jnp.concatenate([Mp[N - 1 - i] for i in range(N - 1)]
+                         + [jnp.eye(nx, dtype=dtype)], axis=0)
+
+    # d_i = Quu_inv (B^T p_{i+1} + r_i)
+    QB = mm(Quu_inv, B.T)
+    Eq = jnp.block([
+        [mm(QB, Hq[(i + 1) * nx:(i + 2) * nx, j * nx:(j + 1) * nx])
+         for j in range(m)] for i in range(m)
+    ])
+    Er = jnp.block([
+        [(Quu_inv if j == i else zu)
+         + mm(QB, Hr[(i + 1) * nx:(i + 2) * nx, j * nu:(j + 1) * nu])
+         for j in range(m)] for i in range(m)
+    ])
+    Ep = jnp.concatenate(
+        [mm(QB, Hp[(i + 1) * nx:(i + 2) * nx]) for i in range(m)], axis=0
+    )
+    return CondensedOperators(
+        Fx0=Fx0, Fd=Fd, Gx0=Gx0, Gd=Gd, Hq=Hq, Hr=Hr, Hp=Hp,
+        Eq=Eq, Er=Er, Ep=Ep,
+    )
 
 
 def condensed_operators(

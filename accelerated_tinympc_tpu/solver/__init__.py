@@ -5,6 +5,15 @@ lives in ops/fused_admm.py."""
 from . import admm  # noqa: F401
 from .admm import admm_iteration, solve  # noqa: F401
 from .adaptive_rho import AdaptiveRhoResult, solve_adaptive_rho  # noqa: F401
+from .batched_ops import (  # noqa: F401
+    AdaptiveRhoBatchedResult,
+    InstanceOps,
+    OpsState,
+    build_instance_ops,
+    build_instance_ops_from_plants,
+    solve_adaptive_rho_batched,
+    solve_instance_ops,
+)
 from .assoc_scan import solve_assoc  # noqa: F401
 from .batched import init_state_batched, solve_batched, batch_stats  # noqa: F401
 from .condensed import (  # noqa: F401

@@ -56,6 +56,7 @@ def solve_adaptive_rho(
     stall_factor: float = 1.5,
     rho_min: float = 1e-2,
     rho_max: float = 1e3,
+    f64_refresh: bool = False,
 ) -> AdaptiveRhoResult:
     """Solve with periodic rho adaptation (single instance, scan tier).
 
@@ -63,6 +64,15 @@ def solve_adaptive_rho(
     primal/dual residual imbalance exceeds ``adapt_factor``, rescales rho,
     the duals, and recomputes the Riccati cache on device. Terminates on the
     ``settings`` tolerances or ``max_total_iter``.
+
+    ``f64_refresh=True`` recomputes the post-update cache on the host in
+    float64 (:func:`..precompute.riccati_cache`) instead of on device in the
+    problem dtype — the reference insists the Riccati precompute run in
+    double for robustness on ill-conditioned plants
+    (reference: examples/codegen_cartpole.cpp:9-11); the f32 on-device
+    refresh is adequate for well-conditioned plants and keeps the loop
+    host-transfer-free. For the batched per-instance form see
+    :func:`.batched_ops.solve_adaptive_rho_batched`.
     """
     pri_tol = float(settings.abs_pri_tol)
     dua_tol = float(settings.abs_dua_tol)
@@ -100,10 +110,21 @@ def solve_adaptive_rho(
             if new_rho != rho:
                 scale = rho / new_rho
                 state = state.replace(y=state.y * scale, g=state.g * scale)
-                cache = riccati_cache_jax(
-                    problem.A, problem.B, problem.Q, problem.R,
-                    jnp.asarray(new_rho, problem.A.dtype),
-                )
+                if f64_refresh:
+                    import numpy as np
+
+                    from ..precompute import riccati_cache
+
+                    cache = riccati_cache(
+                        np.asarray(problem.A), np.asarray(problem.B),
+                        np.asarray(problem.Q), np.asarray(problem.R),
+                        new_rho,
+                    )
+                else:
+                    cache = riccati_cache_jax(
+                        problem.A, problem.B, problem.Q, problem.R,
+                        jnp.asarray(new_rho, problem.A.dtype),
+                    )
                 rho = new_rho
                 history.append(rho)
                 prev_max_res = float("inf")  # fresh contraction after swap
