@@ -311,6 +311,48 @@ class FusedResult(NamedTuple):
     stats: jax.Array  # (B, STATS) float32; lanes 0-5 meaningful (see above)
 
 
+def _split_bf16(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Two-term bf16 decomposition of an f32 array: ``w ~= hi + lo`` with
+    ``hi = bf16(w)`` carrying the top 8 mantissa bits and ``lo`` the next 8."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x: jax.Array, w: tuple[jax.Array, jax.Array]) -> jax.Array:
+    """3-pass bf16 matmul with f32 accumulation: the manual equivalent of
+    XLA's ``BF16_BF16_F32_X3`` dot algorithm (which Mosaic cannot lower as a
+    ``precision=`` request). Splitting both operands to (hi, lo) bf16 pairs
+    and summing the three dominant cross terms keeps ~2^-17 relative error —
+    the dropped ``lo@lo`` term is O(2^-18) — at half the MXU passes of
+    ``Precision.HIGHEST`` (3 vs 6)."""
+    wh, wl = w
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dotb = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dotb(xh, wh) + (dotb(xh, wl) + dotb(xl, wh))
+
+
+def _dot_op(x: jax.Array, w) -> jax.Array:
+    """Contraction dispatch: f32 operators use 6-pass HIGHEST; (hi, lo) bf16
+    operator pairs use the 3-pass decomposition."""
+    if isinstance(w, tuple):
+        return _dot3(x, w)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _make_ws(w_refs, algo: str) -> tuple["_W", "_W"]:
+    """Build the in-loop operator sets from the four f32 refs: ``(W3, Wf)``
+    where ``Wf`` is the f32 set and ``W3`` the (hi, lo) bf16 split set
+    (``algo == "bf16x3"``; the split runs once per kernel launch, before the
+    iteration loop) or ``Wf`` again (``algo == "f32"``)."""
+    ws = [r[:] for r in w_refs]
+    Wf = _W(*ws)
+    if algo == "bf16x3":
+        return _W(*(_split_bf16(w) for w in ws)), Wf
+    return Wf, Wf
+
+
 def _iteration(D, Y, G, W, consts):
     """One folded condensed ADMM iteration on VMEM-resident packed values.
 
@@ -320,32 +362,34 @@ def _iteration(D, Y, G, W, consts):
     linear-cost + backward stages folded into the single ``W_q``/``W_r``
     contraction (see module docstring; admm.cpp:77-85 + 15-22).
 
-    ``precision=HIGHEST`` forces multi-pass f32 MXU matmuls — the default
-    single-pass bf16 loses ~3 decimal digits per iteration and drifts the
-    100-iteration solve by ~1e-2, blowing the 1e-4 parity bar
-    (``preferred_element_type`` alone only pins the accumulator dtype).
+    Matmul arithmetic is either 6-pass f32 (``precision=HIGHEST`` — the
+    default single-pass bf16 loses ~3 decimal digits per iteration and
+    drifts the 100-iteration solve by ~1e-2, blowing the 1e-4 parity bar;
+    ``preferred_element_type`` alone only pins the accumulator dtype) or the
+    3-pass bf16 decomposition (:func:`_dot3`) when the operators arrive as
+    (hi, lo) pairs.
     """
     (Xb, Ub, const_d, u_min, u_max, x_min, x_max) = consts
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32, precision=_HI
-    )
-    X = Xb + dot(D, W.W_fd)
-    U = Ub + dot(D, W.W_gd)
+    X = Xb + _dot_op(D, W.W_fd)
+    U = Ub + _dot_op(D, W.W_gd)
     S = U + Y
     Znew = jnp.clip(S, u_min, u_max)
     Yn = S - Znew
     T = X + G
     Vnew = jnp.clip(T, x_min, x_max)
     Gn = T - Vnew
-    Dn = dot(Vnew - Gn, W.W_q) + dot(Znew - Yn, W.W_r) + const_d
+    Dn = _dot_op(Vnew - Gn, W.W_q) + _dot_op(Znew - Yn, W.W_r) + const_d
     return Dn, Yn, Gn, Znew, Vnew, U, X
 
 
 class _W(NamedTuple):
-    W_fd: jax.Array
-    W_gd: jax.Array
-    W_q: jax.Array
-    W_r: jax.Array
+    """In-loop condensed operators; each field is an f32 array ("f32" algo)
+    or an (hi, lo) bf16 pair ("bf16x3")."""
+
+    W_fd: Any
+    W_gd: Any
+    W_q: Any
+    W_r: Any
 
 
 def _max_all_lanes(x: jax.Array, interpret: bool) -> jax.Array:
@@ -426,10 +470,17 @@ def _kernel_fixed(
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
     *, max_iter: int, g: int, interpret: bool,
+    algo: str = "f32", polish: int = 8,
 ):
     """Fixed-iteration fused solve (deterministic tier; reference with
     termination checks disabled). Residual stats lanes are still filled from
-    the final iteration (the solved flag, lane 1, stays 0 — untracked)."""
+    the final iteration (the solved flag, lane 1, stays 0 — untracked).
+
+    With ``algo == "bf16x3"`` the first ``max_iter - polish`` iterations run
+    the 3-pass bf16 matmuls and the last ``polish`` run full f32: ADMM's
+    contraction pulls the iterate from the bf16x3 fixed point to the f32 one,
+    so the result lands at f32 accuracy (~2e-5 observed vs the scan tier at
+    polish=8) at roughly half the MXU passes."""
     dot = functools.partial(
         jnp.dot, preferred_element_type=jnp.float32, precision=_HI
     )
@@ -439,7 +490,7 @@ def _kernel_fixed(
         Xb, Ub, const_ref[:],
         u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
     )
-    W = _W(w_fd_ref[:], w_gd_ref[:], w_q_ref[:], w_r_ref[:])
+    W3, Wf = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), algo)
     rho = rho_ref[0, 0]
     Dug = D0_ref.shape[-1]
     Dxp = G0_ref.shape[-1] // g
@@ -447,19 +498,24 @@ def _kernel_fixed(
         g, Dug, Dxp, seg_ref, interpret
     )
 
-    def body(_, carry):
-        D, Y, G, Z, V = carry
-        Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
-        return (Dn, Yn, Gn, Znew, Vnew)
+    def make_body(W):
+        def body(_, carry):
+            D, Y, G, Z, V = carry
+            Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
+            return (Dn, Yn, Gn, Znew, Vnew)
+        return body
 
+    n3 = max(0, max_iter - max(1, polish)) if algo == "bf16x3" else 0
+    carry = (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:])
+    if n3 > 0:
+        carry = jax.lax.fori_loop(0, n3, make_body(W3), carry)
     D, Y, G, Z, V = jax.lax.fori_loop(
-        0, max_iter - 1, body,
-        (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]),
+        n3, max_iter - 1, make_body(Wf), carry
     )
-    # Final iteration keeps the full iterate set for outputs + residuals
-    # (residual definitions per reference admm.cpp:95-98: pre-projection
-    # iterates vs new slacks; old-vs-new slacks scaled by rho).
-    Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
+    # Final iteration (always f32) keeps the full iterate set for outputs +
+    # residuals (residual definitions per reference admm.cpp:95-98:
+    # pre-projection iterates vs new slacks; old-vs-new slacks scaled by rho).
+    Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, Wf, consts)
     U_out[:] = U
     X_out[:] = X
     D_out[:] = Dn
@@ -515,7 +571,7 @@ def _kernel_adaptive(
         Xb, Ub, const_ref[:],
         u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
     )
-    W = _W(w_fd_ref[:], w_gd_ref[:], w_q_ref[:], w_r_ref[:])
+    _W3, W = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), "f32")
     rho = rho_ref[0, 0]
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
@@ -692,6 +748,7 @@ def fused_solve(
     interpret: bool = False,
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
+    algo: str = "f32",
 ) -> FusedResult:
     """Run the fused whole-solve kernel over a batch.
 
@@ -709,8 +766,22 @@ def fused_solve(
     within the warmup window (iterates/controls exactly; recorded residual
     lanes always reflect the freezing check iteration).
 
+    ``algo`` selects the in-loop matmul arithmetic: ``"f32"`` (6-pass
+    ``Precision.HIGHEST`` — golden-parity default) or ``"bf16x3"`` (3-pass
+    split-operand bf16, :func:`_dot3` — ~2x the MXU rate at ~2^-17 relative
+    matmul error; validated on-chip to stay inside the 1e-4 control-parity
+    bar on the shipped quadrotor problems, see tests/test_fused.py and
+    tools/tpu_check_bf16x3.py).
+
     ``interpret=True`` runs the Pallas interpreter (CPU-testable).
     """
+    if algo not in ("f32", "bf16x3"):
+        raise ValueError(f"unknown algo {algo!r}; use 'f32' or 'bf16x3'")
+    if algo != "f32" and check_termination > 0:
+        # Reduced-precision residuals would shift iteration counts near the
+        # tolerance threshold, breaking the adaptive tier's exact-parity
+        # contract with the scan tier.
+        raise ValueError("algo='bf16x3' supports fixed-iteration mode only")
     if max_iter < 1:
         raise ValueError("the fused tier runs at least one iteration; "
                          "use the scan tier for max_iter=0")
@@ -838,7 +909,8 @@ def fused_solve(
 
     if check_termination <= 0:
         kernel = functools.partial(
-            _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret
+            _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret,
+            algo=algo,
         )
         scalar_args = (pp.rho,)
         scalar_specs = [smem_spec]

@@ -238,3 +238,26 @@ def test_adaptive_warmup_equivalence(setup):
     np.testing.assert_allclose(
         np.asarray(plain.U), np.asarray(warm.U), rtol=0, atol=1e-6
     )
+
+
+def test_bf16x3_parity(setup):
+    """algo='bf16x3' (3-pass split-operand bf16 matmuls + f32 polish tail)
+    stays inside the 1e-4 control-parity bar over the reference's full
+    100-iteration budget; adaptive mode rejects it."""
+    problem, cache, pp, x0s = setup
+    got = fused_solve(
+        x0s, FusedCarry.zeros(B, pp), pp, max_iter=100, check_termination=0,
+        batch_tile=B, interpret=True, algo="bf16x3",
+    )
+    want = _run_scan(
+        problem, cache, x0s, atm.Settings(max_iter=100, check_termination=0)
+    )
+    err = np.max(np.abs(
+        np.asarray(got.U[:, :36]).reshape(B, 9, 4) - np.asarray(want.u)
+    ))
+    assert err < 1e-4, err
+    with pytest.raises(ValueError, match="bf16x3"):
+        fused_solve(
+            x0s, FusedCarry.zeros(B, pp), pp, max_iter=10,
+            check_termination=1, interpret=True, algo="bf16x3",
+        )
