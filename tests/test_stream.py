@@ -1,0 +1,168 @@
+"""Streaming long-horizon fused tier vs the scan tier, via the Pallas
+interpreter on CPU (SURVEY.md §4: kernel paths must be testable without a
+TPU). The streaming kernel shares the reference iteration's exact arithmetic
+order (reference: src/tinympc/admm.cpp:111-152), so fixed-iteration parity
+with the scan tier is bit-level on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.ops.stream_admm import (
+    StreamCarry,
+    pad_stream_problem,
+    stream_solve,
+)
+from accelerated_tinympc_tpu.precompute import riccati_cache
+from accelerated_tinympc_tpu.solver.batched import (
+    init_state_batched,
+    solve_batched,
+)
+from accelerated_tinympc_tpu.types import Problem
+
+NX, NU, N = 6, 2, 64
+B = 5
+
+
+def _make_problem(nx=NX, nu=NU, n=N, seed=0, bound=0.7):
+    rng = np.random.default_rng(seed)
+    A = np.eye(nx) + 0.02 * rng.standard_normal((nx, nx))
+    Bm = 0.2 * rng.standard_normal((nx, nu))
+    Q = np.abs(rng.standard_normal(nx)) + 1.0
+    R = np.abs(rng.standard_normal(nu)) + 1.0
+    cache = riccati_cache(A, Bm, Q, R, rho=1.0)
+    problem = Problem(
+        A=jnp.asarray(A, jnp.float32), B=jnp.asarray(Bm, jnp.float32),
+        Q=jnp.asarray(Q, jnp.float32), R=jnp.asarray(R, jnp.float32),
+        u_min=jnp.full((n - 1, nu), -bound, jnp.float32),
+        u_max=jnp.full((n - 1, nu), bound, jnp.float32),
+        x_min=jnp.full((n, nx), -4.0, jnp.float32),
+        x_max=jnp.full((n, nx), 4.0, jnp.float32),
+        Xref=jnp.zeros((n, nx), jnp.float32),
+        Uref=jnp.zeros((n - 1, nu), jnp.float32),
+    )
+    return problem, cache
+
+
+def _run_scan(problem, cache, x0s, max_iter):
+    st = init_state_batched(
+        x0s.shape[0], problem.nx, problem.nu, problem.horizon
+    )
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    return jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=max_iter, check_termination=0),
+    ))(st)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem, cache = _make_problem()
+    sp = pad_stream_problem(problem, cache)
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.standard_normal((B, NX)) * 0.5, jnp.float32)
+    return problem, cache, sp, x0s
+
+
+def test_fixed_parity(setup):
+    problem, cache, sp, x0s = setup
+    got = stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=30,
+                       knot_block=16, interpret=True)
+    want = _run_scan(problem, cache, x0s, 30)
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.u), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.X), np.asarray(want.x), rtol=0, atol=1e-6
+    )
+
+
+def test_residual_stats(setup):
+    """Final-iteration residuals match the reference definitions
+    (admm.cpp:95-98: pre-projection iterates vs new slacks; old-vs-new
+    slacks scaled by rho)."""
+    problem, cache, sp, x0s = setup
+    got = stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=30,
+                       knot_block=16, interpret=True)
+    w_prev, w_fin = (_run_scan(problem, cache, x0s, n) for n in (29, 30))
+    for i in range(B):
+        want = np.asarray([
+            jnp.max(jnp.abs(w_fin.x[i] - w_fin.vnew[i])),
+            jnp.max(jnp.abs(w_prev.v[i] - w_fin.vnew[i])) * cache.rho,
+            jnp.max(jnp.abs(w_fin.u[i] - w_fin.znew[i])),
+            jnp.max(jnp.abs(w_prev.z[i] - w_fin.znew[i])) * cache.rho,
+        ])
+        np.testing.assert_allclose(
+            np.asarray(got.stats[i, 2:6]), want, rtol=0, atol=1e-6
+        )
+    assert np.all(np.asarray(got.stats[:, 0]) == 30)
+
+
+def test_warm_start_chain(setup):
+    """30 + 10 iterations through the carry equals one 40-iteration solve
+    (warm-start contract, reference workspace persistence)."""
+    problem, cache, sp, x0s = setup
+    a = stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=30,
+                     knot_block=16, interpret=True)
+    b = stream_solve(x0s, a.carry, sp, max_iter=10, knot_block=16,
+                     interpret=True)
+    want = _run_scan(problem, cache, x0s, 40)
+    np.testing.assert_allclose(
+        np.asarray(b.U), np.asarray(want.u), rtol=0, atol=1e-6
+    )
+
+
+def test_knot_block_invariance(setup):
+    """Results are independent of the streaming block size (pure tiling)."""
+    problem, cache, sp, x0s = setup
+    outs = [
+        stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=12,
+                     knot_block=kb, interpret=True)
+        for kb in (8, 16, 64)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(outs[0].U), np.asarray(o.U))
+
+
+def test_bounds_disabled():
+    """en_*_bound=False skips the projections (reference admm.cpp:50-60
+    flag guards)."""
+    problem, cache = _make_problem(bound=1e9)
+    sp = pad_stream_problem(problem, cache)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.standard_normal((3, NX)) * 0.5, jnp.float32)
+    got = stream_solve(x0s, StreamCarry.zeros(3, sp), sp, max_iter=15,
+                       knot_block=16, en_state_bound=False,
+                       en_input_bound=False, interpret=True)
+    st = init_state_batched(3, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=15, check_termination=0,
+                     en_state_bound=False, en_input_bound=False),
+    ))(st)
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.u), rtol=0, atol=1e-6
+    )
+
+
+def test_per_knot_bounds_rejected():
+    problem, cache = _make_problem()
+    problem = problem.replace(
+        u_min=problem.u_min.at[0, 0].set(-0.1)
+    )
+    with pytest.raises(ValueError, match="time-uniform"):
+        pad_stream_problem(problem, cache)
+
+
+def test_nondivisor_knot_block(setup):
+    """knot_block is clamped to a divisor of N."""
+    problem, cache, sp, x0s = setup
+    got = stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=12,
+                       knot_block=24, interpret=True)  # 24 -> 16 for N=64
+    want = _run_scan(problem, cache, x0s, 12)
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.u), rtol=0, atol=1e-6
+    )
