@@ -31,6 +31,7 @@ from ..solver import admm
 from ..solver.batched import batch_stats, init_state_batched, solve_batched
 from ..types import Cache, Problem, Settings, State, init_state
 from ..ops.fused_admm import (
+    DEFAULT_BATCH_TILE,
     FusedCarry,
     PaddedProblem,
     fused_solve,
@@ -55,7 +56,8 @@ def _jit_solve_condensed():
 
 
 @functools.lru_cache(maxsize=16)
-def _jit_fused(max_iter, check_termination, batch_tile, interpret):
+def _jit_fused(max_iter, check_termination, batch_tile, interpret,
+               algo="f32"):
     # Tolerances are *traced* operands of the kernel (SMEM), so they stay out
     # of the cache key — changing tolerances never recompiles.
     def fn(x0, carry, pp, pri_tol, dua_tol):
@@ -63,7 +65,7 @@ def _jit_fused(max_iter, check_termination, batch_tile, interpret):
             x0, carry, pp, max_iter=max_iter,
             check_termination=check_termination,
             abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
-            batch_tile=batch_tile, interpret=interpret,
+            batch_tile=batch_tile, interpret=interpret, algo=algo,
         )
 
     # The interpreter path rejects jit-of-pallas on CPU test runs; eager is
@@ -86,6 +88,10 @@ class TinyMPC:
     batch: int | None = None          # None = single instance
     tier: str = "scan"
     interpret: bool = False           # Pallas interpreter (CPU testing)
+    # Fused-tier matmul arithmetic: "f32" (6-pass HIGHEST, golden default) or
+    # "bf16x3" (3-pass split bf16 + f32 polish — ~1.5x throughput, ~2e-5
+    # control error; fixed-iteration mode only, see ops/fused_admm.py).
+    algo: str = "f32"
     # tier-internal precompute (built lazily)
     _ops: CondensedOperators | None = None
     _pp: PaddedProblem | None = None
@@ -166,6 +172,7 @@ class TinyMPC:
         batch: int | None = None,
         tier: str = "scan",
         interpret: bool = False,
+        algo: str = "f32",
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
@@ -176,6 +183,7 @@ class TinyMPC:
             batch=batch,
             tier=tier,
             interpret=interpret,
+            algo=algo,
         )
         self._reset_state()
         return self
@@ -342,7 +350,7 @@ class TinyMPC:
             x0 = x0[None]
         res = _jit_fused(
             self.settings.max_iter, self.settings.check_termination,
-            min(512, x0.shape[0]), self.interpret,
+            min(DEFAULT_BATCH_TILE, x0.shape[0]), self.interpret, self.algo,
         )(
             x0, self._fused_carry, self._pp,
             jnp.float32(self.settings.abs_pri_tol),

@@ -80,6 +80,11 @@ LANES = 128
 # Stats output is a full 128-lane row per instance (lane-1 vectors trip Mosaic
 # relayout); only the first 6 lanes carry data: iters, solved, 4 residuals.
 STATS = 128
+# One documented tile default for every caller (API, bench, rollouts): 512
+# instance rows is the largest tile that fits VMEM across modes at the
+# flagship shape; huge-batch fixed-mode benches may pass 768 explicitly
+# (measured ~2% faster at batch >= 256k, BASELINE.md).
+DEFAULT_BATCH_TILE = 512
 # Packing cap: beyond 8 instances/row the per-check segmented-max cost and
 # generated-code size grow linearly for marginal matmul savings.
 MAX_PACK = 8
@@ -743,7 +748,7 @@ def fused_solve(
     check_termination: int = 0,
     abs_pri_tol: float | jax.Array = 1e-3,
     abs_dua_tol: float | jax.Array = 1e-3,
-    batch_tile: int = 512,
+    batch_tile: int = DEFAULT_BATCH_TILE,
     warmup_iters: int = 0,
     interpret: bool = False,
     xref_q: jax.Array | None = None,

@@ -460,3 +460,20 @@ def test_fused_tol_change_no_recompile():
     mpc.solve()
     info2 = solver_mod._jit_fused.cache_info()
     assert info1.misses == info2.misses == 1  # same compiled entry reused
+
+
+def test_fused_bf16x3_algo_via_api():
+    """TinyMPC(algo='bf16x3') threads the 3-pass bf16 arithmetic through the
+    fused tier and stays inside the parity bar vs the f32 path."""
+    problem, cache, x0 = quadrotor_hovering_setup()
+    settings = atm.Settings(max_iter=50, check_termination=0)
+    us = {}
+    for algo in ("f32", "bf16x3"):
+        mpc = TinyMPC.from_parts(
+            problem, cache, settings=settings, tier="fused", interpret=True,
+            algo=algo,
+        )
+        mpc.set_x0(jnp.asarray(x0, jnp.float32))
+        mpc.solve()
+        us[algo] = mpc.get_u()
+    assert np.abs(us["f32"] - us["bf16x3"]).max() < 1e-4
