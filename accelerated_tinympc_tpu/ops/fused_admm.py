@@ -638,6 +638,9 @@ def _kernel_adaptive(
         m_new_cat = cat(newly)
         m_new_du = to_du(newly)
         m_new_dx = to_dx(newly)
+        # (Scalar-gating this snapshot block behind "any newly frozen" via
+        # lax.cond was tried and measured SLOWER — the scf.if costs ~0.4%
+        # per check even when never taken; unconditional masked picks win.)
         sD = pick(m_new_du, D, sD)       # backward pass skipped
         sZ = pick(m_new_du, Z, sZ)       # slack save skipped
         sV = pick(m_new_dx, V, sV)
