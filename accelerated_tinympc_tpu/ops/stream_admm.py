@@ -169,6 +169,29 @@ def pad_stream_problem(
     )
 
 
+def stream_ref_vectors(
+    sp: StreamProblem, Q: jax.Array, Pinf: jax.Array, Xref: jax.Array
+) -> StreamProblem:
+    """Device-side rebuild of the reference-dependent operands for a new
+    horizon window (tracking mode — the streaming analogue of
+    :func:`.fused_admm.ref_vectors`; reference: quadrotor_tracking.cpp:101
+    slides the window each tick). ``Q (nx,)`` raw cost diagonal, ``Pinf
+    (nx, nx)``, ``Xref (N, nx)``. Returns ``sp`` with ``qc``/``pterm``
+    replaced; jittable, nothing else is re-packed."""
+    nx, _nu, N = sp.dims
+    dtype = sp.qc.dtype
+    qc = jnp.zeros((N, sp.SX), dtype).at[:, :nx].set(
+        -(Xref * Q).astype(dtype)
+    )
+    pt = jnp.zeros((sp.SX,), dtype).at[:nx].set(
+        -jnp.matmul(Xref[-1], Pinf, precision=_HI).astype(dtype)
+    )
+    return sp.replace(
+        qc=jnp.broadcast_to(qc[:, :, None], (N, sp.SX, LANES)),
+        pterm=jnp.broadcast_to(pt[:, None], (sp.SX, LANES)),
+    )
+
+
 # Buffer ids inside the shared scratch pools (phases reuse slots that are
 # never live at the same time).
 _SU_D_IN, _SU_Y_IN, _SU_Y_OUT, _SU_Z_OUT, _SU_D_OUT, _SU_Z_IN = range(6)

@@ -166,3 +166,29 @@ def test_nondivisor_knot_block(setup):
     np.testing.assert_allclose(
         np.asarray(got.U), np.asarray(want.u), rtol=0, atol=1e-6
     )
+
+
+def test_stream_ref_vectors_tracking(setup):
+    """stream_ref_vectors rebuilds qc/pterm device-side: solving with a
+    shifted reference through it matches padding the problem from scratch."""
+    problem, cache, sp, x0s = setup
+    rng = np.random.default_rng(9)
+    Xref2 = jnp.asarray(rng.standard_normal((N, NX)) * 0.3, jnp.float32)
+    from accelerated_tinympc_tpu.ops.stream_admm import stream_ref_vectors
+
+    sp2 = stream_ref_vectors(sp, problem.Q, cache.Pinf, Xref2)
+    got = stream_solve(x0s, StreamCarry.zeros(B, sp2), sp2, max_iter=15,
+                       knot_block=16, interpret=True)
+    sp_full = pad_stream_problem(problem.replace(Xref=Xref2), cache)
+    want = stream_solve(x0s, StreamCarry.zeros(B, sp_full), sp_full,
+                        max_iter=15, knot_block=16, interpret=True)
+    # device-side f32 qc/pterm build vs the host float64 build: ~1 ulp in the
+    # operands, a few 1e-6 after 15 iterations
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-5
+    )
+    # and both match the scan tier on the shifted problem
+    w = _run_scan(problem.replace(Xref=Xref2), cache, x0s, 15)
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(w.u), rtol=0, atol=1e-5
+    )
