@@ -97,6 +97,58 @@ def riccati_cache(
     )
 
 
+def _cho_factor_small(M: jax.Array) -> list[list[jax.Array]]:
+    """Unrolled Cholesky of a static-tiny SPD matrix (statically sized Python
+    loops -> straight-line arithmetic, no dynamic control flow). Returns the
+    lower factor as a list-of-scalar-arrays so callers can stay vmappable.
+
+    TPU note: ``jnp.linalg.solve``/``inv`` lower to LU kernels with dynamic
+    loops that the axon TPU backend cannot handle inside a vmapped
+    ``lax.while_loop`` (observed wedging the whole backend); for the
+    (nu, nu)-class matrices of this solver an unrolled Cholesky is both
+    robust and faster (pure fused VPU arithmetic)."""
+    n = M.shape[0]
+    L: list[list[Any]] = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[j, j] - sum((L[j][k] * L[j][k] for k in range(j)), start=0.0)
+        ljj = jnp.sqrt(s)
+        L[j][j] = ljj
+        inv_ljj = 1.0 / ljj
+        for i in range(j + 1, n):
+            L[i][j] = (
+                M[i, j] - sum((L[i][k] * L[j][k] for k in range(j)), start=0.0)
+            ) * inv_ljj
+    return L
+
+
+def _cho_solve_small(L: list[list[jax.Array]], Bm: jax.Array) -> jax.Array:
+    """Solve ``(L L^T) X = Bm`` for the unrolled factor of
+    :func:`_cho_factor_small`; ``Bm`` is (n, m) with static tiny n."""
+    n = len(L)
+    y: list[Any] = []
+    for i in range(n):
+        y.append(
+            (Bm[i] - sum((L[i][k] * y[k] for k in range(i)), start=0.0))
+            / L[i][i]
+        )
+    x: list[Any] = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (
+            y[i] - sum((L[k][i] * x[k] for k in range(i + 1, n)), start=0.0)
+        ) / L[i][i]
+    return jnp.stack(x, axis=0)
+
+
+def _spd_solve_small(M: jax.Array, Bm: jax.Array) -> jax.Array:
+    """``M^{-1} Bm`` for static-tiny SPD ``M`` via unrolled Cholesky."""
+    return _cho_solve_small(_cho_factor_small(M), Bm)
+
+
+def _spd_inv_small(M: jax.Array) -> jax.Array:
+    """Inverse of a static-tiny SPD matrix via unrolled Cholesky."""
+    return _spd_solve_small(M, jnp.eye(M.shape[0], dtype=M.dtype))
+
+
 def riccati_cache_jax(
     A: jax.Array,
     B: jax.Array,
@@ -112,6 +164,11 @@ def riccati_cache_jax(
     Uses ``lax.while_loop`` with the reference's iteration cap and Kinf-delta
     stopping rule. Runs in the caller's dtype; for well-conditioned plants f32
     is adequate, but prefer the host float64 path for offline cache builds.
+
+    The inner ``R1 + B^T P B`` solves use :func:`_spd_solve_small` (unrolled
+    Cholesky) rather than ``jnp.linalg.solve`` — the matrix is SPD by
+    construction and the unrolled form is the only one the TPU backend
+    executes reliably under vmap-of-while_loop (see `_cho_factor_small`).
     """
     nx, nu = B.shape
     dtype = A.dtype
@@ -123,7 +180,7 @@ def riccati_cache_jax(
     def step(carry):
         i, K, P, _delta = carry
         BtP = jnp.matmul(B.T, P, precision=hi)
-        Knew = jnp.linalg.solve(
+        Knew = _spd_solve_small(
             R1 + jnp.matmul(BtP, B, precision=hi), jnp.matmul(BtP, A, precision=hi)
         )
         Pnew = jnp.diag(Qa) + jnp.matmul(
@@ -144,7 +201,9 @@ def riccati_cache_jax(
     )
     _, Kinf, Pinf, _ = jax.lax.while_loop(cond, step, init)
 
-    Quu_inv = jnp.linalg.inv(R1 + B.T @ Pinf @ B)
+    Quu_inv = _spd_inv_small(
+        R1 + jnp.matmul(jnp.matmul(B.T, Pinf, precision=hi), B, precision=hi)
+    )
     AmBK = A - jnp.matmul(B, Kinf, precision=hi)
     AmBKt = AmBK.T
     coeff_d2p = jnp.matmul(Kinf.T, R1, precision=hi) - jnp.matmul(
