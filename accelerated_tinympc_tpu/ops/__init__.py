@@ -10,6 +10,14 @@ from .fused_admm import (  # noqa: F401
     unpad_controls,
     unpad_states,
 )
+from .hetero_admm import (  # noqa: F401
+    HeteroCarry,
+    HeteroProblem,
+    HeteroResult,
+    hetero_solve,
+    pad_hetero_from_plants,
+    pad_hetero_problem,
+)
 from .stream_admm import (  # noqa: F401
     StreamCarry,
     StreamProblem,

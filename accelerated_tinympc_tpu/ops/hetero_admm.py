@@ -1,0 +1,429 @@
+"""Heterogeneous-plant fused Pallas kernel: one distinct plant per instance.
+
+The reference binds one plant per process (global workspace, reference:
+src/tinympc/tiny_wrapper.hpp:6); the per-instance-operator jnp tier
+(:mod:`..solver.batched_ops`) already inverts that, but its condensed
+operators are ~45 KB *per instance* and re-read every iteration — the tier is
+HBM-bound and loses to the plain scan tier at scale. This kernel is the
+TPU-native fast path for truly heterogeneous batches, built on the opposite
+trade:
+
+* **Small per-instance data.** Only the plant/cache matrices ride along
+  (~1.8 KB/instance: A, B, Kinf, Quu_inv, AmBKt and friends), loaded into
+  VMEM **once** per batch tile and reused across every iteration. HBM
+  traffic per solve is O(problem size), not O(iterations x operators).
+* **Batch on lanes, sweeps on the VPU.** A tile is 128 instances on the lane
+  axis. Each per-instance matrix is stored *transposed-3D* as
+  ``(r_in, r_out, LANES)``; a per-lane matvec is a broadcast-multiply and a
+  reduction over the leading (major) axis — ``sum(M3 * v[:, None, :], 0)``
+  — which Mosaic unrolls into full-width ``(r_out, LANES)`` FMAs. No MXU:
+  with a different matrix in every lane there is nothing for the systolic
+  array to share, and the recurrence form does ~3x fewer FLOPs than the
+  per-instance condensed-operator form anyway.
+* **Whole solve in one kernel.** Both horizon sweeps of every ADMM iteration
+  (reference: src/tinympc/admm.cpp:27-37 forward rollout, :15-22 backward
+  gradient recursion) run as statically-unrolled in-VMEM recurrences, with
+  the slack projection (admm.cpp:45-61), dual ascent (:67-71) and
+  linear-cost refresh (:77-85) fused between them. ``r``/``q`` are never
+  materialized across iterations — rebuilt on the fly from the
+  post-dual-update slacks/duals exactly as the reference schedule implies
+  (admm.cpp:129 runs before :132).
+
+Semantics match :mod:`..solver.admm` stage for stage in fixed-iteration mode
+(``check_termination == 0`` — the deterministic golden/benchmark mode);
+residual stats come from the final iteration using the pre-save ``v``/``z``
+(admm.cpp:95-98). For per-instance early termination / adaptive use
+:func:`..solver.batched_ops.solve_instance_ops`.
+
+Mosaic discipline (CLAUDE.md): batch lives on lanes, every per-instance
+scalar is a full-width row, reductions to ``(1, LANES)`` happen once outside
+all loops, and narrow outputs pack via one-hot sublane masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+
+from ..types import Cache, Problem
+
+LANES = 128
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _dotb(M3: jax.Array, v: jax.Array) -> jax.Array:
+    """Per-lane matvec: ``M3 (r_in, r_out, L)`` transposed-3D matrices,
+    ``v (r_in, L)`` -> ``(r_out, L)``. Unrolls to r_in full-width FMAs."""
+    return jnp.sum(M3 * v[:, None, :], axis=0)
+
+
+@struct.dataclass
+class HeteroProblem:
+    """Kernel-ready per-instance operands, lane-packed into batch tiles.
+
+    Matrix fields are transposed-3D ``(NT*r_in, r_out, LANES)`` — entry
+    ``[t*r_in + k, j, l]`` is element ``(j, k)`` of instance ``t*LANES + l``'s
+    matrix (zero-padded to ``SX = pad8(nx)`` / ``SU = pad8(nu)`` so padded
+    dims stay identically zero through every stage). Vector fields are
+    lane-packed 2D. ``dims = (nx, nu, N)`` is static."""
+
+    A3: jax.Array        # (NT*SX, SX, L)   A
+    B3: jax.Array        # (NT*SU, SX, L)   B   (contract u -> x)
+    K3: jax.Array        # (NT*SX, SU, L)   Kinf (contract x -> u)
+    Kt3: jax.Array       # (NT*SU, SX, L)   Kinf^T (contract r -> x)
+    Quu3: jax.Array      # (NT*SU, SU, L)   Quu_inv
+    Bt3: jax.Array       # (NT*SX, SU, L)   B^T (contract p -> u-dim)
+    M3: jax.Array        # (NT*SX, SX, L)   AmBKt
+    u_min: jax.Array     # (NT*SU, L) time-uniform per-instance bounds
+    u_max: jax.Array
+    x_min: jax.Array     # (NT*SX, L)
+    x_max: jax.Array
+    qc: jax.Array        # (NT*N*SX, L)  -(Q o Xref_i) per knot
+    pterm: jax.Array     # (NT*SX, L)    -Pinf^T Xref_{N-1}
+    rho_u: jax.Array     # (NT*SU, L)    rho broadcast to input rows
+    rho_x: jax.Array     # (NT*SX, L)
+    dims: tuple = struct.field(pytree_node=False)  # (nx, nu, N)
+    batch: int = struct.field(pytree_node=False)
+
+    @property
+    def SX(self) -> int:
+        return self.A3.shape[1]
+
+    @property
+    def SU(self) -> int:
+        return self.Quu3.shape[1]
+
+    @property
+    def tiles(self) -> int:
+        return self.pterm.shape[0] // self.SX
+
+
+def _lane_pack_vec(a: jax.Array, S: int, nt: int) -> jax.Array:
+    """(B, k) -> (NT*S, L): instance b = t*LANES + l on lane l of tile t,
+    rows zero-padded k -> S."""
+    Bn, k = a.shape
+    out = jnp.zeros((nt * LANES, S), a.dtype)
+    out = out.at[:Bn, :k].set(a)
+    return out.reshape(nt, LANES, S).transpose(0, 2, 1).reshape(nt * S, LANES)
+
+
+def _lane_pack_mat(a: jax.Array, R_in: int, R_out: int, nt: int) -> jax.Array:
+    """(B, r_out, r_in) -> transposed-3D (NT*R_in, R_out, L)."""
+    Bn, r_out, r_in = a.shape
+    out = jnp.zeros((nt * LANES, R_in, R_out), a.dtype)
+    out = out.at[:Bn, :r_in, :r_out].set(a.transpose(0, 2, 1))
+    return (
+        out.reshape(nt, LANES, R_in, R_out)
+        .transpose(0, 2, 3, 1)
+        .reshape(nt * R_in, R_out, LANES)
+    )
+
+
+def pad_hetero_problem(
+    problem: Problem, cache: Cache, dtype: Any = jnp.float32
+) -> HeteroProblem:
+    """Lane-pack batch-leading ``Problem``/``Cache`` pytrees (every leaf has a
+    leading batch axis, as accepted by
+    :func:`..solver.batched_ops.build_instance_ops`) into kernel operands.
+    Jittable; combine with vmapped :func:`..precompute.riccati_cache_jax` for
+    a fully on-device build from raw plants (see
+    :func:`pad_hetero_from_plants`).
+
+    Bounds must be time-uniform per instance (the reference examples' form);
+    per-knot bounds take the scan/batched_ops tiers.
+    """
+    Bn = problem.A.shape[0]
+    nx = problem.A.shape[-1]
+    nu = problem.B.shape[-1]
+    N = problem.Xref.shape[-2]
+    SX, SU = _pad8(nx), _pad8(nu)
+    nt = -(-Bn // LANES)
+    f = lambda a: jnp.asarray(a, dtype)
+
+    A = f(problem.A)
+    Bm = f(problem.B)
+    Kinf = f(cache.Kinf)
+    Quu = f(cache.Quu_inv)
+    AmBKt = f(cache.AmBKt)
+    rho = f(cache.rho).reshape(Bn)
+
+    qc = -(f(problem.Xref) * f(problem.Q)[:, None, :])          # (B, N, nx)
+    pterm = -jnp.einsum(
+        "bi,bij->bj", f(problem.Xref[:, -1]), f(cache.Pinf),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def uniform(b):
+        # (B, m_or_N, k) -> (B, k); callers guarantee time-uniformity.
+        return f(b)[:, 0, :]
+
+    rho_col = rho[:, None]
+    return HeteroProblem(
+        A3=_lane_pack_mat(A, SX, SX, nt),
+        B3=_lane_pack_mat(Bm, SU, SX, nt),
+        K3=_lane_pack_mat(Kinf, SX, SU, nt),
+        Kt3=_lane_pack_mat(jnp.swapaxes(Kinf, -1, -2), SU, SX, nt),
+        Quu3=_lane_pack_mat(Quu, SU, SU, nt),
+        Bt3=_lane_pack_mat(jnp.swapaxes(Bm, -1, -2), SX, SU, nt),
+        M3=_lane_pack_mat(AmBKt, SX, SX, nt),
+        u_min=_lane_pack_vec(uniform(problem.u_min), SU, nt),
+        u_max=_lane_pack_vec(uniform(problem.u_max), SU, nt),
+        x_min=_lane_pack_vec(uniform(problem.x_min), SX, nt),
+        x_max=_lane_pack_vec(uniform(problem.x_max), SX, nt),
+        qc=_lane_pack_vec(qc.reshape(Bn, N * nx), N * SX, nt)
+        if nx == SX else _lane_pack_vec(
+            jnp.zeros((Bn, N, SX), dtype).at[:, :, :nx].set(qc).reshape(
+                Bn, N * SX),
+            N * SX, nt),
+        pterm=_lane_pack_vec(pterm, SX, nt),
+        rho_u=_lane_pack_vec(jnp.broadcast_to(rho_col, (Bn, nu)), SU, nt),
+        rho_x=_lane_pack_vec(jnp.broadcast_to(rho_col, (Bn, nx)), SX, nt),
+        dims=(nx, nu, N),
+        batch=Bn,
+    )
+
+
+def pad_hetero_from_plants(
+    A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho: jax.Array,
+    problem: Problem, dtype: Any = jnp.float32,
+) -> tuple[HeteroProblem, Cache]:
+    """On-device build for a batch of distinct plants: vmapped Riccati caches
+    (reference math: src/tinympc/codegen.cpp:268-292) + lane packing.
+    ``A (B,nx,nx)``, ``B (B,nx,nu)``, ``Q/R`` raw cost diagonals, ``rho (B,)``;
+    ``problem`` supplies batch-leading bounds/Xref. Jittable."""
+    from ..precompute import riccati_cache_jax
+
+    caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
+    prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
+    return pad_hetero_problem(prob_b, caches, dtype), caches
+
+
+@struct.dataclass
+class HeteroCarry:
+    """Warm-start iterate set, lane-packed (same layout as the kernel's
+    internal carry). ``zeros`` for a cold start; a solve's returned carry
+    warm-starts the next (reference: tiny_api.cpp solve-to-solve workspace
+    reuse)."""
+
+    d: jax.Array   # (NT*m*SU, L)
+    y: jax.Array
+    g: jax.Array   # (NT*N*SX, L)
+    z: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def zeros(hp: HeteroProblem, dtype: Any = jnp.float32) -> "HeteroCarry":
+        nx, nu, N = hp.dims
+        m = N - 1
+        nt = hp.tiles
+        fu = jnp.zeros((nt * m * hp.SU, LANES), dtype)
+        fx = jnp.zeros((nt * N * hp.SX, LANES), dtype)
+        return HeteroCarry(d=fu, y=fu, g=fx, z=fu, v=fx)
+
+    def reset_duals(self) -> "HeteroCarry":
+        return self.replace(y=self.y * 0.0, g=self.g * 0.0)
+
+
+@struct.dataclass
+class HeteroResult:
+    """``U (B, m, nu)`` / ``X (B, N, nx)`` final (pre-projection) iterates —
+    the reference applies pre-projection u. ``stats (B, 8)``: lanes
+    [iterations, 0, pri_state, dua_state, pri_input, dua_input, 0, 0],
+    final-iteration residuals per admm.cpp:95-98."""
+
+    carry: HeteroCarry
+    U: jax.Array
+    X: jax.Array
+    stats: jax.Array
+
+
+def _kernel(
+    x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
+    umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
+    d0, y0, g0, z0, v0,
+    u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
+    *, nx: int, nu: int, N: int, SX: int, SU: int,
+    max_iter: int, en_ib: bool, en_sb: bool,
+):
+    m = N - 1
+    f32 = jnp.float32
+
+    A3 = a3[:]
+    B3 = b3[:]
+    K3 = k3[:]
+    Kt3 = kt3[:]
+    Quu3 = quu3[:]
+    Bt3 = bt3[:]
+    M3 = m3[:]
+    qcv = qc_ref[:]
+    ptermv = pterm_ref[:]
+    rho_uf = jnp.concatenate([rhou_ref[:]] * m, axis=0)    # (m*SU, L)
+    rho_xf = jnp.concatenate([rhox_ref[:]] * N, axis=0)    # (N*SX, L)
+    uminf = jnp.concatenate([umin[:]] * m, axis=0)
+    umaxf = jnp.concatenate([umax[:]] * m, axis=0)
+    xminf = jnp.concatenate([xmin[:]] * N, axis=0)
+    xmaxf = jnp.concatenate([xmax[:]] * N, axis=0)
+    x0v = x0_ref[:]
+
+    def iter_body(_, c):
+        D, Y, G, Z, V, _Zp, _Vp, _U, _X = c
+        # Forward rollout fused with u (reference admm.cpp:27-37).
+        xs = [x0v]
+        us = []
+        for i in range(m):
+            u_i = -_dotb(K3, xs[i]) - D[i * SU:(i + 1) * SU]
+            us.append(u_i)
+            xs.append(_dotb(A3, xs[i]) + _dotb(B3, u_i))
+        Unew = jnp.concatenate(us, axis=0)
+        Xnew = jnp.concatenate(xs, axis=0)
+        # Slack projection (admm.cpp:45-61) + dual ascent (:67-71).
+        Su = Unew + Y
+        Znew = jnp.clip(Su, uminf, umaxf) if en_ib else Su
+        Tx = Xnew + G
+        Vnew = jnp.clip(Tx, xminf, xmaxf) if en_sb else Tx
+        Ynew = Su - Znew
+        Gnew = Tx - Vnew
+        # Linear-cost refresh (admm.cpp:77-85), r/q consumed in place by the
+        # backward gradient recursion (admm.cpp:15-22; coeff_d2p dropped as
+        # there). Fixed mode: slacks always saved (no early exit).
+        Rf = -rho_uf * (Znew - Ynew)
+        Qf = qcv - rho_xf * (Vnew - Gnew)
+        last = m * SX
+        p = ptermv - rhox_ref[:] * (Vnew[last:] - Gnew[last:])
+        ds = [None] * m
+        for i in reversed(range(m)):
+            r_i = Rf[i * SU:(i + 1) * SU]
+            ds[i] = _dotb(Quu3, _dotb(Bt3, p) + r_i)
+            p = Qf[i * SX:(i + 1) * SX] + _dotb(M3, p) - _dotb(Kt3, r_i)
+        Dnew = jnp.concatenate(ds, axis=0)
+        return (Dnew, Ynew, Gnew, Znew, Vnew, Z, V, Unew, Xnew)
+
+    zu = d0[:] * 0.0
+    zx = g0[:] * 0.0
+    D, Y, G, Z, V, Zp, Vp, U, X = jax.lax.fori_loop(
+        0, max_iter, iter_body,
+        (d0[:], y0[:], g0[:], z0[:], v0[:], z0[:], v0[:], zu, zx),
+    )
+
+    u_out[:] = U
+    x_out[:] = X
+    d_out[:] = D
+    y_out[:] = Y
+    g_out[:] = G
+    z_out[:] = Z
+    v_out[:] = V
+
+    # Final-iteration residuals (admm.cpp:95-98): pre-save v/z vs new slacks.
+    rho1 = rhox_ref[0:1, :]
+    p_s = jnp.max(jnp.abs(X - V), axis=0, keepdims=True)
+    d_s = rho1 * jnp.max(jnp.abs(Vp - V), axis=0, keepdims=True)
+    p_u = jnp.max(jnp.abs(U - Z), axis=0, keepdims=True)
+    d_u = rho1 * jnp.max(jnp.abs(Zp - Z), axis=0, keepdims=True)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    stats_ref[:] = (
+        (row == 0).astype(f32) * float(max_iter)
+        + (row == 2).astype(f32) * p_s + (row == 3).astype(f32) * d_s
+        + (row == 4).astype(f32) * p_u + (row == 5).astype(f32) * d_u
+    )
+
+
+def _unpack_lane(p: jax.Array, nt: int, Bn: int, k: int) -> jax.Array:
+    """(NT*S, L) rows-major tiles back to (B, S) then first-k columns."""
+    S = p.shape[0] // nt
+    return (
+        p.reshape(nt, S, LANES).transpose(0, 2, 1).reshape(nt * LANES, S)[
+            :Bn, :k
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "en_input_bound", "en_state_bound",
+                     "interpret"),
+)
+def hetero_solve(
+    x0: jax.Array,
+    carry: HeteroCarry,
+    hp: HeteroProblem,
+    *,
+    max_iter: int = 100,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+    interpret: bool = False,
+) -> HeteroResult:
+    """Fixed-iteration batched ADMM, one distinct plant per instance.
+
+    ``x0 (B, nx)``; semantics per instance match
+    :func:`..solver.admm.solve` with ``check_termination = 0`` (reference:
+    src/tinympc/admm.cpp:111-152 with checks disabled). Returns final
+    iterates + a warm-start carry + per-instance residual stats.
+    """
+    nx, nu, N = hp.dims
+    m = N - 1
+    SX, SU = hp.SX, hp.SU
+    nt = hp.tiles
+    Bn = hp.batch
+    dtype = hp.A3.dtype
+
+    x0p = _lane_pack_vec(jnp.asarray(x0, dtype), SX, nt)
+
+    fu_shape = jax.ShapeDtypeStruct((nt * m * SU, LANES), dtype)
+    fx_shape = jax.ShapeDtypeStruct((nt * N * SX, LANES), dtype)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda t: (t, 0))
+
+    def spec3(r_in, r_out):
+        return pl.BlockSpec((r_in, r_out, LANES), lambda t: (t, 0, 0))
+
+    grid = (nt,)
+    kernel = functools.partial(
+        _kernel, nx=nx, nu=nu, N=N, SX=SX, SU=SU, max_iter=max_iter,
+        en_ib=en_input_bound, en_sb=en_state_bound,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec(SX),                     # x0
+            spec3(SX, SX), spec3(SU, SX), spec3(SX, SU), spec3(SU, SX),
+            spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
+            spec(SU), spec(SU), spec(SX), spec(SX),
+            spec(N * SX), spec(SX), spec(SU), spec(SX),
+            spec(m * SU), spec(m * SU), spec(N * SX), spec(m * SU),
+            spec(N * SX),
+        ],
+        out_specs=[
+            spec(m * SU), spec(N * SX),
+            spec(m * SU), spec(m * SU), spec(N * SX), spec(m * SU),
+            spec(N * SX), spec(8),
+        ],
+        out_shape=[
+            fu_shape, fx_shape,
+            fu_shape, fu_shape, fx_shape, fu_shape, fx_shape,
+            jax.ShapeDtypeStruct((nt * 8, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x0p, hp.A3, hp.B3, hp.K3, hp.Kt3, hp.Quu3, hp.Bt3, hp.M3,
+        hp.u_min, hp.u_max, hp.x_min, hp.x_max, hp.qc, hp.pterm,
+        hp.rho_u, hp.rho_x,
+        carry.d, carry.y, carry.g, carry.z, carry.v,
+    )
+    U, X, d, y, g, z, v, stats = outs
+    return HeteroResult(
+        carry=HeteroCarry(d=d, y=y, g=g, z=z, v=v),
+        U=_unpack_lane(U, nt, Bn, m * SU).reshape(Bn, m, SU)[:, :, :nu],
+        X=_unpack_lane(X, nt, Bn, N * SX).reshape(Bn, N, SX)[:, :, :nx],
+        stats=_unpack_lane(stats, nt, Bn, 8),
+    )

@@ -1,0 +1,169 @@
+"""Heterogeneous-plant fused tier (ops/hetero_admm.py) vs the jnp tiers, via
+the Pallas interpreter on CPU (SURVEY.md §4: kernel paths must be testable
+without a TPU). One distinct plant per instance — the capability the
+reference's one-problem-per-process design rules out (reference:
+src/tinympc/tiny_wrapper.hpp:6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.models import random_lti_problem
+from accelerated_tinympc_tpu.ops.hetero_admm import (
+    LANES,
+    HeteroCarry,
+    hetero_solve,
+    pad_hetero_from_plants,
+    pad_hetero_problem,
+)
+from accelerated_tinympc_tpu.precompute import riccati_cache
+from accelerated_tinympc_tpu.solver.batched import (
+    init_state_batched,
+    solve_batched,
+)
+
+NX, NU, N = 12, 4, 10
+B = 24  # deliberately non-multiple of LANES: exercises lane padding
+
+
+def _stack(trees):
+    return jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    probs, caches, rhos = [], [], []
+    for seed in range(B):
+        p, rho = random_lti_problem(seed=seed, nx=NX, nu=NU, horizon=N)
+        c = riccati_cache(
+            np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q),
+            np.asarray(p.R), rho,
+        )
+        probs.append(p)
+        caches.append(c)
+        rhos.append(rho)
+    prob_b = _stack(probs)
+    cache_b = _stack(caches)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.standard_normal((B, NX)) * 0.4, jnp.float32)
+    return prob_b, cache_b, jnp.asarray(rhos, jnp.float32), x0s
+
+
+def _run_scan(prob_b, cache_b, x0s, max_iter):
+    st = init_state_batched(x0s.shape[0], NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    return solve_batched(
+        st, prob_b, cache_b,
+        atm.Settings(max_iter=max_iter, check_termination=0),
+        problem_axes=0, cache_axes=0,
+    )
+
+
+def test_fixed_iteration_parity(setup):
+    """Kernel matches the scan tier per instance across 24 distinct plants."""
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=50, interpret=True
+    )
+    w = _run_scan(prob_b, cache_b, x0s, 50)
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(w.u), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(w.x), rtol=0, atol=1e-4
+    )
+
+
+def test_stats_residuals(setup):
+    """Stats lanes carry the reference's final-iteration residuals
+    (admm.cpp:95-98)."""
+    prob_b, cache_b, rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=25, interpret=True
+    )
+    w = _run_scan(prob_b, cache_b, x0s, 25)
+    pri_s = jnp.max(jnp.abs(w.x - w.vnew), axis=(1, 2))
+    pri_u = jnp.max(jnp.abs(w.u - w.znew), axis=(1, 2))
+    dua_s = rhos * jnp.max(jnp.abs(w.v - w.vnew), axis=(1, 2))
+    dua_u = rhos * jnp.max(jnp.abs(w.z - w.znew), axis=(1, 2))
+    np.testing.assert_allclose(res.stats[:, 2], pri_s, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res.stats[:, 3], dua_s, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res.stats[:, 4], pri_u, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res.stats[:, 5], dua_u, rtol=0, atol=1e-5)
+    assert float(res.stats[0, 0]) == 25.0
+
+
+def test_warm_start_carry(setup):
+    """Two chained 15-iteration solves equal one 30-iteration solve (the
+    reference's solve-to-solve workspace reuse)."""
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    a = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=15, interpret=True
+    )
+    b = hetero_solve(x0s, a.carry, hp, max_iter=15, interpret=True)
+    full = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=30, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.U), np.asarray(full.U), rtol=0, atol=1e-5
+    )
+
+
+def test_on_device_build_from_plants(setup):
+    """pad_hetero_from_plants (vmapped on-device Riccati) matches the
+    host-float64 cache build to solver accuracy."""
+    prob_b, _cache_b, rhos, x0s = setup
+    hp, caches = pad_hetero_from_plants(
+        prob_b.A, prob_b.B, prob_b.Q, prob_b.R, rhos, prob_b
+    )
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=40, interpret=True
+    )
+    w = _run_scan(prob_b, caches, x0s, 40)
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(w.u), rtol=0, atol=1e-4
+    )
+
+
+def test_multi_tile():
+    """A batch spanning >1 lane tile (B > LANES) keeps per-instance parity."""
+    Bn = LANES + 17
+    probs, caches = [], []
+    for seed in range(7):
+        p, rho = random_lti_problem(seed=seed, nx=6, nu=2, horizon=6)
+        c = riccati_cache(
+            np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q),
+            np.asarray(p.R), rho,
+        )
+        probs.append(p)
+        caches.append(c)
+    reps = -(-Bn // 7)
+    prob_b = jax.tree.map(
+        lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:Bn], _stack(probs)
+    )
+    cache_b = jax.tree.map(
+        lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:Bn], _stack(caches)
+    )
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.standard_normal((Bn, 6)) * 0.4, jnp.float32)
+    hp = pad_hetero_problem(prob_b, cache_b)
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=30, interpret=True
+    )
+    st = init_state_batched(Bn, 6, 2, 6)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    w = solve_batched(
+        st, prob_b, cache_b,
+        atm.Settings(max_iter=30, check_termination=0),
+        problem_axes=0, cache_axes=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(w.u), rtol=0, atol=1e-4
+    )
