@@ -7,6 +7,7 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_batch,
     sharded_fused_solve,
+    sharded_hetero_solve,
     sharded_solve,
     summarize_stats,
 )

@@ -211,3 +211,66 @@ def sharded_fused_solve(
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def sharded_hetero_solve(
+    mesh: Mesh,
+    *,
+    max_iter: int = 100,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+    interpret: bool = False,
+):
+    """Heterogeneous-plant fused kernel per shard: every instance carries its
+    own plant AND the batch (plants included) shards over the mesh — the full
+    inversion of the reference's one-problem-per-process scaling unit
+    (reference: src/tinympc/tiny_wrapper.hpp:6).
+
+    Returns a jitted ``(x0s, carry, hp) -> (HeteroResult, stats)``. ``x0s``,
+    every carry leaf, and every ``hp`` array leaf are batch-sharded on their
+    leading axis (lane-tile granularity: the global tile count ``hp.tiles``
+    must divide by the mesh size, i.e. pad the batch to a multiple of
+    ``128 * n_devices``). Residual stats are psum'd; the solve itself is
+    communication-free.
+    """
+    from ..ops.hetero_admm import HeteroCarry, HeteroProblem, hetero_solve
+
+    nd = mesh.devices.size
+
+    def shard_fn(x0s, carry, hp):
+        hp = hp.replace(batch=hp.batch // nd)
+        res = hetero_solve(
+            x0s, carry, hp, max_iter=max_iter,
+            en_input_bound=en_input_bound, en_state_bound=en_state_bound,
+            interpret=interpret,
+        )
+        n_local = jnp.asarray(res.stats.shape[0], jnp.float32)
+        stats = {
+            "n_total": jax.lax.psum(n_local, BATCH_AXIS),
+            "iterations_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 0]), BATCH_AXIS
+            ),
+            "primal_residual_state_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 2]), BATCH_AXIS
+            ),
+            "dual_residual_state_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 3]), BATCH_AXIS
+            ),
+            "primal_residual_input_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 4]), BATCH_AXIS
+            ),
+            "dual_residual_input_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 5]), BATCH_AXIS
+            ),
+        }
+        return res, stats
+
+    batch_spec = P(BATCH_AXIS)
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec, batch_spec),
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -180,13 +180,20 @@ def riccati_cache_jax(
     def step(carry):
         i, K, P, _delta = carry
         BtP = jnp.matmul(B.T, P, precision=hi)
+        # Symmetrize before the Cholesky solve: the recursion below drifts
+        # P (and hence R1 + B'PB) measurably asymmetric mid-iteration — an
+        # artifact that LU tolerates but a triangular factorization must not
+        # see. The fixed point itself is symmetric, so this changes nothing
+        # the reference's stopping rule observes.
+        M = R1 + jnp.matmul(BtP, B, precision=hi)
         Knew = _spd_solve_small(
-            R1 + jnp.matmul(BtP, B, precision=hi), jnp.matmul(BtP, A, precision=hi)
+            0.5 * (M + M.T), jnp.matmul(BtP, A, precision=hi)
         )
         Pnew = jnp.diag(Qa) + jnp.matmul(
             A.T, jnp.matmul(P, A - jnp.matmul(B, Knew, precision=hi), precision=hi),
             precision=hi,
         )
+        Pnew = 0.5 * (Pnew + Pnew.T)
         return i + 1, Knew, Pnew, jnp.max(jnp.abs(Knew - K))
 
     def cond(carry):
@@ -201,9 +208,10 @@ def riccati_cache_jax(
     )
     _, Kinf, Pinf, _ = jax.lax.while_loop(cond, step, init)
 
-    Quu_inv = _spd_inv_small(
-        R1 + jnp.matmul(jnp.matmul(B.T, Pinf, precision=hi), B, precision=hi)
+    Mq = R1 + jnp.matmul(
+        jnp.matmul(B.T, Pinf, precision=hi), B, precision=hi
     )
+    Quu_inv = _spd_inv_small(0.5 * (Mq + Mq.T))
     AmBK = A - jnp.matmul(B, Kinf, precision=hi)
     AmBKt = AmBK.T
     coeff_d2p = jnp.matmul(Kinf.T, R1, precision=hi) - jnp.matmul(

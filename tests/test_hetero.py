@@ -132,6 +132,55 @@ def test_on_device_build_from_plants(setup):
     )
 
 
+def test_sharded_hetero_solve():
+    """Hetero kernel per shard over an 8-device mesh: sharded == unsharded
+    per-instance numerics, plants sharded along with the batch."""
+    from accelerated_tinympc_tpu.parallel import (
+        make_batch_mesh, shard_batch, sharded_hetero_solve,
+    )
+
+    nd = 8
+    Bn = LANES * nd  # one lane tile per device
+    probs, caches = [], []
+    for seed in range(4):
+        p, rho = random_lti_problem(seed=seed, nx=6, nu=2, horizon=6)
+        c = riccati_cache(
+            np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q),
+            np.asarray(p.R), rho,
+        )
+        probs.append(p)
+        caches.append(c)
+    reps = Bn // 4
+    prob_b = jax.tree.map(
+        lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1)), _stack(probs)
+    )
+    cache_b = jax.tree.map(
+        lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1)), _stack(caches)
+    )
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.standard_normal((Bn, 6)) * 0.4, jnp.float32)
+    hp = pad_hetero_problem(prob_b, cache_b)
+    want = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=20, interpret=True
+    )
+
+    mesh = make_batch_mesh(nd)
+    solve = sharded_hetero_solve(mesh, max_iter=20, interpret=True)
+    got, stats = solve(
+        shard_batch(x0s, mesh),
+        shard_batch(HeteroCarry.zeros(hp), mesh),
+        shard_batch(hp, mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-6
+    )
+    assert float(stats["n_total"]) == Bn
+    np.testing.assert_allclose(
+        float(stats["primal_residual_state_max"]),
+        float(jnp.max(want.stats[:, 2])), rtol=0, atol=1e-6,
+    )
+
+
 def test_multi_tile():
     """A batch spanning >1 lane tile (B > LANES) keeps per-instance parity."""
     Bn = LANES + 17

@@ -87,3 +87,27 @@ def test_riccati_cache_jax_vmapped():
         np.testing.assert_allclose(
             np.asarray(caches.Kinf[i]), want.Kinf, rtol=1e-3, atol=2e-4
         )
+
+
+def test_jax_riccati_quadrotor_f32():
+    """Regression: the quadrotor plant drives the Riccati recursion through
+    measurably asymmetric P iterates (sym error ~35 by iteration 30); the
+    unrolled-Cholesky solve NaN'd on it before the symmetrization in
+    riccati_cache_jax. Random-LTI tests never caught this — keep a real
+    ill-conditioned plant in the loop."""
+    import jax.numpy as jnp
+    from accelerated_tinympc_tpu.models import quadrotor_hovering_setup
+
+    problem, cache, _x0 = quadrotor_hovering_setup()
+    cj = riccati_cache_jax(
+        jnp.asarray(problem.A), jnp.asarray(problem.B),
+        jnp.asarray(problem.Q), jnp.asarray(problem.R),
+        jnp.asarray(float(np.asarray(cache.rho)), jnp.float32),
+    )
+    assert bool(jnp.all(jnp.isfinite(cj.Kinf)))
+    np.testing.assert_allclose(
+        np.asarray(cj.Kinf), np.asarray(cache.Kinf), rtol=0, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cj.Quu_inv), np.asarray(cache.Quu_inv), rtol=0, atol=1e-5
+    )
