@@ -274,8 +274,11 @@ def _kernel(
     xmaxf = jnp.concatenate([xmax[:]] * N, axis=0)
     x0v = x0_ref[:]
 
-    def iter_body(_, c):
-        D, Y, G, Z, V, _Zp, _Vp, _U, _X = c
+    def iteration(D, Y, G, full: bool):
+        """One full ADMM iteration. ``full`` also returns the slack saves and
+        trajectories (only the last two iterations need them: slacks for the
+        dual-residual stats, trajectories for the outputs — the fori carry
+        stays at the 3 arrays the recurrence actually feeds forward)."""
         # Forward rollout fused with u (reference admm.cpp:27-37).
         xs = [x0v]
         us = []
@@ -305,14 +308,27 @@ def _kernel(
             ds[i] = _dotb(Quu3, _dotb(Bt3, p) + r_i)
             p = Qf[i * SX:(i + 1) * SX] + _dotb(M3, p) - _dotb(Kt3, r_i)
         Dnew = jnp.concatenate(ds, axis=0)
-        return (Dnew, Ynew, Gnew, Znew, Vnew, Z, V, Unew, Xnew)
+        if full:
+            return Dnew, Ynew, Gnew, Znew, Vnew, Unew, Xnew
+        return Dnew, Ynew, Gnew
 
-    zu = d0[:] * 0.0
-    zx = g0[:] * 0.0
-    D, Y, G, Z, V, Zp, Vp, U, X = jax.lax.fori_loop(
-        0, max_iter, iter_body,
-        (d0[:], y0[:], g0[:], z0[:], v0[:], z0[:], v0[:], zu, zx),
+    D, Y, G = jax.lax.fori_loop(
+        0, max(max_iter - 2, 0),
+        lambda _, c: iteration(*c, full=False),
+        (d0[:], y0[:], g0[:]),
     )
+    # Last two iterations unrolled: the penultimate supplies the pre-save
+    # slacks the dual residuals compare against (admm.cpp:96,98), the final
+    # one the outputs.
+    if max_iter >= 2:
+        D, Y, G, Zp, Vp, _U, _X = iteration(D, Y, G, full=True)
+    else:
+        Zp, Vp = z0[:], v0[:]
+    if max_iter >= 1:
+        D, Y, G, Z, V, U, X = iteration(D, Y, G, full=True)
+    else:
+        Z, V = Zp, Vp
+        U, X = d0[:] * 0.0, g0[:] * 0.0
 
     u_out[:] = U
     x_out[:] = X
