@@ -15,6 +15,13 @@ from .batched_ops import (  # noqa: F401
     solve_instance_ops,
 )
 from .assoc_scan import solve_assoc  # noqa: F401
+from .cones import (  # noqa: F401
+    Cone,
+    ConeSet,
+    cone_slack_update,
+    cone_violation,
+    project_cone,
+)
 from .batched import init_state_batched, solve_batched, batch_stats  # noqa: F401
 from .condensed import (  # noqa: F401
     FlatState,

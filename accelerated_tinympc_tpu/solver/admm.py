@@ -145,6 +145,7 @@ def admm_iteration(
     *,
     forward=None,
     backward=None,
+    project=None,
 ) -> State:
     """One full ADMM iteration with the reference's exact stage ordering and
     early-exit data flow (reference: src/tinympc/admm.cpp:117-150).
@@ -152,12 +153,16 @@ def admm_iteration(
     ``forward``/``backward`` override the horizon-sweep realizations (same
     signature as :func:`forward_pass`/:func:`backward_pass_grad`) — used by the
     associative-scan long-horizon tier; semantics must match exactly.
+    ``project`` overrides the slack projection (same signature as
+    :func:`update_slack`) — used by the second-order-cone extension
+    (:mod:`.cones`); the default is the reference's box clip.
     """
     forward = forward or forward_pass
     backward = backward or backward_pass_grad
+    project = project or update_slack
     state = state.replace(iter=state.iter + 1)
     state = forward(state, problem, cache)
-    state = update_slack(state, problem, settings)
+    state = project(state, problem, settings)
     state = update_dual(state)
     state = update_linear_cost(state, problem, cache)
 
@@ -196,7 +201,8 @@ def admm_iteration(
 
 
 def solve(
-    state: State, problem: Problem, cache: Cache, settings: Settings
+    state: State, problem: Problem, cache: Cache, settings: Settings,
+    *, project=None,
 ) -> State:
     """Run the ADMM loop to convergence or ``max_iter``
     (reference: src/tinympc/admm.cpp:111-152).
@@ -204,23 +210,22 @@ def solve(
     Returns the final state; ``state.status == SOLVED`` corresponds to the
     reference's exitflag 0, anything else to exitflag 1. With
     ``check_termination == 0`` this is a fixed-iteration ``fori_loop``
-    (deterministic mode for benchmarking and golden parity).
+    (deterministic mode for benchmarking and golden parity). ``project``
+    overrides the slack projection (see :func:`admm_iteration`).
     """
     state = state.replace(
         status=jnp.asarray(UNSOLVED, state.status.dtype),
         iter=jnp.zeros_like(state.iter),
     )
+    step = lambda s: admm_iteration(
+        s, problem, cache, settings, project=project
+    )
     if settings.check_termination <= 0:
         return jax.lax.fori_loop(
-            0,
-            settings.max_iter,
-            lambda _, s: admm_iteration(s, problem, cache, settings),
-            state,
+            0, settings.max_iter, lambda _, s: step(s), state
         )
 
     def cond(s: State):
         return (s.iter < settings.max_iter) & (s.status != SOLVED)
 
-    return jax.lax.while_loop(
-        cond, lambda s: admm_iteration(s, problem, cache, settings), state
-    )
+    return jax.lax.while_loop(cond, step, state)

@@ -58,19 +58,22 @@ def solve_batched(
     *,
     problem_axes=SHARED,
     cache_axes=SHARED,
+    project=None,
 ) -> State:
     """Solve a batch of instances; each instance's trajectory through the ADMM
     loop is identical to its standalone :func:`..solver.admm.solve`.
 
     ``problem_axes``/``cache_axes`` select shared (``None``) or per-instance
     (``0``) problem data — shared is the "10k perturbed scenarios, one plant"
-    configuration; batched is the random-plant sweep.
+    configuration; batched is the random-plant sweep. ``project`` overrides
+    the slack projection per :func:`..solver.admm.admm_iteration` (the
+    second-order-cone extension, :mod:`.cones`).
 
     With ``check_termination == 0`` this is a fixed-iteration ``fori_loop``
     over the whole batch (deterministic benchmarking mode).
     """
     iterate = jax.vmap(
-        lambda s, p, c: admm_iteration(s, p, c, settings),
+        lambda s, p, c: admm_iteration(s, p, c, settings, project=project),
         in_axes=(0, problem_axes, cache_axes),
     )
 

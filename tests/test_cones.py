@@ -1,0 +1,203 @@
+"""Second-order-cone constraint extension (solver/cones.py) — a capability
+beyond the reference's box-only slack projection (reference:
+src/tinympc/admm.cpp:45-61)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.solver import admm
+from accelerated_tinympc_tpu.solver.batched import (
+    init_state_batched,
+    solve_batched,
+)
+from accelerated_tinympc_tpu.solver.cones import (
+    Cone,
+    ConeSet,
+    cone_slack_update,
+    cone_violation,
+    project_cone,
+)
+
+THRUST_CONE = Cone(ball=(0, 1), axis=2, mu=0.5)
+
+
+def _in_cone(w, cone, tol=1e-6):
+    v = np.asarray(w)[..., list(cone.ball)]
+    a = np.linalg.norm(v, axis=-1)
+    return np.all(a <= cone.mu * np.asarray(w)[..., cone.axis] + tol)
+
+
+def test_projection_cases():
+    """The three closed-form cases: interior unchanged, polar to zero,
+    otherwise onto the boundary with the residual orthogonal to the cone."""
+    cone = THRUST_CONE
+    inside = jnp.asarray([0.1, 0.1, 1.0, 7.0])
+    np.testing.assert_allclose(
+        np.asarray(project_cone(inside, cone)), np.asarray(inside)
+    )
+
+    polar = jnp.asarray([0.2, 0.0, -1.0, -3.0])  # mu*||v|| <= -s
+    got = np.asarray(project_cone(polar, cone))
+    np.testing.assert_allclose(got[:3], 0.0, atol=1e-7)
+    assert got[3] == -3.0  # untouched coordinate
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 4)) * 2.0, jnp.float32)
+    p = project_cone(w, cone)
+    assert _in_cone(p, cone)
+    # Projection is idempotent and the boundary case lands on the boundary.
+    np.testing.assert_allclose(
+        np.asarray(project_cone(p, cone)), np.asarray(p), atol=1e-6
+    )
+    # Euclidean optimality: no feasible perturbation is closer to w.
+    pn, wn = np.asarray(p), np.asarray(w)
+    d0 = np.linalg.norm(pn - wn, axis=-1)
+    for _ in range(20):
+        q = pn + rng.standard_normal(pn.shape).astype(np.float32) * 0.05
+        # pull candidate into the cone exactly
+        q = np.asarray(project_cone(jnp.asarray(q), cone))
+        d1 = np.linalg.norm(q - wn, axis=-1)
+        assert np.all(d0 <= d1 + 1e-5)
+
+
+def test_shifted_cone():
+    """A shift translates the apex: projection onto the shifted cone equals
+    shift-project-unshift with the unshifted cone (hover-relative thrust
+    cones, Cone.shift)."""
+    base = Cone(ball=(0, 1), axis=2, mu=0.8)
+    shifted = base._replace(shift=2.5)
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((64, 4)) * 3.0, jnp.float32)
+    got = project_cone(w, shifted)
+    w_shift = w.at[..., 2].add(2.5)
+    want = project_cone(w_shift, base).at[..., 2].add(-2.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    assert float(cone_violation(got, shifted)) <= 1e-6
+
+
+def test_no_cones_is_identity_path():
+    """An empty ConeSet produces bit-identical results to the plain solve
+    (the golden-verified path is untouched)."""
+    problem, cache, x0 = atm.models.quadrotor_hovering_setup()
+    settings = atm.Settings(max_iter=30, check_termination=0)
+    state = atm.set_x0(atm.init_state(12, 4, 10), jnp.asarray(x0))
+    plain = jax.jit(lambda s: admm.solve(s, problem, cache, settings))(state)
+    coned = jax.jit(
+        lambda s: admm.solve(
+            s, problem, cache, settings,
+            project=cone_slack_update(ConeSet()),
+        )
+    )(state)
+    np.testing.assert_array_equal(np.asarray(plain.u), np.asarray(coned.u))
+    np.testing.assert_array_equal(np.asarray(plain.x), np.asarray(coned.x))
+
+
+def _landing_setup(horizon=15, dt=0.1):
+    """3D point-mass double integrator — the canonical SOC-MPC plant
+    (powered descent / thrust-tilt). x = [pos(3), vel(3)], u = accel(3)."""
+    I3 = np.eye(3)
+    A = np.block([[I3, dt * I3], [0 * I3, I3]])
+    B = np.vstack([0.5 * dt * dt * I3, dt * I3])
+    Q = np.concatenate([np.full(3, 10.0), np.full(3, 1.0)])
+    R = np.full(3, 1.0)
+    rho = 1.0
+    problem = atm.Problem(
+        A=jnp.asarray(A, jnp.float32),
+        B=jnp.asarray(B, jnp.float32),
+        Q=jnp.asarray(Q, jnp.float32),
+        R=jnp.asarray(R, jnp.float32),
+        u_min=jnp.full((horizon - 1, 3), -10.0, jnp.float32),
+        u_max=jnp.full((horizon - 1, 3), 10.0, jnp.float32),
+        x_min=jnp.full((horizon, 6), -100.0, jnp.float32),
+        x_max=jnp.full((horizon, 6), 100.0, jnp.float32),
+        Xref=jnp.zeros((horizon, 6), jnp.float32),
+        Uref=jnp.zeros((horizon - 1, 3), jnp.float32),
+    )
+    from accelerated_tinympc_tpu.precompute import riccati_cache
+
+    cache = riccati_cache(A, B, Q, R, rho)
+    return problem, cache
+
+
+def test_thrust_cone_end_to_end():
+    """Thrust-tilt input cone ||u_xy|| <= mu * u_z on the landing plant: the
+    unconstrained solve violates it (braking sideways costs nothing
+    vertically), the coned solve converges with the cone satisfied and the
+    applied control in consensus with the slack."""
+    problem, cache = _landing_setup()
+    cone = Cone(ball=(0, 1), axis=2, mu=1.0)
+    x0 = jnp.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5], jnp.float32)
+    # Cone only (boxes disabled) — the exact-projection single-set case.
+    settings = atm.Settings(
+        max_iter=1000, check_termination=1,
+        en_input_bound=False, en_state_bound=False,
+    )
+    state = atm.set_x0(atm.init_state(6, 3, 15), x0)
+
+    plain = jax.jit(lambda s: admm.solve(s, problem, cache, settings))(state)
+    assert float(cone_violation(plain.znew, cone)) > 0.1  # cone is binding
+
+    cones = ConeSet(input_cones=(cone,))
+    res = jax.jit(
+        lambda s: admm.solve(
+            s, problem, cache, settings, project=cone_slack_update(cones)
+        )
+    )(state)
+    assert int(res.status) == atm.types.SOLVED
+    assert float(cone_violation(res.znew, cone)) <= 1e-6
+    # Primal/slack consensus: applied u is within tolerance of the cone.
+    assert float(jnp.max(jnp.abs(res.u - res.znew))) < 2e-3
+    assert float(cone_violation(res.u, cone)) < 5e-3
+
+
+def test_batched_matches_single():
+    """solve_batched with a cone projection reproduces per-instance single
+    solves exactly (vmap semantics hold for the override)."""
+    problem, cache, x0 = atm.models.quadrotor_hovering_setup()
+    cones = ConeSet(input_cones=(THRUST_CONE,))
+    project = cone_slack_update(cones)
+    settings = atm.Settings(max_iter=40, check_termination=0)
+    rng = np.random.default_rng(1)
+    B = 6
+    x0s = jnp.asarray(
+        np.asarray(x0)[None] + rng.standard_normal((B, 12)) * 0.5,
+        jnp.float32,
+    )
+    st = init_state_batched(B, 12, 4, 10)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    batched = jax.jit(
+        lambda s: solve_batched(s, problem, cache, settings, project=project)
+    )(st)
+    for b in range(B):
+        single = jax.jit(
+            lambda s: admm.solve(s, problem, cache, settings, project=project)
+        )(atm.set_x0(atm.init_state(12, 4, 10), x0s[b]))
+        # atol 5e-5: vmap changes how XLA fuses the cone-norm arithmetic,
+        # so batched and single round differently (measured 1.1e-5 worst).
+        np.testing.assert_allclose(
+            np.asarray(batched.u[b]), np.asarray(single.u), rtol=0, atol=5e-5
+        )
+
+
+def test_state_cone():
+    """Glideslope cone on position, ||pos_xy|| <= mu * pos_z: the approach
+    trajectory stays inside the cone (x0 itself must satisfy it — like a
+    violated state box, an infeasible x0 can never reach consensus)."""
+    problem, cache = _landing_setup()
+    cone = Cone(ball=(0, 1), axis=2, mu=1.5)
+    cones = ConeSet(state_cones=(cone,))
+    settings = atm.Settings(
+        max_iter=1000, check_termination=1,
+        en_input_bound=False, en_state_bound=False,
+    )
+    x0 = jnp.asarray([2.0, 1.0, 4.0, 1.5, 0.0, -1.0], jnp.float32)
+    state = atm.set_x0(atm.init_state(6, 3, 15), x0)
+    res = jax.jit(
+        lambda s: admm.solve(
+            s, problem, cache, settings, project=cone_slack_update(cones)
+        )
+    )(state)
+    assert int(res.status) == atm.types.SOLVED
+    assert float(cone_violation(res.vnew, cone)) <= 1e-6
