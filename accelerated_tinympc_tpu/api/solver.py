@@ -48,6 +48,22 @@ _solve_single = jax.jit(admm.solve)
 _solve_batched = jax.jit(solve_batched)
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_solve_cones(cones, batched: bool):
+    # ConeSet is a NamedTuple of NamedTuples of static Python values —
+    # hashable, so each cone configuration compiles once.
+    from ..solver.cones import cone_slack_update
+
+    project = cone_slack_update(cones)
+    if batched:
+        return jax.jit(
+            lambda s, p, c, st: solve_batched(s, p, c, st, project=project)
+        )
+    return jax.jit(
+        lambda s, p, c, st: admm.solve(s, p, c, st, project=project)
+    )
+
+
 @functools.lru_cache(maxsize=1)
 def _jit_solve_condensed():
     from ..solver.condensed import solve_condensed
@@ -92,6 +108,9 @@ class TinyMPC:
     # "bf16x3" (3-pass split bf16 + f32 polish — ~1.5x throughput, ~2e-5
     # control error; fixed-iteration mode only, see ops/fused_admm.py).
     algo: str = "f32"
+    # Second-order-cone constraints (solver/cones.py) — scan tier only (the
+    # operator tiers bake box-projection structure; see from_parts).
+    cones: Any = None
     # tier-internal precompute (built lazily)
     _ops: CondensedOperators | None = None
     _pp: PaddedProblem | None = None
@@ -120,6 +139,7 @@ class TinyMPC:
         tier: str = "scan",
         interpret: bool = False,
         dtype: Any = jnp.float32,
+        cones: Any = None,
     ) -> "TinyMPC":
         """Construct + precompute. Bounds default to ±inf (disabled in
         Settings when not provided, mirroring the reference's nullptr-enable
@@ -159,7 +179,7 @@ class TinyMPC:
         )
         return cls.from_parts(
             problem, cache, settings=settings, batch=batch, tier=tier,
-            interpret=interpret,
+            interpret=interpret, cones=cones,
         )
 
     @classmethod
@@ -173,9 +193,15 @@ class TinyMPC:
         tier: str = "scan",
         interpret: bool = False,
         algo: str = "f32",
+        cones: Any = None,
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
+        if cones is not None and tier != "scan":
+            raise ValueError(
+                "cones require the scan tier (the condensed/fused tiers "
+                "bake box-only projection into their operators)"
+            )
         self = cls(
             problem=problem,
             cache=cache,
@@ -184,6 +210,7 @@ class TinyMPC:
             tier=tier,
             interpret=interpret,
             algo=algo,
+            cones=cones,
         )
         self._reset_state()
         return self
@@ -298,14 +325,22 @@ class TinyMPC:
         if self.tier == "condensed":
             return self._solve_condensed()
         if self.batch is None:
-            self.state = _solve_single(
+            fn = (
+                _jit_solve_cones(self.cones, batched=False)
+                if self.cones is not None else _solve_single
+            )
+            self.state = fn(
                 self.state, self.problem, self.cache, self.settings
             )
             return {
                 "iterations": int(self.state.iter),
                 "solved": bool(self.state.status == 1),
             }
-        self.state = _solve_batched(
+        fn = (
+            _jit_solve_cones(self.cones, batched=True)
+            if self.cones is not None else _solve_batched
+        )
+        self.state = fn(
             self.state, self.problem, self.cache, self.settings
         )
         return {

@@ -500,7 +500,7 @@ def stream_solve(
     x0p = _pack(x0[:, None, :], B, SX)[:, 0]  # (NT, SX, LANES)
 
     grid = (NT,)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     def vmem(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

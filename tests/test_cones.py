@@ -181,6 +181,30 @@ def test_batched_matches_single():
         )
 
 
+def test_api_cones():
+    """TinyMPC surfaces cones (scan tier): the solved trajectory satisfies
+    the cone, and operator tiers reject cones with a clear error."""
+    import pytest
+
+    problem, cache = _landing_setup()
+    cone = Cone(ball=(0, 1), axis=2, mu=1.0)
+    cones = ConeSet(input_cones=(cone,))
+    settings = atm.Settings(
+        max_iter=1000, check_termination=1,
+        en_input_bound=False, en_state_bound=False,
+    )
+    mpc = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, cones=cones
+    )
+    mpc.set_x0(np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5], np.float32))
+    info = mpc.solve()
+    assert info["solved"]
+    assert float(cone_violation(mpc.state.znew, cone)) <= 1e-6
+
+    with pytest.raises(ValueError, match="scan tier"):
+        atm.TinyMPC.from_parts(problem, cache, tier="condensed", cones=cones)
+
+
 def test_state_cone():
     """Glideslope cone on position, ||pos_xy|| <= mu * pos_z: the approach
     trajectory stays inside the cone (x0 itself must satisfy it — like a
