@@ -111,6 +111,10 @@ class TinyMPC:
     # Second-order-cone constraints (solver/cones.py) — scan tier only (the
     # operator tiers bake box-projection structure; see from_parts).
     cones: Any = None
+    # Fused tier, adaptive mode: > 0 enables the early-termination compaction
+    # cascade (solver/cascade.py) with this segment length (must be a
+    # multiple of check_termination). 0 = one monolithic adaptive call.
+    compaction_segment: int = 0
     # tier-internal precompute (built lazily)
     _ops: CondensedOperators | None = None
     _pp: PaddedProblem | None = None
@@ -140,6 +144,7 @@ class TinyMPC:
         interpret: bool = False,
         dtype: Any = jnp.float32,
         cones: Any = None,
+        compaction_segment: int = 0,
     ) -> "TinyMPC":
         """Construct + precompute. Bounds default to ±inf (disabled in
         Settings when not provided, mirroring the reference's nullptr-enable
@@ -180,6 +185,7 @@ class TinyMPC:
         return cls.from_parts(
             problem, cache, settings=settings, batch=batch, tier=tier,
             interpret=interpret, cones=cones,
+            compaction_segment=compaction_segment,
         )
 
     @classmethod
@@ -194,6 +200,7 @@ class TinyMPC:
         interpret: bool = False,
         algo: str = "f32",
         cones: Any = None,
+        compaction_segment: int = 0,
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
@@ -211,6 +218,7 @@ class TinyMPC:
             interpret=interpret,
             algo=algo,
             cones=cones,
+            compaction_segment=compaction_segment,
         )
         self._reset_state()
         return self
@@ -383,14 +391,29 @@ class TinyMPC:
         x0 = self.state.x[..., 0, :]
         if self.batch is None:
             x0 = x0[None]
-        res = _jit_fused(
-            self.settings.max_iter, self.settings.check_termination,
-            min(DEFAULT_BATCH_TILE, x0.shape[0]), self.interpret, self.algo,
-        )(
-            x0, self._fused_carry, self._pp,
-            jnp.float32(self.settings.abs_pri_tol),
-            jnp.float32(self.settings.abs_dua_tol),
-        )
+        if self.compaction_segment and self.settings.check_termination > 0:
+            from ..solver.cascade import cascade_solve
+
+            res = cascade_solve(
+                x0, self._fused_carry, self._pp,
+                max_iter=self.settings.max_iter,
+                check_termination=self.settings.check_termination,
+                segment_iters=self.compaction_segment,
+                abs_pri_tol=float(self.settings.abs_pri_tol),
+                abs_dua_tol=float(self.settings.abs_dua_tol),
+                batch_tile=min(DEFAULT_BATCH_TILE, x0.shape[0]),
+                interpret=self.interpret,
+            )
+        else:
+            res = _jit_fused(
+                self.settings.max_iter, self.settings.check_termination,
+                min(DEFAULT_BATCH_TILE, x0.shape[0]), self.interpret,
+                self.algo,
+            )(
+                x0, self._fused_carry, self._pp,
+                jnp.float32(self.settings.abs_pri_tol),
+                jnp.float32(self.settings.abs_dua_tol),
+            )
         self._fused_carry = res.carry
         self._fused_result = res
         stats = np.asarray(res.stats)

@@ -15,6 +15,7 @@ from .batched_ops import (  # noqa: F401
     solve_instance_ops,
 )
 from .assoc_scan import solve_assoc  # noqa: F401
+from .cascade import cascade_solve  # noqa: F401
 from .cones import (  # noqa: F401
     Cone,
     ConeSet,

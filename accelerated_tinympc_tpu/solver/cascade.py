@@ -1,0 +1,240 @@
+"""Early-termination compaction cascade over the fused adaptive kernel.
+
+The adaptive fused kernel freezes converged instances in place: their SIMD
+lanes keep executing full iterations and the results are masked out at the
+end (ops/fused_admm.py ``_kernel_adaptive``).  That is semantically exact but
+means one straggler pins every lane of its dispatch at ``max_iter`` cost —
+the reference has the same all-or-nothing structure per solve, just with a
+batch of one (reference: src/tinympc/admm.cpp:117-152, the loop either exits
+for *the* problem or runs on).
+
+:func:`cascade_solve` reclaims that compute at the dispatch level, where TPU
+static shapes allow it: run the kernel ``segment_iters`` iterations at a
+time, pull converged instances out of the batch between segments, and
+re-dispatch only the survivors, compacted into power-of-two buckets (each
+bucket size compiles once; the pow-2 ladder bounds the number of kernel
+variants at log2(B)).  Because the kernel's whole loop state is the
+:class:`..ops.fused_admm.FusedCarry` (the per-iteration map consumes only
+D/Y/G, with Z/V entering residuals alone) and checks fire at in-call
+iteration multiples of ``check_termination``, a segment boundary at a
+multiple of the check interval is invisible to the iterate sequence: the
+cascade is *iteration-exact* against one long adaptive call — same iteration
+counts, same convergence flags, same check schedule (tests/test_cascade.py).
+Iterate values are bit-identical at ``pack=1``; with lane-packed instances
+(g > 1) compaction can move an instance to a different slot within its
+128-lane row, which regroups the partial sums of its own dot-product terms
+and rounds differently — a few f32 ulp on the iterates.  That can only
+alter scheduling if a residual sits within an ulp of the tolerance at a
+check (the same knife-edge on which any reordering — retiling, resharding —
+already sits).
+
+Cost model: one long call costs ``B * max_iter`` lane-iterations; the
+cascade costs ``sum_s bucket_s * segment_iters`` + a host sync per segment
+(~1 ms) + one compile per new bucket size.  On workloads where most
+instances converge early (warm-started MPC re-solves, mixed-difficulty
+sweeps) the reclaimed tail dominates; for tightly-clustered convergence use
+one plain :func:`..ops.fused_admm.fused_solve` call.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fused_admm import (
+    DEFAULT_BATCH_TILE,
+    FusedCarry,
+    FusedResult,
+    PaddedProblem,
+    fused_solve,
+)
+
+__all__ = ["cascade_solve"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_segment(seg_iters, check_every, batch_tile, warmup, interpret, algo):
+    """One compiled cascade segment per (bucket shape enters via tracing)."""
+
+    def fn(x0, carry, pp, pri_tol, dua_tol, xref_q, pterm_c):
+        return fused_solve(
+            x0, carry, pp, max_iter=seg_iters,
+            check_termination=check_every,
+            abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
+            batch_tile=batch_tile, warmup_iters=warmup,
+            interpret=interpret, xref_q=xref_q, pterm_c=pterm_c, algo=algo,
+        )
+
+    # The Pallas interpreter rejects jit-of-pallas on CPU; eager is fine
+    # there (tests only) — same policy as api/solver._jit_fused.
+    return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_compact(interpret):
+    """Gather the surviving instances' x0/carry into the next bucket in one
+    dispatch (jit retraces per (in-shape, out-shape) pair automatically)."""
+
+    def fn(x0_b, carry, loc):
+        return x0_b[loc], jax.tree.map(lambda a: a[loc], carry)
+
+    return fn if interpret else jax.jit(fn)
+
+
+def cascade_solve(
+    x0: jax.Array,
+    carry: FusedCarry,
+    pp: PaddedProblem,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 1,
+    segment_iters: int | None = None,
+    segment_growth: float = 2.0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    min_bucket: int | None = None,
+    warmup_iters: int = 0,
+    interpret: bool = False,
+    xref_q: jax.Array | None = None,
+    pterm_c: jax.Array | None = None,
+) -> FusedResult:
+    """Adaptive fused solve with between-segment batch compaction.
+
+    Drop-in equivalent of ``fused_solve(..., check_termination>0)`` — same
+    arguments, same :class:`FusedResult` (full original batch order) — but
+    converged instances stop consuming lanes at the next segment boundary.
+
+    ``segment_iters`` (default: ~25, rounded to a multiple of
+    ``check_termination``) must be a multiple of ``check_termination`` so the
+    in-call check schedule composes to the single-call schedule.  Segments
+    grow geometrically by ``segment_growth`` (rounded to check multiples):
+    the survivors of each compaction are the hard instances, which converge
+    rarely — longer late segments trade (useless) compaction opportunities
+    for fewer dispatches, which matters when per-dispatch latency is
+    non-trivial (a remote-attached TPU pays ~tens of ms per dispatch; set
+    ``segment_growth=1.0`` for fixed segments on locally-attached chips).
+    ``warmup_iters`` applies to the first segment only.  This is a host-side
+    orchestration loop (one device sync per segment) — not jittable; call it
+    from the MPC outer loop, not inside one.
+    """
+    if check_termination <= 0:
+        raise ValueError(
+            "cascade_solve requires adaptive mode (check_termination > 0); "
+            "fixed-iteration solves cannot converge early"
+        )
+    if segment_iters is None:
+        segment_iters = check_termination * max(
+            1, round(25 / check_termination)
+        )
+    if segment_iters % check_termination != 0:
+        raise ValueError(
+            f"segment_iters ({segment_iters}) must be a multiple of "
+            f"check_termination ({check_termination}) so the check schedule "
+            "matches a single adaptive call"
+        )
+    if warmup_iters >= segment_iters:
+        raise ValueError("warmup_iters must be < segment_iters")
+    if segment_growth < 1.0:
+        raise ValueError("segment_growth must be >= 1.0")
+
+    B = x0.shape[0]
+    if min_bucket is None:
+        min_bucket = min(batch_tile, B)
+
+    if max_iter <= segment_iters:
+        return fused_solve(
+            x0, carry, pp, max_iter=max_iter,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            batch_tile=batch_tile, warmup_iters=warmup_iters,
+            interpret=interpret, xref_q=xref_q, pterm_c=pterm_c,
+        )
+
+    pri = jnp.float32(abs_pri_tol)
+    dua = jnp.float32(abs_dua_tol)
+
+    # Current active block: device arrays of `bucket` rows whose first
+    # `n_active` rows are live instances (rest are duplicate padding), plus
+    # the host-side map from local row -> original batch index.  Per segment
+    # the device traffic is exactly: one kernel call, one n_active-float
+    # flag transfer, one jitted compaction gather.  Emitted rows are NOT
+    # gathered mid-loop (every eager gather is a dispatch round-trip, which
+    # over the TPU relay costs ~ms) — each segment's full result is kept and
+    # sliced once during final assembly.
+    active_idx = np.arange(B)
+    x0_b, carry_b = x0, carry
+    pieces: list[tuple[np.ndarray, np.ndarray, FusedResult, int]] = []
+    done_iters = 0
+    cur_seg = segment_iters
+    compact = _jit_compact(interpret)
+
+    while True:
+        n_active = active_idx.size
+        k = min(cur_seg, max_iter - done_iters)
+        seg = _jit_segment(
+            k, check_termination, batch_tile,
+            warmup_iters if done_iters == 0 else 0, interpret, "f32",
+        )
+        res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c)
+        done_iters += k
+        last = done_iters >= max_iter
+        solved = np.asarray(jax.device_get(res.stats[:n_active, 1])) > 0.5
+        emit = np.nonzero(solved | last)[0]
+        if emit.size:
+            pieces.append((active_idx[emit], emit, res, done_iters - k))
+        if last:
+            break
+        keep = np.nonzero(~solved)[0]
+        if keep.size == 0:
+            break
+        # Geometric segment growth, kept on the check-interval grid (any
+        # multiple-of-check segmentation preserves the global schedule).
+        cur_seg = max(
+            check_termination,
+            int(cur_seg * segment_growth)
+            // check_termination * check_termination,
+        )
+        active_idx = active_idx[keep]
+        bucket = min(B, max(min_bucket, _next_pow2(keep.size)))
+        local = np.concatenate([
+            keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
+        ])
+        x0_b, carry_b = compact(x0_b, res.carry, jnp.asarray(local))
+
+    # Assemble the full batch in original order (one-off eager work).
+    # Iteration counts and the solved flag compose as offset + in-segment
+    # value (unsolved lanes report the segment's max_iter = its full
+    # length, so offsets telescope).
+    order = np.concatenate([p[0] for p in pieces])
+    inv = np.empty(B, np.int64)
+    inv[order] = np.arange(B)
+    inv_dev = jnp.asarray(inv)
+
+    offs = jnp.concatenate([
+        jnp.full((p[0].size,), float(p[3]), jnp.float32) for p in pieces
+    ])
+    sliced = [
+        (jnp.asarray(emit), res) for _, emit, res, _ in pieces
+    ]
+    stats = jnp.concatenate([r.stats[e] for e, r in sliced], axis=0)
+    stats = stats.at[:, 0].add(offs)
+    out = FusedResult(
+        U=jnp.concatenate([r.U[e] for e, r in sliced], axis=0)[inv_dev],
+        X=jnp.concatenate([r.X[e] for e, r in sliced], axis=0)[inv_dev],
+        carry=FusedCarry(*[
+            jnp.concatenate(
+                [getattr(r.carry, f)[e] for e, r in sliced], axis=0
+            )[inv_dev]
+            for f in FusedCarry._fields
+        ]),
+        stats=stats[inv_dev],
+    )
+    return out
