@@ -29,8 +29,12 @@ check (the same knife-edge on which any reordering — retiling, resharding —
 already sits).
 
 Cost model: one long call costs ``B * max_iter`` lane-iterations; the
-cascade costs ``sum_s bucket_s * segment_iters`` + a host sync per segment
-(~1 ms) + one compile per new bucket size.  On workloads where most
+cascade costs ``sum_s bucket_s * segment_iters`` plus exactly three device
+round-trips per segment (kernel dispatch; jitted scatter-into-output +
+solved-flag readback; jitted compaction gather) and one compile per new
+bucket size.  Results land in preallocated output buffers via per-segment
+donated scatters — there is no final assembly pass, so the per-solve
+overhead stays flat as segments accumulate.  On workloads where most
 instances converge early (warm-started MPC re-solves, mixed-difficulty
 sweeps) the reclaimed tail dominates; for tightly-clustered convergence use
 one plain :func:`..ops.fused_admm.fused_solve` call.
@@ -86,6 +90,52 @@ def _jit_compact(interpret):
         return x0_b[loc], jax.tree.map(lambda a: a[loc], carry)
 
     return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_scatter(interpret):
+    """Scatter one segment's full result rows into the (B+1)-row output
+    buffers at their original batch indices (padding rows target row B, the
+    discard slot) and hand back the solved-flag column for host bucket
+    sizing.  One dispatch per segment; buffers are donated so the update is
+    in place on device.  Later segments overwrite the rows that kept
+    iterating, so segment order gives last-write-wins assembly for free."""
+
+    def fn(out, res, idx, off):
+        rows = (res.U, res.X, res.stats.at[:, 0].add(off)) + tuple(res.carry)
+        out = tuple(
+            buf.at[idx].set(r) for buf, r in zip(out, rows)
+        )
+        return out, res.stats[:, 1]
+
+    return fn if interpret else jax.jit(fn, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_scatter_init(interpret):
+    """First-segment variant of :func:`_jit_scatter`: creates the zeroed
+    (B+1)-row buffers inside the same dispatch (XLA fuses the zero-fill
+    into the scatter), saving the per-leaf eager allocations."""
+
+    def fn(res, idx, B, off):
+        rows = (res.U, res.X, res.stats.at[:, 0].add(off)) + tuple(res.carry)
+        out = tuple(
+            jnp.zeros((B + 1, r.shape[1]), r.dtype).at[idx].set(r)
+            for r in rows
+        )
+        return out, res.stats[:, 1]
+
+    return fn if interpret else jax.jit(fn, static_argnums=2)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_finalize(interpret):
+    """Drop the discard row from every output buffer in one dispatch."""
+
+    def fn(out, B):
+        return tuple(a[:B] for a in out)
+
+    return fn if interpret else jax.jit(fn, static_argnums=1)
 
 
 def cascade_solve(
@@ -164,17 +214,20 @@ def cascade_solve(
     # Current active block: device arrays of `bucket` rows whose first
     # `n_active` rows are live instances (rest are duplicate padding), plus
     # the host-side map from local row -> original batch index.  Per segment
-    # the device traffic is exactly: one kernel call, one n_active-float
-    # flag transfer, one jitted compaction gather.  Emitted rows are NOT
-    # gathered mid-loop (every eager gather is a dispatch round-trip, which
-    # over the TPU relay costs ~ms) — each segment's full result is kept and
-    # sliced once during final assembly.
-    active_idx = np.arange(B)
+    # the device traffic is exactly three round-trips: the kernel call, one
+    # jitted scatter of the segment's rows into the (B+1)-row output buffers
+    # (returning the solved column for bucket sizing — padding rows scatter
+    # to the discard row B), and one jitted compaction gather.  Iteration
+    # counts compose as offset + in-segment value under last-write-wins
+    # (unsolved lanes report the segment's full length, so offsets
+    # telescope across overwrites).
+    active_idx = np.arange(B, dtype=np.int32)
     x0_b, carry_b = x0, carry
-    pieces: list[tuple[np.ndarray, np.ndarray, FusedResult, int]] = []
     done_iters = 0
     cur_seg = segment_iters
     compact = _jit_compact(interpret)
+    scatter = _jit_scatter(interpret)
+    out = None
 
     while True:
         n_active = active_idx.size
@@ -184,14 +237,21 @@ def cascade_solve(
             warmup_iters if done_iters == 0 else 0, interpret, "f32",
         )
         res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c)
+        idx = np.full(res.stats.shape[0], B, np.int32)
+        idx[:n_active] = active_idx
+        if out is None:
+            # Row B is the discard slot for padding rows.
+            out, solved_col = _jit_scatter_init(interpret)(
+                res, jnp.asarray(idx), B, jnp.float32(done_iters)
+            )
+        else:
+            out, solved_col = scatter(
+                out, res, jnp.asarray(idx), jnp.float32(done_iters)
+            )
         done_iters += k
-        last = done_iters >= max_iter
-        solved = np.asarray(jax.device_get(res.stats[:n_active, 1])) > 0.5
-        emit = np.nonzero(solved | last)[0]
-        if emit.size:
-            pieces.append((active_idx[emit], emit, res, done_iters - k))
-        if last:
+        if done_iters >= max_iter:
             break
+        solved = np.asarray(jax.device_get(solved_col))[:n_active] > 0.5
         keep = np.nonzero(~solved)[0]
         if keep.size == 0:
             break
@@ -209,32 +269,8 @@ def cascade_solve(
         ])
         x0_b, carry_b = compact(x0_b, res.carry, jnp.asarray(local))
 
-    # Assemble the full batch in original order (one-off eager work).
-    # Iteration counts and the solved flag compose as offset + in-segment
-    # value (unsolved lanes report the segment's max_iter = its full
-    # length, so offsets telescope).
-    order = np.concatenate([p[0] for p in pieces])
-    inv = np.empty(B, np.int64)
-    inv[order] = np.arange(B)
-    inv_dev = jnp.asarray(inv)
-
-    offs = jnp.concatenate([
-        jnp.full((p[0].size,), float(p[3]), jnp.float32) for p in pieces
-    ])
-    sliced = [
-        (jnp.asarray(emit), res) for _, emit, res, _ in pieces
-    ]
-    stats = jnp.concatenate([r.stats[e] for e, r in sliced], axis=0)
-    stats = stats.at[:, 0].add(offs)
-    out = FusedResult(
-        U=jnp.concatenate([r.U[e] for e, r in sliced], axis=0)[inv_dev],
-        X=jnp.concatenate([r.X[e] for e, r in sliced], axis=0)[inv_dev],
-        carry=FusedCarry(*[
-            jnp.concatenate(
-                [getattr(r.carry, f)[e] for e, r in sliced], axis=0
-            )[inv_dev]
-            for f in FusedCarry._fields
-        ]),
-        stats=stats[inv_dev],
+    # Drop the discard row; outputs are already in original batch order.
+    out = _jit_finalize(interpret)(out, B)
+    return FusedResult(
+        U=out[0], X=out[1], carry=FusedCarry(*out[3:]), stats=out[2],
     )
-    return out
