@@ -64,11 +64,14 @@ def _jit_solve_cones(cones, batched: bool):
     )
 
 
-@functools.lru_cache(maxsize=1)
-def _jit_solve_condensed():
+@functools.lru_cache(maxsize=8)
+def _jit_solve_condensed(cones=None, nu=None):
     from ..solver.condensed import solve_condensed
 
-    return jax.jit(solve_condensed, static_argnums=(4,))
+    def fn(s, fp, ops, settings, nx):
+        return solve_condensed(s, fp, ops, settings, nx, cones=cones, nu=nu)
+
+    return jax.jit(fn, static_argnums=(4,))
 
 
 @functools.lru_cache(maxsize=16)
@@ -108,8 +111,8 @@ class TinyMPC:
     # "bf16x3" (3-pass split bf16 + f32 polish — ~1.5x throughput, ~2e-5
     # control error; fixed-iteration mode only, see ops/fused_admm.py).
     algo: str = "f32"
-    # Second-order-cone constraints (solver/cones.py) — scan tier only (the
-    # operator tiers bake box-projection structure; see from_parts).
+    # Second-order-cone constraints (solver/cones.py) — scan and condensed
+    # tiers (the fused kernel bakes box-projection structure; see from_parts).
     cones: Any = None
     # Fused tier, adaptive mode: > 0 enables the early-termination compaction
     # cascade (solver/cascade.py) with this segment length (must be a
@@ -204,10 +207,10 @@ class TinyMPC:
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
-        if cones is not None and tier != "scan":
+        if cones is not None and tier == "fused":
             raise ValueError(
-                "cones require the scan tier (the condensed/fused tiers "
-                "bake box-only projection into their operators)"
+                "cones require the scan or condensed tier (the fused "
+                "kernel bakes box-only projection; see solver/cones.py)"
             )
         self = cls(
             problem=problem,
@@ -370,7 +373,7 @@ class TinyMPC:
         if single:
             state = jax.tree.map(lambda a: a[None], state)
         fp = flatten_problem(self.problem, self.cache)
-        out = _jit_solve_condensed()(
+        out = _jit_solve_condensed(self.cones, nu if self.cones else None)(
             flat_from_state(state, nx, nu), fp, ops, self.settings, nx
         )
         state = state_from_flat(out, nx, nu, N)

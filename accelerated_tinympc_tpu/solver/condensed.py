@@ -120,10 +120,21 @@ def condensed_iteration(
     ops: CondensedOperators,
     settings: Settings,
     nx: int,
+    *,
+    cones=None,
+    nu: int | None = None,
 ) -> FlatState:
     """One ADMM iteration, condensed. Mirrors reference
     src/tinympc/admm.cpp:117-150 stage order exactly; see :mod:`.admm` for the
-    semantics being reproduced."""
+    semantics being reproduced.
+
+    ``cones`` (a :class:`..solver.cones.ConeSet`, static metadata) appends
+    exact second-order-cone projections to the slack stage, composed after
+    the box clip exactly as the scan tier's
+    :func:`..solver.cones.cone_slack_update` — the flat slacks are viewed
+    per-knot for the projection, so numerics match the scan tier
+    bit-for-bit.  Requires ``nu`` (the flat layout alone does not determine
+    the knot width)."""
     s = s.replace(iter=s.iter + 1)
 
     # --- forward pass: X = x0 Fx0^T + D Fd^T; U = x0 Gx0^T + D Gd^T ----------
@@ -138,6 +149,21 @@ def condensed_iteration(
         Znew = jnp.clip(Znew, fp.u_min, fp.u_max)
     if settings.en_state_bound:
         Vnew = jnp.clip(Vnew, fp.x_min, fp.x_max)
+    if cones is not None and (cones.input_cones or cones.state_cones):
+        from .cones import project_cone
+
+        if cones.input_cones:
+            if nu is None:
+                raise ValueError("cones on the condensed tier require nu")
+            Zk = Znew.reshape(Znew.shape[0], -1, nu)
+            for cone in cones.input_cones:
+                Zk = project_cone(Zk, cone)
+            Znew = Zk.reshape(Znew.shape[0], -1)
+        if cones.state_cones:
+            Vk = Vnew.reshape(Vnew.shape[0], -1, nx)
+            for cone in cones.state_cones:
+                Vk = project_cone(Vk, cone)
+            Vnew = Vk.reshape(Vnew.shape[0], -1)
     s = s.replace(Znew=Znew, Vnew=Vnew)
 
     # --- dual ascent (admm.cpp:67-71) ----------------------------------------
@@ -195,10 +221,17 @@ def solve_condensed(
     ops: CondensedOperators,
     settings: Settings,
     nx: int,
+    *,
+    cones=None,
+    nu: int | None = None,
 ) -> FlatState:
     """Condensed batched ADMM loop; same freeze-on-converge semantics as
-    :func:`.batched.solve_batched`."""
+    :func:`.batched.solve_batched`. ``cones``/``nu`` as in
+    :func:`condensed_iteration`."""
     batch = s.iter.shape[0]
+    step = lambda st: condensed_iteration(
+        st, fp, ops, settings, nx, cones=cones, nu=nu
+    )
     s = s.replace(
         status=jnp.full((batch,), UNSOLVED, s.status.dtype),
         iter=jnp.zeros((batch,), s.iter.dtype),
@@ -207,7 +240,7 @@ def solve_condensed(
         return jax.lax.fori_loop(
             0,
             settings.max_iter,
-            lambda _, st: condensed_iteration(st, fp, ops, settings, nx),
+            lambda _, st: step(st),
             s,
         )
 
@@ -218,7 +251,7 @@ def solve_condensed(
             mask = done.reshape(done.shape + (1,) * (a.ndim - 1))
             return jnp.where(mask, a, b)
 
-        return jax.tree.map(sel, st, condensed_iteration(st, fp, ops, settings, nx))
+        return jax.tree.map(sel, st, step(st))
 
     def cond(st: FlatState) -> jax.Array:
         return jnp.any((st.iter < settings.max_iter) & (st.status != SOLVED))

@@ -183,7 +183,7 @@ def test_batched_matches_single():
 
 def test_api_cones():
     """TinyMPC surfaces cones (scan tier): the solved trajectory satisfies
-    the cone, and operator tiers reject cones with a clear error."""
+    the cone, and the fused tier rejects cones with a clear error."""
     import pytest
 
     problem, cache = _landing_setup()
@@ -201,8 +201,60 @@ def test_api_cones():
     assert info["solved"]
     assert float(cone_violation(mpc.state.znew, cone)) <= 1e-6
 
-    with pytest.raises(ValueError, match="scan tier"):
-        atm.TinyMPC.from_parts(problem, cache, tier="condensed", cones=cones)
+    with pytest.raises(ValueError, match="condensed tier"):
+        atm.TinyMPC.from_parts(problem, cache, tier="fused", cones=cones)
+
+
+def test_condensed_tier_cones():
+    """The condensed (MXU-operator) tier supports cones: same solution as
+    the scan tier, reachable through TinyMPC(tier="condensed", cones=...)."""
+    problem, cache = _landing_setup()
+    cone = Cone(ball=(0, 1), axis=2, mu=1.0)
+    cones = ConeSet(input_cones=(cone,))
+    settings = atm.Settings(
+        max_iter=400, check_termination=1,
+        en_input_bound=False, en_state_bound=False,
+    )
+    x0 = np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5], np.float32)
+
+    scan = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, cones=cones
+    )
+    cond = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, tier="condensed", cones=cones
+    )
+    for m in (scan, cond):
+        m.set_x0(x0)
+    i_scan = scan.solve()
+    i_cond = cond.solve()
+    assert i_cond["solved"]
+    # Identical check schedule and matching controls (the condensed sweeps
+    # regroup matmul partial sums, so a few f32 ulp of drift accumulate).
+    assert i_cond["iterations"] == i_scan["iterations"]
+    np.testing.assert_allclose(
+        np.asarray(cond.get_u()), np.asarray(scan.get_u()),
+        rtol=0, atol=5e-5,
+    )
+    assert float(cone_violation(cond.state.znew, cone)) <= 1e-6
+
+    # State cones on the condensed tier as well (glideslope).
+    gcones = ConeSet(state_cones=(Cone(ball=(0, 1), axis=2, mu=1.5),))
+    x0g = np.asarray([2.0, 1.0, 4.0, 1.5, 0.0, -1.0], np.float32)
+    scan_g = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, cones=gcones
+    )
+    cond_g = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, tier="condensed", cones=gcones
+    )
+    for m in (scan_g, cond_g):
+        m.set_x0(x0g)
+    i_s = scan_g.solve()
+    i_c = cond_g.solve()
+    assert i_c["solved"] and i_c["iterations"] == i_s["iterations"]
+    np.testing.assert_allclose(
+        np.asarray(cond_g.get_u()), np.asarray(scan_g.get_u()),
+        rtol=0, atol=5e-5,
+    )
 
 
 def test_state_cone():
