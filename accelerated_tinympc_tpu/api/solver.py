@@ -78,13 +78,15 @@ def _jit_solve_condensed(cones=None, nu=None):
 def _jit_fused(max_iter, check_termination, batch_tile, interpret,
                algo="f32"):
     # Tolerances are *traced* operands of the kernel (SMEM), so they stay out
-    # of the cache key — changing tolerances never recompiles.
-    def fn(x0, carry, pp, pri_tol, dua_tol):
+    # of the cache key — changing tolerances never recompiles. cone_ops is a
+    # pytree operand (its static cone counts key the jit cache internally).
+    def fn(x0, carry, pp, pri_tol, dua_tol, cone_ops=None):
         return fused_solve(
             x0, carry, pp, max_iter=max_iter,
             check_termination=check_termination,
             abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
             batch_tile=batch_tile, interpret=interpret, algo=algo,
+            cone_ops=cone_ops,
         )
 
     # The interpreter path rejects jit-of-pallas on CPU test runs; eager is
@@ -121,6 +123,7 @@ class TinyMPC:
     # tier-internal precompute (built lazily)
     _ops: CondensedOperators | None = None
     _pp: PaddedProblem | None = None
+    _cone_ops: Any = None
     # mutable solve state
     state: State | None = None
     _fused_carry: FusedCarry | None = None
@@ -207,11 +210,6 @@ class TinyMPC:
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
-        if cones is not None and tier == "fused":
-            raise ValueError(
-                "cones require the scan or condensed tier (the fused "
-                "kernel bakes box-only projection; see solver/cones.py)"
-            )
         self = cls(
             problem=problem,
             cache=cache,
@@ -268,6 +266,13 @@ class TinyMPC:
         self._pp = pad_problem(
             self._bounded_problem(), self.cache, self._ensure_ops()
         )
+        self._cone_ops = None
+        if self.cones is not None and (
+            self.cones.input_cones or self.cones.state_cones
+        ):
+            from ..ops.fused_admm import pad_cones
+
+            self._cone_ops = pad_cones(self._pp, self.cones)
 
     # ----------------------------------------------------------- setters ----
     # Functional analogues of the reference FFI setters
@@ -406,6 +411,7 @@ class TinyMPC:
                 abs_dua_tol=float(self.settings.abs_dua_tol),
                 batch_tile=min(DEFAULT_BATCH_TILE, x0.shape[0]),
                 interpret=self.interpret,
+                cone_ops=self._cone_ops,
             )
         else:
             res = _jit_fused(
@@ -416,6 +422,7 @@ class TinyMPC:
                 x0, self._fused_carry, self._pp,
                 jnp.float32(self.settings.abs_pri_tol),
                 jnp.float32(self.settings.abs_dua_tol),
+                self._cone_ops,
             )
         self._fused_carry = res.carry
         self._fused_result = res

@@ -252,6 +252,115 @@ def pad_problem(
     )
 
 
+@struct.dataclass
+class FusedConeOps:
+    """Lane-layout second-order-cone operands for the fused kernel
+    (built by :func:`pad_cones`; see :mod:`..solver.cones` for the cone
+    model and the closed-form projection being realized).
+
+    Per cone the kernel needs a gather matmul (ball-lane squares summed
+    into the axis lane), a scatter matmul (the per-cone scale broadcast
+    from the axis lane back onto its ball lanes), and a vector block of
+    masks: row 0 = axis mask, row 1 = ball mask, row 2 = shift at axis
+    lanes, row 3 = mu replicated (rows 4-7 pad the 8-sublane tile).
+    Cones repeat at every knot of every packed instance, so the matrices
+    are knot-block-diagonal in the packed layout.  The counts are static
+    pytree metadata (kernel arity derives from them)."""
+
+    cu_gather: Any = None   # (nc_u*Dug, Dug)
+    cu_scatter: Any = None  # (nc_u*Dug, Dug)
+    cu_vec: Any = None      # (nc_u*8, Dug)
+    cx_gather: Any = None   # (nc_x*gDxp, gDxp)
+    cx_scatter: Any = None  # (nc_x*gDxp, gDxp)
+    cx_vec: Any = None      # (nc_x*8, gDxp)
+    nc_u: int = struct.field(pytree_node=False, default=0)
+    nc_x: int = struct.field(pytree_node=False, default=0)
+
+
+def pad_cones(pp: PaddedProblem, cones) -> FusedConeOps:
+    """Build :class:`FusedConeOps` for a :class:`..solver.cones.ConeSet` on
+    ``pp``'s packed lane layout (host-side, float64 -> f32)."""
+    nx, nu, N = pp.dims
+    m = N - 1
+    Du = m * nu
+    g = pp.g
+    Dug = pp.u_min.shape[1]
+    Dxp = pp.Dxp
+    gDxp = pp.x_min.shape[1]
+
+    def build(cone_list, dim, knots, stride_inst, width):
+        nc = len(cone_list)
+        G = np.zeros((nc * width, width), np.float64)
+        S = np.zeros((nc * width, width), np.float64)
+        V = np.zeros((nc * 8, width), np.float64)
+        for ci, cone in enumerate(cone_list):
+            for j in range(g):
+                for k in range(knots):
+                    b0 = j * stride_inst + k * dim
+                    ax = b0 + cone.axis
+                    V[ci * 8 + 0, ax] = 1.0
+                    V[ci * 8 + 2, ax] = cone.shift
+                    for bi in cone.ball:
+                        p = b0 + bi
+                        V[ci * 8 + 1, p] = 1.0
+                        G[ci * width + p, ax] = 1.0
+                        S[ci * width + ax, p] = 1.0
+            V[ci * 8 + 3, :] = cone.mu
+        f32 = jnp.float32
+        return jnp.asarray(G, f32), jnp.asarray(S, f32), jnp.asarray(V, f32)
+
+    out = {}
+    nc_u = len(cones.input_cones)
+    nc_x = len(cones.state_cones)
+    if nc_u:
+        out["cu_gather"], out["cu_scatter"], out["cu_vec"] = build(
+            cones.input_cones, nu, m, Du, Dug
+        )
+    if nc_x:
+        out["cx_gather"], out["cx_scatter"], out["cx_vec"] = build(
+            cones.state_cones, nx, N, Dxp, gDxp
+        )
+    return FusedConeOps(nc_u=nc_u, nc_x=nc_x, **out)
+
+
+def _cone_apply(w, gather_ref, scatter_ref, vec_ref, nc: int, width: int):
+    """Apply ``nc`` stacked cone projections to slack rows ``w`` in-kernel.
+
+    Exact closed-form SOC projection (see solver/cones.py:project_cone) in
+    full-lane-width arithmetic: per-cone subvector norms arrive at the axis
+    lanes through the gather matmul, the three projection cases resolve via
+    exact 0/1-mask arithmetic (Mosaic cannot lower select_n/keepdims here —
+    see _kernel_adaptive), and the boundary-case scale returns to the ball
+    lanes through the scatter matmul."""
+    for c in range(nc):
+        Gm = gather_ref[c * width:(c + 1) * width, :]
+        Sm = scatter_ref[c * width:(c + 1) * width, :]
+        m_ax = vec_ref[c * 8 + 0:c * 8 + 1, :]
+        m_ball = vec_ref[c * 8 + 1:c * 8 + 2, :]
+        shift = vec_ref[c * 8 + 2:c * 8 + 3, :]
+        mu = vec_ref[c * 8 + 3:c * 8 + 4, :]
+        wb = w * m_ball
+        a2 = jnp.dot(
+            wb * wb, Gm,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        s = w * m_ax + shift
+        a = jnp.sqrt(a2)
+        inside = (a <= mu * s).astype(jnp.float32)
+        polar = (mu * a <= -s).astype(jnp.float32)
+        boundary = (1.0 - inside) * (1.0 - polar)
+        cc = (mu * a + s) / (mu * mu + 1.0)
+        safe_a = a + (a2 == 0.0).astype(jnp.float32)
+        scale_ax = inside + boundary * (mu * cc / safe_a)
+        s_new = inside * s + boundary * cc - shift
+        ball_scale = jnp.dot(
+            scale_ax * m_ax, Sm,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        w = w * (1.0 - m_ax - m_ball) + s_new * m_ax + w * ball_scale * m_ball
+    return w
+
+
 def ref_vectors(
     pp: PaddedProblem,
     Q: jax.Array,
@@ -358,7 +467,7 @@ def _make_ws(w_refs, algo: str) -> tuple["_W", "_W"]:
     return Wf, Wf
 
 
-def _iteration(D, Y, G, W, consts):
+def _iteration(D, Y, G, W, consts, cone_u=None, cone_x=None):
     """One folded condensed ADMM iteration on VMEM-resident packed values.
 
     Stage order is the reference's (src/tinympc/admm.cpp:117-150): forward
@@ -379,9 +488,15 @@ def _iteration(D, Y, G, W, consts):
     U = Ub + _dot_op(D, W.W_gd)
     S = U + Y
     Znew = jnp.clip(S, u_min, u_max)
+    if cone_u is not None:
+        # SOC projection composes after the box clip, exactly as the scan
+        # tier's cone_slack_update (solver/cones.py).
+        Znew = cone_u(Znew)
     Yn = S - Znew
     T = X + G
     Vnew = jnp.clip(T, x_min, x_max)
+    if cone_x is not None:
+        Vnew = cone_x(Vnew)
     Gn = T - Vnew
     Dn = _dot_op(Vnew - Gn, W.W_q) + _dot_op(Znew - Yn, W.W_r) + const_d
     return Dn, Yn, Gn, Znew, Vnew, U, X
@@ -468,14 +583,34 @@ def _stats_onehot(i: int, g: int) -> jax.Array:
     return oh if g == 1 else jnp.concatenate([oh] * g, axis=1)
 
 
+def _cone_fns(rest, nc_u: int, nc_x: int, g: int, Dug: int, Dxp: int):
+    """Split the optional cone operand refs off ``rest`` and close
+    :func:`_cone_apply` over them. Returns (cone_u, cone_x, outs)."""
+    i = 0
+    cone_u = cone_x = None
+    if nc_u:
+        cone_u = functools.partial(
+            _cone_apply, gather_ref=rest[0], scatter_ref=rest[1],
+            vec_ref=rest[2], nc=nc_u, width=Dug,
+        )
+        i = 3
+    if nc_x:
+        cone_x = functools.partial(
+            _cone_apply, gather_ref=rest[i], scatter_ref=rest[i + 1],
+            vec_ref=rest[i + 2], nc=nc_x, width=g * Dxp,
+        )
+        i += 3
+    return cone_u, cone_x, rest[i:]
+
+
 def _kernel_fixed(
     rho_ref,
     x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
     const_ref, u_min_ref, u_max_ref, x_min_ref, x_max_ref, seg_ref,
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
-    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    *, max_iter: int, g: int, interpret: bool,
-    algo: str = "f32", polish: int = 8,
+    *rest,
+    max_iter: int, g: int, interpret: bool,
+    algo: str = "f32", polish: int = 8, nc_u: int = 0, nc_x: int = 0,
 ):
     """Fixed-iteration fused solve (deterministic tier; reference with
     termination checks disabled). Residual stats lanes are still filled from
@@ -489,6 +624,11 @@ def _kernel_fixed(
     dot = functools.partial(
         jnp.dot, preferred_element_type=jnp.float32, precision=_HI
     )
+    Dug = D0_ref.shape[-1]
+    Dxp = G0_ref.shape[-1] // g
+    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp)
+    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out = outs
+    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
     Xb = dot(x0_ref[:], w_fx_ref[:])
     Ub = dot(x0_ref[:], w_gx_ref[:])
     consts = (
@@ -497,8 +637,6 @@ def _kernel_fixed(
     )
     W3, Wf = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), algo)
     rho = rho_ref[0, 0]
-    Dug = D0_ref.shape[-1]
-    Dxp = G0_ref.shape[-1] // g
     smd, smx, _to_du, _to_dx, cat, _uncat = _seg_tools(
         g, Dug, Dxp, seg_ref, interpret
     )
@@ -506,7 +644,7 @@ def _kernel_fixed(
     def make_body(W):
         def body(_, carry):
             D, Y, G, Z, V = carry
-            Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
+            Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W, consts)
             return (Dn, Yn, Gn, Znew, Vnew)
         return body
 
@@ -520,7 +658,7 @@ def _kernel_fixed(
     # Final iteration (always f32) keeps the full iterate set for outputs +
     # residuals (residual definitions per reference admm.cpp:95-98:
     # pre-projection iterates vs new slacks; old-vs-new slacks scaled by rho).
-    Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, Wf, consts)
+    Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, Wf, consts)
     U_out[:] = U
     X_out[:] = X
     D_out[:] = Dn
@@ -547,8 +685,9 @@ def _kernel_adaptive(
     x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
     const_ref, u_min_ref, u_max_ref, x_min_ref, x_max_ref, seg_ref,
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
-    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    *, max_iter: int, check_every: int, warmup: int, g: int, interpret: bool,
+    *rest,
+    max_iter: int, check_every: int, warmup: int, g: int, interpret: bool,
+    nc_u: int = 0, nc_x: int = 0,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
 
@@ -570,6 +709,11 @@ def _kernel_adaptive(
     dot = functools.partial(
         jnp.dot, preferred_element_type=jnp.float32, precision=_HI
     )
+    Dug = D0_ref.shape[-1]
+    Dxp = G0_ref.shape[-1] // g
+    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp)
+    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out = outs
+    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
     Xb = dot(x0_ref[:], w_fx_ref[:])
     Ub = dot(x0_ref[:], w_gx_ref[:])
     consts = (
@@ -580,8 +724,6 @@ def _kernel_adaptive(
     rho = rho_ref[0, 0]
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
-    Dug = D0_ref.shape[-1]
-    Dxp = G0_ref.shape[-1] // g
     smd, smx, to_du, to_dx, cat, uncat = _seg_tools(
         g, Dug, Dxp, seg_ref, interpret
     )
@@ -592,7 +734,7 @@ def _kernel_adaptive(
 
     def plain_body(_, c):
         D, Y, G, Z, V = c
-        Dn, Yn, Gn, Znew, Vnew, _U, _X = _iteration(D, Y, G, W, consts)
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W, consts)
         return (Dn, Yn, Gn, Znew, Vnew)
 
     def cond(st):
@@ -616,7 +758,7 @@ def _kernel_adaptive(
             kc = k + 1
         # The check iteration. D/Z/V going in are the pre-backward /
         # pre-slack-save values a newly-frozen instance must keep.
-        Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(D, Y, G, W, consts)
+        Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, W, consts)
         is_check = jnp.remainder(kc, check_every) == 0
         chk = is_check.astype(jnp.float32)
         aX, aV = jnp.abs(X - Vnew), jnp.abs(V - Vnew)
@@ -757,8 +899,14 @@ def fused_solve(
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
     algo: str = "f32",
+    cone_ops: FusedConeOps | None = None,
 ) -> FusedResult:
     """Run the fused whole-solve kernel over a batch.
+
+    ``cone_ops`` (from :func:`pad_cones`) appends exact second-order-cone
+    projections to the slack stage — the beyond-reference SOC capability
+    (solver/cones.py) in the fast path; composition after the box clip
+    matches the scan tier's ``cone_slack_update`` exactly.
 
     ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded per instance
     (:class:`FusedCarry`); batches that are not tile multiples are padded
@@ -815,11 +963,22 @@ def fused_solve(
     if Dug != g * Du:
         const_d = jnp.pad(const_d, ((0, 0), (0, Dug - g * Du)))
 
+    nc_u = cone_ops.nc_u if cone_ops is not None else 0
+    nc_x = cone_ops.nc_x if cone_ops is not None else 0
+    cone_args: tuple = ()
+    if nc_u:
+        cone_args += (cone_ops.cu_gather, cone_ops.cu_scatter,
+                      cone_ops.cu_vec)
+    if nc_x:
+        cone_args += (cone_ops.cx_gather, cone_ops.cx_scatter,
+                      cone_ops.cx_vec)
+
     # Tile sizing: cap rows so the kernel's VMEM footprint (state blocks,
     # double-buffered in/out, elementwise temps, operators) stays inside the
     # ~16 MB budget. Widths here are the packed ones.
     w_bytes = sum(int(np.prod(w.shape)) * 4 for w in
-                  (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r))
+                  (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r)
+                  + cone_args)
     per_row = 4 * (
         2 * (nxg + 3 * Dug + 2 * gDxp)        # input blocks (double-buffered)
         + 2 * (4 * Dug + 3 * gDxp + g * STATS)  # output blocks
@@ -898,14 +1057,16 @@ def fused_solve(
     vec_args = (const_d, pp.u_min, pp.u_max, pp.x_min, pp.x_max, pp.seg)
     w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r)
     state_args = (x0p, Dp, Yp, Gp, Zp, Vp)
+    cone_specs = [const_spec(a.shape) for a in cone_args]
 
     # FLOPs: 4 in-loop packed matmuls per iteration per row plus the two
     # hoisted x0 contractions (counted per iteration as an upper bound).
     flops_iter = 2 * R * (
         Dug * gDxp + Dug * Dug + gDxp * Dug + Dug * Dug
         + nxg * gDxp + nxg * Dug
+        + nc_u * 2 * Dug * Dug + nc_x * 2 * gDxp * gDxp
     )
-    io_args = state_args + vec_args + w_args
+    io_args = state_args + vec_args + w_args + cone_args
     cost = pl.CostEstimate(
         flops=flops_iter * max_iter,
         bytes_accessed=(
@@ -918,7 +1079,7 @@ def fused_solve(
     if check_termination <= 0:
         kernel = functools.partial(
             _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret,
-            algo=algo,
+            algo=algo, nc_u=nc_u, nc_x=nc_x,
         )
         scalar_args = (pp.rho,)
         scalar_specs = [smem_spec]
@@ -927,6 +1088,7 @@ def fused_solve(
             _kernel_adaptive, max_iter=max_iter,
             check_every=check_termination,
             warmup=min(warmup_iters, max_iter - 1), g=g, interpret=interpret,
+            nc_u=nc_u, nc_x=nc_x,
         )
         tols = jnp.stack([
             jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),
@@ -941,12 +1103,13 @@ def fused_solve(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=scalar_specs + state_specs + vec_specs + w_specs,
+        in_specs=scalar_specs + state_specs + vec_specs + w_specs
+        + cone_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(*scalar_args, *state_args, *vec_args, *w_args)
+    )(*scalar_args, *state_args, *vec_args, *w_args, *cone_args)
 
     Up, Xp, Dp, Yp, Gp, Zp, Vp, stats_p = outs
     U = _unpack_du(Up, g, Du, Dup)

@@ -67,13 +67,14 @@ def _next_pow2(n: int) -> int:
 def _jit_segment(seg_iters, check_every, batch_tile, warmup, interpret, algo):
     """One compiled cascade segment per (bucket shape enters via tracing)."""
 
-    def fn(x0, carry, pp, pri_tol, dua_tol, xref_q, pterm_c):
+    def fn(x0, carry, pp, pri_tol, dua_tol, xref_q, pterm_c, cone_ops):
         return fused_solve(
             x0, carry, pp, max_iter=seg_iters,
             check_termination=check_every,
             abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
             batch_tile=batch_tile, warmup_iters=warmup,
             interpret=interpret, xref_q=xref_q, pterm_c=pterm_c, algo=algo,
+            cone_ops=cone_ops,
         )
 
     # The Pallas interpreter rejects jit-of-pallas on CPU; eager is fine
@@ -155,6 +156,7 @@ def cascade_solve(
     interpret: bool = False,
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
+    cone_ops=None,
 ) -> FusedResult:
     """Adaptive fused solve with between-segment batch compaction.
 
@@ -206,6 +208,7 @@ def cascade_solve(
             abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             batch_tile=batch_tile, warmup_iters=warmup_iters,
             interpret=interpret, xref_q=xref_q, pterm_c=pterm_c,
+            cone_ops=cone_ops,
         )
 
     pri = jnp.float32(abs_pri_tol)
@@ -236,7 +239,7 @@ def cascade_solve(
             k, check_termination, batch_tile,
             warmup_iters if done_iters == 0 else 0, interpret, "f32",
         )
-        res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c)
+        res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c, cone_ops)
         idx = np.full(res.stats.shape[0], B, np.int32)
         idx[:n_active] = active_idx
         if out is None:

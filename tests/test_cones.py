@@ -182,10 +182,9 @@ def test_batched_matches_single():
 
 
 def test_api_cones():
-    """TinyMPC surfaces cones (scan tier): the solved trajectory satisfies
-    the cone, and the fused tier rejects cones with a clear error."""
-    import pytest
-
+    """TinyMPC surfaces cones on every tier: the solved trajectory
+    satisfies the cone on scan, and the fused tier (in-kernel projection,
+    ops/fused_admm.py pad_cones) matches the scan schedule and controls."""
     problem, cache = _landing_setup()
     cone = Cone(ball=(0, 1), axis=2, mu=1.0)
     cones = ConeSet(input_cones=(cone,))
@@ -201,8 +200,18 @@ def test_api_cones():
     assert info["solved"]
     assert float(cone_violation(mpc.state.znew, cone)) <= 1e-6
 
-    with pytest.raises(ValueError, match="condensed tier"):
-        atm.TinyMPC.from_parts(problem, cache, tier="fused", cones=cones)
+    fused = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, tier="fused", interpret=True,
+        cones=cones,
+    )
+    fused.set_x0(np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5], np.float32))
+    fi = fused.solve()
+    assert bool(np.all(fi["solved"]))
+    assert int(fi["iterations"][0]) == info["iterations"]
+    np.testing.assert_allclose(
+        np.asarray(fused.get_u()), np.asarray(mpc.get_u()),
+        rtol=0, atol=5e-5,
+    )
 
 
 def test_condensed_tier_cones():
@@ -277,3 +286,100 @@ def test_state_cone():
     )(state)
     assert int(res.status) == atm.types.SOLVED
     assert float(cone_violation(res.vnew, cone)) <= 1e-6
+
+
+class TestFusedCones:
+    """SOC cones inside the fused Pallas kernel (ops/fused_admm.py
+    pad_cones/_cone_apply): parity against the scan tier's project
+    override, fixed and adaptive modes, input + state cones, packed
+    instances (the landing plant packs g=3 per 128-lane row)."""
+
+    def _fused(self, problem, cache, cones, x0s, **kw):
+        from accelerated_tinympc_tpu.ops.fused_admm import (
+            FusedCarry, fused_solve, pad_cones, pad_problem,
+        )
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        assert pp.g > 1  # the packed layout is what's under test
+        cone_ops = pad_cones(pp, cones)
+        carry = FusedCarry.zeros(x0s.shape[0], pp)
+        return pp, fused_solve(
+            x0s, carry, pp, interpret=True, cone_ops=cone_ops, **kw
+        )
+
+    def _scan(self, problem, cache, cones, x0s, settings):
+        B = x0s.shape[0]
+        st = init_state_batched(B, 6, 3, 15)
+        st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+        return jax.jit(
+            lambda s: solve_batched(
+                s, problem, cache, settings,
+                project=cone_slack_update(cones),
+            )
+        )(st)
+
+    def _x0s(self):
+        rng = np.random.default_rng(7)
+        base = np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5])
+        return jnp.asarray(
+            base[None] + rng.standard_normal((6, 6)) * 0.4, jnp.float32
+        )
+
+    def test_fixed_mode_parity(self):
+        problem, cache = _landing_setup()
+        cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0),))
+        x0s = self._x0s()
+        settings = atm.Settings(max_iter=50, check_termination=0)
+        pp, got = self._fused(
+            problem, cache, cones, x0s, max_iter=50, check_termination=0
+        )
+        want = self._scan(problem, cache, cones, x0s, settings)
+        from accelerated_tinympc_tpu.ops.fused_admm import unpad_controls
+
+        np.testing.assert_allclose(
+            np.asarray(got.U[:, :42]),
+            np.asarray(want.u.reshape(6, -1)),
+            rtol=0, atol=2e-5,
+        )
+        # The slack iterate is the cone-projected quantity (U reaches the
+        # cone only at consensus); 50 fixed iterations leave U short of it.
+        assert float(
+            cone_violation(
+                np.asarray(got.carry.Z[:, :42]).reshape(6, 14, 3),
+                cones.input_cones[0],
+            )
+        ) <= 1e-5
+
+    def test_adaptive_mode_parity(self):
+        """Identical check schedule (iteration counts) and controls vs the
+        scan tier in adaptive mode with input + state cones."""
+        problem, cache = _landing_setup()
+        cones = ConeSet(
+            input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0),),
+            state_cones=(Cone(ball=(0, 1), axis=2, mu=2.5),),
+        )
+        x0s = self._x0s() * 0.5 + jnp.asarray(
+            [[0.0, 0.0, 2.0, 0.0, 0.0, 0.0]], jnp.float32
+        )
+        settings = atm.Settings(max_iter=300, check_termination=2)
+        pp, got = self._fused(
+            problem, cache, cones, x0s, max_iter=300, check_termination=2
+        )
+        want = self._scan(problem, cache, cones, x0s, settings)
+        np.testing.assert_array_equal(
+            np.asarray(got.stats[:, 0], np.int32), np.asarray(want.iter)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.stats[:, 1]) > 0.5,
+            np.asarray(want.status) == atm.types.SOLVED,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.U[:, :42]),
+            np.asarray(want.u.reshape(6, -1)),
+            rtol=0, atol=2e-5,
+        )
