@@ -15,7 +15,12 @@ The receding-horizon loop runs fully on device (`lax.scan` over ticks, plant
 sim fused in) with cone projections inside the ADMM slack stage
 (solver/cones.py).
 
-Run: python examples/soc_landing.py [--ticks 60] [--horizon 15]
+``--fleet N`` instead solves a dispersion fleet of N landers in one fused
+Pallas dispatch with the SOC projections *inside the kernel*
+(ops/fused_admm.py pad_cones) — the scenario-MPC shape: one kernel call,
+every instance's thrust-tilt and glideslope cones enforced on-chip.
+
+Run: python examples/soc_landing.py [--ticks 60] [--horizon 15] [--fleet 0]
 """
 
 import argparse
@@ -61,11 +66,46 @@ def landing_problem(horizon: int, dt: float = 0.1):
     return problem, cache
 
 
+def fleet_solve(problem, cache, cones, n: int, iters: int,
+                interpret: bool) -> None:
+    """Dispersion fleet: n perturbed landers, one fused coned dispatch."""
+    from accelerated_tinympc_tpu.ops.fused_admm import (
+        FusedCarry, fused_solve, pad_cones, pad_problem,
+    )
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    cone_ops = pad_cones(pp, cones)
+    rng = np.random.default_rng(0)
+    base = np.asarray([3.0, -2.0, 6.0, 1.0, 0.5, -1.0])
+    x0s = jnp.asarray(
+        base[None] + rng.standard_normal((n, 6)) * 0.3, jnp.float32
+    )
+    res = fused_solve(
+        x0s, FusedCarry.zeros(n, pp), pp, max_iter=iters,
+        check_termination=2, cone_ops=cone_ops, interpret=interpret,
+    )
+    m = problem.horizon - 1
+    Z = np.asarray(res.carry.Z[:, : m * 3]).reshape(n, m, 3)
+    tilt_v = float(cone_violation(jnp.asarray(Z), cones.input_cones[0]))
+    solved = float(np.asarray(res.stats[:, 1]).mean())
+    it = np.asarray(res.stats[:, 0])
+    print(f"fleet {n}: solved {solved:.1%}  iters p50={np.median(it):.0f} "
+          f"max={it.max():.0f}  worst in-kernel tilt violation {tilt_v:.2e}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ticks", type=int, default=60)
     ap.add_argument("--horizon", type=int, default=15)
     ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="solve a fleet of this size in one fused dispatch")
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpreter (CPU) for the fleet mode")
     args = ap.parse_args()
 
     problem, cache = landing_problem(args.horizon)
@@ -79,6 +119,14 @@ def main() -> None:
         max_iter=args.iters, check_termination=1,
         en_input_bound=False, en_state_bound=False,
     )
+
+    if args.fleet:
+        fleet_solve(
+            problem, cache,
+            ConeSet(input_cones=(tilt,), state_cones=(glide,)),
+            args.fleet, args.iters, args.interpret,
+        )
+        return
 
     x0 = jnp.asarray([3.0, -2.0, 6.0, 1.0, 0.5, -1.0], jnp.float32)
 
