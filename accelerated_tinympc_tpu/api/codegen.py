@@ -50,6 +50,37 @@ def _carray(name: str, arr: np.ndarray) -> str:
     return f"extern const tinytype {name}[{len(flat)}] = {{\n    {vals}\n}};\n"
 
 
+def _iarray(name: str, arr) -> str:
+    """Emit a flat C int array literal."""
+    flat = np.asarray(arr, np.int64).reshape(-1)
+    vals = ", ".join(str(int(v)) for v in flat)
+    return f"extern const int {name}[{len(flat)}] = {{ {vals} }};\n"
+
+
+def _cone_data(prefix: str, cone_list, max_ball: int) -> str:
+    """Emit one cone group's data arrays (size-1 dummies when empty so the
+    solver template's extern declarations always link)."""
+    if not cone_list:
+        return (
+            _iarray(f"tiny_{prefix}cone_nball", [0])
+            + _iarray(f"tiny_{prefix}cone_ball", [0] * max(1, max_ball))
+            + _iarray(f"tiny_{prefix}cone_axis", [0])
+            + _carray(f"tiny_{prefix}cone_mu", [0.0])
+            + _carray(f"tiny_{prefix}cone_shift", [0.0])
+        )
+    nball = [len(c.ball) for c in cone_list]
+    ball = np.zeros((len(cone_list), max_ball), np.int64)
+    for i, c in enumerate(cone_list):
+        ball[i, : len(c.ball)] = c.ball
+    return (
+        _iarray(f"tiny_{prefix}cone_nball", nball)
+        + _iarray(f"tiny_{prefix}cone_ball", ball)
+        + _iarray(f"tiny_{prefix}cone_axis", [c.axis for c in cone_list])
+        + _carray(f"tiny_{prefix}cone_mu", [c.mu for c in cone_list])
+        + _carray(f"tiny_{prefix}cone_shift", [c.shift for c in cone_list])
+    )
+
+
 def tiny_codegen(
     A: np.ndarray,
     B: np.ndarray,
@@ -68,8 +99,15 @@ def tiny_codegen(
     gen_wrapper: bool = True,
     augment_Q: bool = True,
     scalar_type: str = "float",
+    cones=None,
 ) -> pathlib.Path:
     """Generate the standalone project. Returns the output directory.
+
+    ``cones`` (a :class:`..solver.cones.ConeSet`) emits second-order-cone
+    projections into the generated solver's slack stage — the
+    beyond-reference SOC capability (solver/cones.py) carried to the
+    embedded C++ deployment path; the emitted projection is the same exact
+    closed form, applied after the box clip per knot.
 
     Interface parity with reference codegen.hpp:10-15 (dims are inferred from
     the array shapes; bounds enable iff provided, mirroring the nullptr checks
@@ -110,6 +148,19 @@ def tiny_codegen(
     cache = riccati_cache(A, B, Q, R, rho, dtype=np.float64)
     Q_emit = Q + rho if augment_Q else Q  # see augment_Q in the docstring
 
+    ucones = tuple(cones.input_cones) if cones is not None else ()
+    xcones = tuple(cones.state_cones) if cones is not None else ()
+    n_ucones, n_xcones = len(ucones), len(xcones)
+    cone_max_ball = max(
+        [len(c.ball) for c in ucones + xcones] or [1]
+    )
+    for c in ucones:
+        if c.axis >= nu or any(b >= nu for b in c.ball):
+            raise ValueError(f"input cone indices out of range for nu={nu}")
+    for c in xcones:
+        if c.axis >= nx or any(b >= nx for b in c.ball):
+            raise ValueError(f"state cone indices out of range for nx={nx}")
+
     out = pathlib.Path(output_dir)
     (out / "src").mkdir(parents=True, exist_ok=True)
     (out / "include").mkdir(parents=True, exist_ok=True)
@@ -123,6 +174,9 @@ enum {{
     TINY_N = {N},
     TINY_EN_STATE_BOUND = {en_state},
     TINY_EN_INPUT_BOUND = {en_input},
+    TINY_N_INPUT_CONES = {n_ucones},
+    TINY_N_STATE_CONES = {n_xcones},
+    TINY_CONE_MAX_BALL = {cone_max_ball},
 }};
 #define TINY_MAX_ITER {int(settings.max_iter)}
 #define TINY_CHECK_TERMINATION {int(settings.check_termination)}
@@ -147,6 +201,8 @@ enum {{
         + _carray("tiny_x_min", x_min_a)
         + _carray("tiny_x_max", x_max_a)
         + _carray("tiny_Xref_init", Xref_a)
+        + _cone_data("u", ucones, cone_max_ball)
+        + _cone_data("x", xcones, cone_max_ball)
     )
     (out / "src" / "tiny_data.cpp").write_text(data_cpp)
 
@@ -240,6 +296,18 @@ extern const tinytype tiny_u_max[];
 extern const tinytype tiny_x_min[];     // (N, NX)
 extern const tinytype tiny_x_max[];
 extern const tinytype tiny_Xref_init[]; // (N, NX)
+// Second-order cones ||w[ball]|| <= mu * (w[axis] + shift), applied per knot
+// after the box clip (size-1 dummies emitted when a group is empty).
+extern const int tiny_ucone_nball[];    // (max(1, N_INPUT_CONES),)
+extern const int tiny_ucone_ball[];     // flattened (.., CONE_MAX_BALL)
+extern const int tiny_ucone_axis[];
+extern const tinytype tiny_ucone_mu[];
+extern const tinytype tiny_ucone_shift[];
+extern const int tiny_xcone_nball[];
+extern const int tiny_xcone_ball[];
+extern const int tiny_xcone_axis[];
+extern const tinytype tiny_xcone_mu[];
+extern const tinytype tiny_xcone_shift[];
 
 namespace {
 constexpr int NX = TINY_NX, NU = TINY_NU, N = TINY_N;
@@ -290,6 +358,27 @@ void forward_pass() {
     }
 }
 
+// Exact Euclidean projection of w onto ||w[ball]|| <= mu * (w[axis] + shift)
+// (same closed form as solver/cones.py project_cone: interior unchanged,
+// polar cone to the apex, otherwise onto the boundary).
+inline void project_soc(tinytype *w, const int *ball, int nball, int axis,
+                        tinytype mu, tinytype shift) {
+    tinytype a2 = 0;
+    for (int j = 0; j < nball; ++j) a2 += w[ball[j]] * w[ball[j]];
+    const tinytype a = std::sqrt(a2);
+    const tinytype s = w[axis] + shift;
+    if (a <= mu * s) return;
+    if (mu * a <= -s) {
+        for (int j = 0; j < nball; ++j) w[ball[j]] = 0;
+        w[axis] = -shift;
+        return;
+    }
+    const tinytype c = (mu * a + s) / (mu * mu + 1);
+    const tinytype scale = a > 0 ? mu * c / a : 0;
+    for (int j = 0; j < nball; ++j) w[ball[j]] *= scale;
+    w[axis] = c - shift;
+}
+
 void update_slack() {
     for (int k = 0; k < N - 1; ++k)
         for (int i = 0; i < NU; ++i) {
@@ -301,6 +390,14 @@ void update_slack() {
             }
             W.znew[k][i] = zi;
         }
+    // Zero-trip when no input cones (TINY_N_INPUT_CONES is an enum, so a
+    // plain loop bound — NOT an #if, which would see an undefined macro).
+    for (int k = 0; k < N - 1; ++k)
+        for (int c = 0; c < TINY_N_INPUT_CONES; ++c)
+            project_soc(W.znew[k],
+                        tiny_ucone_ball + c * TINY_CONE_MAX_BALL,
+                        tiny_ucone_nball[c], tiny_ucone_axis[c],
+                        tiny_ucone_mu[c], tiny_ucone_shift[c]);
     for (int k = 0; k < N; ++k)
         for (int i = 0; i < NX; ++i) {
             tinytype vi = W.x[k][i] + W.g[k][i];
@@ -311,6 +408,12 @@ void update_slack() {
             }
             W.vnew[k][i] = vi;
         }
+    for (int k = 0; k < N; ++k)
+        for (int c = 0; c < TINY_N_STATE_CONES; ++c)
+            project_soc(W.vnew[k],
+                        tiny_xcone_ball + c * TINY_CONE_MAX_BALL,
+                        tiny_xcone_nball[c], tiny_xcone_axis[c],
+                        tiny_xcone_mu[c], tiny_xcone_shift[c]);
 }
 
 void update_dual() {

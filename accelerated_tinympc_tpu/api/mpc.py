@@ -129,6 +129,7 @@ def fused_mpc_rollout(
     interpret: bool = False,
     Xref_total: jax.Array | None = None,
     Pinf: jax.Array | None = None,
+    cone_ops=None,
 ):
     """Receding-horizon rollout on the fused Pallas tier: ``n_ticks`` of
     (dual reset -> fused solve -> apply pre-projection u0 -> plant step) under
@@ -139,6 +140,8 @@ def fused_mpc_rollout(
     With ``Xref_total`` (and the cache's ``Pinf``) the horizon window slides
     each tick on device (tracking mode — the reference-dependent kernel
     operands are recomputed with :func:`..ops.fused_admm.ref_vectors`).
+    ``cone_ops`` (:func:`..ops.fused_admm.pad_cones`) enforces second-order
+    cones inside the kernel every tick (powered-descent scenario MPC).
     Returns ``(x_final, u0_trace (n_ticks, B, nu), carry)`` with warm-start
     carries matching the reference tick protocol (duals reset, slacks kept —
     reference: examples/quadrotor_hovering.cpp:99-104).
@@ -164,7 +167,7 @@ def fused_mpc_rollout(
         res = fused_solve(
             x, cy.reset_duals(), pp, max_iter=max_iter, check_termination=0,
             batch_tile=min(batch_tile, x.shape[0]), interpret=interpret,
-            **refs,
+            cone_ops=cone_ops, **refs,
         )
         u0 = unpad_controls(res, pp)
         x_next = (

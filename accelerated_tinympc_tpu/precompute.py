@@ -158,12 +158,20 @@ def riccati_cache_jax(
     *,
     max_iters: int = RICCATI_MAX_ITERS,
     tol: float = RICCATI_TOL,
+    P0: jax.Array | None = None,
+    K0: jax.Array | None = None,
 ) -> Cache:
     """Jittable/vmappable Riccati fixed point (same math as :func:`riccati_cache`).
 
     Uses ``lax.while_loop`` with the reference's iteration cap and Kinf-delta
     stopping rule. Runs in the caller's dtype; for well-conditioned plants f32
     is adequate, but prefer the host float64 path for offline cache builds.
+
+    ``P0``/``K0`` warm-start the fixed point (e.g. from the cache at a
+    nearby rho — the adaptive-rho refresh case, solver/batched_ops.py):
+    iteration count drops from O(100) to the few steps the contraction needs
+    to re-converge. The fixed point and stopping rule are unchanged; a
+    warm start that is already converged exits after one verification step.
 
     The inner ``R1 + B^T P B`` solves use :func:`_spd_solve_small` (unrolled
     Cholesky) rather than ``jnp.linalg.solve`` — the matrix is SPD by
@@ -202,8 +210,9 @@ def riccati_cache_jax(
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.zeros((nu, nx), dtype),
-        rho.astype(dtype) * jnp.eye(nx, dtype=dtype),
+        jnp.zeros((nu, nx), dtype) if K0 is None else K0.astype(dtype),
+        rho.astype(dtype) * jnp.eye(nx, dtype=dtype)
+        if P0 is None else P0.astype(dtype),
         jnp.asarray(jnp.inf, dtype),
     )
     _, Kinf, Pinf, _ = jax.lax.while_loop(cond, step, init)

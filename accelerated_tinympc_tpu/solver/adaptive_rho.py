@@ -35,6 +35,26 @@ from ..types import Cache, Problem, Settings, State
 from . import admm
 
 
+def _host_cache_sens(problem: Problem, rho: float, eps: float = 1e-4):
+    """Float64 host Riccati cache at ``rho`` plus its d/drho by central
+    differences — the Taylor anchor for first-order adaptive caching.
+    Differencing is per leaf; the ``rho`` leaf's derivative is exactly 1."""
+    import numpy as np
+
+    from ..precompute import riccati_cache
+
+    A = np.asarray(problem.A)
+    B = np.asarray(problem.B)
+    Q = np.asarray(problem.Q)
+    R = np.asarray(problem.R)
+    c0 = riccati_cache(A, B, Q, R, rho)
+    lo = riccati_cache(A, B, Q, R, rho * (1.0 - eps))
+    hi = riccati_cache(A, B, Q, R, rho * (1.0 + eps))
+    inv = 1.0 / (2.0 * eps * rho)
+    dcache = jax.tree.map(lambda h, l: (h - l) * inv, hi, lo)
+    return c0, dcache
+
+
 class AdaptiveRhoResult(NamedTuple):
     state: State
     cache: Cache          # cache at the final rho (reusable for warm solves)
@@ -57,6 +77,8 @@ def solve_adaptive_rho(
     rho_min: float = 1e-2,
     rho_max: float = 1e3,
     f64_refresh: bool = False,
+    first_order: bool = False,
+    trust: float = 2.0,
 ) -> AdaptiveRhoResult:
     """Solve with periodic rho adaptation (single instance, scan tier).
 
@@ -71,7 +93,15 @@ def solve_adaptive_rho(
     double for robustness on ill-conditioned plants
     (reference: examples/codegen_cartpole.cpp:9-11); the f32 on-device
     refresh is adequate for well-conditioned plants and keeps the loop
-    host-transfer-free. For the batched per-instance form see
+    host-transfer-free.
+
+    ``first_order=True`` replaces the Riccati re-solve with first-order
+    adaptive caching (PAPERS.md "First-Order Adaptive Caching"): the cache
+    refreshes as ``C(rho) ~= C(c) + dC/drho * (rho - c)`` from float64
+    central-difference sensitivities at the Taylor center ``c``,
+    re-anchoring (one exact f64 rebuild + sensitivity) only when rho leaves
+    ``[c/trust, c*trust]``.  For the batched per-instance form (where the
+    refresh runs on device and the axpy saving is the point) see
     :func:`.batched_ops.solve_adaptive_rho_batched`.
     """
     pri_tol = float(settings.abs_pri_tol)
@@ -84,6 +114,7 @@ def solve_adaptive_rho(
 
     run_chunk = jax.jit(admm.solve, static_argnums=())
     rho = float(cache.rho)
+    anchor = None  # (center, cache(center), dcache/drho) for first_order
     history = [rho]
     total = 0
     converged = False
@@ -110,7 +141,19 @@ def solve_adaptive_rho(
             if new_rho != rho:
                 scale = rho / new_rho
                 state = state.replace(y=state.y * scale, g=state.g * scale)
-                if f64_refresh:
+                if first_order:
+                    if anchor is None or not (
+                        anchor[0] / trust <= new_rho <= anchor[0] * trust
+                    ):
+                        anchor = (new_rho, *_host_cache_sens(
+                            problem, new_rho
+                        ))
+                    c, cache0, dcache = anchor
+                    delta = new_rho - c
+                    cache = jax.tree.map(
+                        lambda o, d: o + d * delta, cache0, dcache
+                    )
+                elif f64_refresh:
                     import numpy as np
 
                     from ..precompute import riccati_cache

@@ -246,6 +246,12 @@ class AdaptiveRhoBatchedResult(NamedTuple):
     total_iter: jax.Array   # (B,) iterations run per instance
 
 
+def _bcast(v: jax.Array, like: jax.Array) -> jax.Array:
+    """Reshape a per-instance scalar ``(B,)`` to broadcast against
+    ``like (B, ...)``."""
+    return v.reshape(v.shape + (1,) * (like.ndim - 1))
+
+
 def solve_adaptive_rho_batched(
     x0: jax.Array,
     problem: Problem,
@@ -258,6 +264,9 @@ def solve_adaptive_rho_batched(
     stall_factor: float = 1.5,
     rho_min: float = 1e-2,
     rho_max: float = 1e3,
+    refresh: str = "exact",
+    trust: float = 2.0,
+    fd_eps: float = 0.05,
 ) -> AdaptiveRhoBatchedResult:
     """Per-instance OSQP-style rho adaptation, fully on device (jittable).
 
@@ -265,32 +274,105 @@ def solve_adaptive_rho_batched(
     (which see): ``chunk``-iteration segments; between segments an instance
     whose progress stalled *and* whose residual imbalance exceeds
     ``adapt_factor`` rescales its rho by ``sqrt(pri/dua)`` (clipped), rescales
-    its duals by ``rho_old/rho_new``, and rebuilds its Riccati cache +
+    its duals by ``rho_old/rho_new``, and refreshes its Riccati cache +
     condensed operators on device (vmapped). Well-scaled instances never
     trigger the guard and follow the fixed-rho trajectory exactly.
+
+    ``refresh`` selects the cache-refresh strategy after a rho update:
+
+    * ``"exact"`` — rebuild caches + operators on rounds where some
+      instance's rho changed (a ``lax.cond`` skips otherwise).  The Riccati
+      fixed point warm-starts from the carried ``Pinf``/``Kinf`` (the
+      contraction re-converges in a few steps instead of ~100 cold ones —
+      the vmapped while_loop's cost is the slowest instance's step count),
+      and per-instance masked selects keep every rho-unchanged instance's
+      operators bit-stable.
+    * ``"first_order"`` — first-order adaptive caching (PAPERS.md, "Robust
+      and Efficient Embedded Convex Optimization through First-Order
+      Adaptive Caching"): hold the operator pytree and a per-instance
+      d/drho sensitivity and refresh by an axpy
+      ``ops(rho) ~= ops(c) + d_ops * (rho - c)`` — an elementwise FMA
+      instead of a Riccati fixed point + horizon scan.  When an instance's
+      rho leaves its multiplicative trust region ``[c/trust, c*trust]``,
+      one warm-started exact build re-anchors the out-of-trust instances
+      and refreshes their sensitivity by the secant through the old and new
+      anchors (one build per recenter round, not three; in-trust instances
+      keep their anchor untouched, preserving bit-stability).  TinyMPC's
+      primal update is already an approximation (steady-state gains on a
+      finite horizon); inside the trust region the O((drho/c)^2) operator
+      error perturbs the solution well below the adaptation's own tolerance
+      scale — see tests/test_batched_ops.py for the accuracy pin.  NB: with
+      this module's OSQP-style stall guard, updates only fire at imbalance
+      > ``adapt_factor`` — every step is a factor >= sqrt(adapt_factor),
+      which exceeds the default trust region, so ``first_order`` recenters
+      on every update and measures ~= ``exact`` + axpy overhead
+      (tools/tpu_adaptive_bench.py).  It pays off under *gradual* rho
+      policies (small factors every chunk); for the default policy prefer
+      ``exact``.
+    * ``"cold"`` — unconditional cold rebuild every round (the round-1
+      semantics; kept as the benchmark reference point — measured 1.52x
+      slower than ``exact`` at B=1024 mis-scaled plants, BASELINE.md).
 
     ``A/B/Q/R (B, ...)`` are per-instance plants (share a plant by
     broadcasting); ``rho0 (B,)`` initial penalties; ``problem`` supplies
     batch-leading bounds/Xref. Termination inside chunks uses the
     ``settings`` tolerances with ``check_termination`` cadence.
     """
+    if refresh not in ("exact", "first_order", "cold"):
+        raise ValueError(
+            f"refresh must be 'exact', 'first_order' or 'cold', "
+            f"got {refresh!r}"
+        )
     batch = x0.shape[0]
     nx = A.shape[-1]
     N = problem.Xref.shape[-2]
     nu = B.shape[-1]
     Dx, Du = N * nx, (N - 1) * nu
     chunk_settings = settings.replace(max_iter=chunk)
+    first_order = refresh == "first_order"
 
-    def build(rho):
-        caches = jax.vmap(
-            lambda a, b, q, r, p: riccati_cache_jax(a, b, q, r, p)
-        )(A, B, Q, R, rho)
+    def build(rho, warm=None):
+        if warm is None:
+            caches = jax.vmap(
+                lambda a, b, q, r, p: riccati_cache_jax(a, b, q, r, p)
+            )(A, B, Q, R, rho)
+        else:
+            caches = jax.vmap(
+                lambda a, b, q, r, p, P0, K0: riccati_cache_jax(
+                    a, b, q, r, p, P0=P0, K0=K0
+                )
+            )(A, B, Q, R, rho, warm.Pinf, warm.Kinf)
         prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
         return build_instance_ops(prob_b, caches), caches
 
+    def sel_inst(mask, a, b):
+        """Per-instance select over a batch-leading pytree."""
+        return jax.tree.map(
+            lambda x, y: jnp.where(_bcast(mask, x), x, y), a, b
+        )
+
+    def build_sens(rho):
+        """Operators at ``rho`` + d/drho by per-instance central
+        differences (three vmapped builds; entry only — recenters use the
+        secant). Every leaf is differenced uniformly: rho-independent
+        leaves (bounds) cancel to zero and the ``rho`` leaf's derivative is
+        exactly 1, so the axpy reproduces it."""
+        lo, _ = build(rho * (1.0 - fd_eps))
+        hi, _ = build(rho * (1.0 + fd_eps))
+        ops0, caches = build(rho)
+        inv = 1.0 / (2.0 * fd_eps * rho)
+        dops = jax.tree.map(
+            lambda h, l: (h - l) * _bcast(inv, h), hi, lo
+        )
+        return ops0, dops, caches
+
+    def axpy(ops0, dops, delta):
+        return jax.tree.map(
+            lambda o, d: o + d * _bcast(delta, o), ops0, dops
+        )
+
     def round_body(carry):
-        rnd, st, rho, prev_max = carry
-        ops, _caches = build(rho)
+        rnd, st, rho, prev_max, ops, anchor = carry
         solved_in = st.solved
         iter_in = st.iter
         nxt = solve_instance_ops(x0, st, ops, chunk_settings)
@@ -320,17 +402,71 @@ def solve_adaptive_rho_batched(
         scale = jnp.where(changed, rho / new_rho, 1.0)[:, None]
         st = st._replace(Y=st.Y * scale, G=st.G * scale)
         prev_max = jnp.where(changed, jnp.inf, max_res)
-        return rnd + 1, st, new_rho, prev_max
+
+        if first_order:
+            center, ops0, dops, caches0 = anchor
+
+            outside = (new_rho > center * trust) | (new_rho * trust < center)
+
+            def recenter():
+                ops_new, caches_new = build(new_rho, warm=caches0)
+                denom = new_rho - center
+                inv = jnp.where(jnp.abs(denom) > 1e-12, 1.0 / denom, 0.0)
+                dsec = jax.tree.map(
+                    lambda n, o: (n - o) * _bcast(inv, n), ops_new, ops0
+                )
+                return (
+                    jnp.where(outside, new_rho, center),
+                    sel_inst(outside, ops_new, ops0),
+                    sel_inst(outside, dsec, dops),
+                    sel_inst(outside, caches_new, caches0),
+                )
+
+            center, ops0, dops, caches0 = jax.lax.cond(
+                jnp.any(outside), recenter,
+                lambda: (center, ops0, dops, caches0),
+            )
+            ops = axpy(ops0, dops, new_rho - center)
+            anchor = (center, ops0, dops, caches0)
+        elif refresh == "cold":
+            # Round-1 semantics: unconditional cold rebuild every round
+            # (kept as the benchmark reference point, tools/tpu_adaptive_bench.py).
+            ops, _ = build(new_rho)
+        else:
+            (caches,) = anchor
+
+            def rebuild():
+                ops_new, caches_new = build(new_rho, warm=caches)
+                return (
+                    sel_inst(changed, ops_new, ops),
+                    sel_inst(changed, caches_new, caches),
+                )
+
+            ops, caches = jax.lax.cond(
+                jnp.any(changed), rebuild, lambda: (ops, caches)
+            )
+            anchor = (caches,)
+        return rnd + 1, st, new_rho, prev_max, ops, anchor
 
     def round_cond(carry):
-        rnd, st, _rho, _prev = carry
+        rnd, st = carry[0], carry[1]
         return jnp.logical_and(rnd < max_rounds, jnp.any(~st.solved))
 
     st0 = OpsState.zeros(batch, Dx, Du, x0.dtype)
-    rounds, st, rho, _ = jax.lax.while_loop(
+    rho0 = rho0.astype(x0.dtype)
+    if first_order:
+        ops_init, dops_init, caches_init = build_sens(rho0)
+        anchor0 = (rho0, ops_init, dops_init, caches_init)
+    elif refresh == "cold":
+        ops_init, _ = build(rho0)
+        anchor0 = ()
+    else:
+        ops_init, caches_init = build(rho0)
+        anchor0 = (caches_init,)  # mode is static; exact carries warm state
+    rounds, st, rho, _, _, _ = jax.lax.while_loop(
         round_cond, round_body,
-        (jnp.zeros((), jnp.int32), st0, rho0.astype(x0.dtype),
-         jnp.full((batch,), jnp.inf, x0.dtype)),
+        (jnp.zeros((), jnp.int32), st0, rho0,
+         jnp.full((batch,), jnp.inf, x0.dtype), ops_init, anchor0),
     )
     _ops, caches = build(rho)
     return AdaptiveRhoBatchedResult(

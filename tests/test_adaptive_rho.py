@@ -93,3 +93,24 @@ def test_final_cache_reusable():
     )
     assert bool(out.status == atm.SOLVED)
     assert int(out.iter) <= 10
+
+
+def test_first_order_refresh_single():
+    """first_order=True (first-order adaptive caching, PAPERS.md) rescues
+    the same badly-scaled problem as the exact refresh, with controls at
+    the same solution within tolerance scale and a comparable budget."""
+    problem, cache, st = _setup(rho=1e-2)
+    settings = atm.Settings(abs_pri_tol=TOL, abs_dua_tol=TOL)
+
+    exact = solve_adaptive_rho(
+        st, problem, cache, settings, chunk=25, max_total_iter=1500,
+        f64_refresh=True,
+    )
+    fo = solve_adaptive_rho(
+        st, problem, cache, settings, chunk=25, max_total_iter=1500,
+        first_order=True,
+    )
+    assert fo.converged, (fo.iterations, fo.rho_history)
+    assert fo.iterations <= 2 * exact.iterations + 100
+    du = float(jnp.max(jnp.abs(fo.state.u - exact.state.u)))
+    assert du < 10 * TOL, du

@@ -148,3 +148,43 @@ def test_warm_start_reset_duals(plants):
     st2 = st.reset_duals()
     assert np.all(np.asarray(st2.Y) == 0) and np.all(np.asarray(st2.G) == 0)
     np.testing.assert_array_equal(np.asarray(st2.D), np.asarray(st.D))
+
+
+def test_adaptive_rho_first_order_refresh(plants):
+    """First-order adaptive caching (PAPERS.md): the axpy refresh mode
+    rescues the same mis-scaled-rho instances as the exact rebuild, with
+    matching final controls (the O(drho^2) operator error stays below the
+    adaptation tolerance scale) and untouched well-scaled instances."""
+    problems, caches, prob_b, cache_b, x0s = plants
+    A = jnp.stack([p.A for p in problems])
+    Bm = jnp.stack([p.B for p in problems])
+    Q = jnp.stack([p.Q for p in problems])
+    R = jnp.stack([p.R for p in problems])
+    rho0 = jnp.asarray([1.0, 1.0, 1e-3, 1e-3, 1e3, 1e3], jnp.float32)
+    settings = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                            check_termination=1)
+
+    def run(refresh):
+        return jax.jit(
+            lambda x, r: solve_adaptive_rho_batched(
+                x, prob_b, A, Bm, Q, R, r, settings,
+                chunk=25, max_rounds=40, refresh=refresh,
+            )
+        )(x0s, rho0)
+
+    exact = run("exact")
+    fo = run("first_order")
+    assert bool(jnp.all(fo.state.solved))
+    # Well-scaled instances follow the fixed-rho path bit-for-bit in both
+    # modes (their rho never moves, so the Taylor delta is exactly zero and
+    # the axpy returns the anchor operators verbatim).
+    np.testing.assert_allclose(np.asarray(fo.rho[:2]), [1.0, 1.0])
+    np.testing.assert_array_equal(
+        np.asarray(fo.state.U[:2]), np.asarray(exact.state.U[:2])
+    )
+    # Rescued instances land on solutions consistent with the exact-refresh
+    # mode at the adaptation tolerance scale.
+    du = np.max(np.abs(np.asarray(fo.state.U) - np.asarray(exact.state.U)))
+    assert du < 5e-2, du
+    # The rescue budget stays in the same ballpark as exact refresh.
+    assert int(jnp.max(fo.total_iter)) <= 2 * int(jnp.max(exact.total_iter)) + 100

@@ -383,3 +383,36 @@ class TestFusedCones:
             np.asarray(want.u.reshape(6, -1)),
             rtol=0, atol=2e-5,
         )
+
+
+def test_fused_rollout_with_cones():
+    """Receding-horizon fused rollout with in-kernel cones: every applied
+    control's slack obeys the thrust cone across all ticks, and the lander
+    descends toward the pad."""
+    from accelerated_tinympc_tpu.api import fused_mpc_rollout
+    from accelerated_tinympc_tpu.ops.fused_admm import pad_cones, pad_problem
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    problem, cache = _landing_setup()
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0),))
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    cone_ops = pad_cones(pp, cones)
+    x0s = jnp.asarray([[3.0, -2.0, 6.0, -1.0, 1.0, -1.5],
+                       [1.0, 2.0, 5.0, 0.5, -0.5, -1.0]], jnp.float32)
+    xf, us, carry = fused_mpc_rollout(
+        pp, x0s, 25, problem=problem, max_iter=150, interpret=True,
+        cone_ops=cone_ops,
+    )
+    # Slack iterate (the projected quantity) obeys the cone at every tick's
+    # final iteration; controls track it to ADMM-consensus tolerance.
+    m = problem.horizon - 1
+    Z = np.asarray(carry.Z[:, : m * 3]).reshape(2, m, 3)
+    assert float(cone_violation(jnp.asarray(Z), cones.input_cones[0])) <= 1e-5
+    assert float(cone_violation(us, cones.input_cones[0])) < 5e-2
+    # The fleet descends (altitude shrinks over the 25 ticks; full touchdown
+    # takes ~60, see examples/soc_landing.py).
+    assert float(xf[0, 2]) < float(x0s[0, 2]) - 1.0
+    assert float(xf[1, 2]) < float(x0s[1, 2]) - 0.2
