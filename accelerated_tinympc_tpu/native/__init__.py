@@ -57,6 +57,11 @@ def _load() -> ctypes.CDLL:
     lib.tn_solve_batch.argtypes = [
         ctypes.c_void_p, _f64, ctypes.c_int, _f64, _i32, _i32,
     ]
+    lib.tn_add_cone.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, _i32,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double,
+    ]
+    lib.tn_clear_cones.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -127,6 +132,21 @@ class NativeSolver:
             self._h, ptr(u_min, su), ptr(u_max, su), ptr(x_min, sx),
             ptr(x_max, sx),
         )
+
+    def set_cones(self, cones) -> None:
+        """Install a :class:`..solver.cones.ConeSet` (replaces any previous
+        set): exact per-knot SOC projection after the box clip, parity with
+        the engine tiers' cone support."""
+        self._lib.tn_clear_cones(self._h)
+        for is_state, group in (
+            (0, cones.input_cones), (1, cones.state_cones),
+        ):
+            for c in group:
+                ball = np.ascontiguousarray(c.ball, np.int32)
+                self._lib.tn_add_cone(
+                    self._h, is_state, len(c.ball), ball,
+                    int(c.axis), float(c.mu), float(c.shift),
+                )
 
     def set_xref(self, Xref: np.ndarray) -> None:
         self._lib.tn_set_xref(

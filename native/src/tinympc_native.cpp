@@ -23,6 +23,12 @@
 
 namespace {
 
+struct SocCone {
+    std::vector<int> ball;
+    int axis = 0;
+    double mu = 0, shift = 0;
+};
+
 struct Solver {
     int nx = 0, nu = 0, N = 0;
     int max_iter = 100, check_termination = 1;
@@ -36,6 +42,9 @@ struct Solver {
     std::vector<double> Xref;                        // (N, nx)
     // cache
     std::vector<double> Kinf, Pinf, Quu_inv, AmBKt;
+    // second-order cones ||w[ball]|| <= mu * (w[axis] + shift), applied
+    // per knot after the box clip (parity with solver/cones.py).
+    std::vector<SocCone> input_cones, state_cones;
     // iterates
     std::vector<double> x, u, q, r, p, d, v, vnew, z, znew, g, y;
     int iter = 0, status = 11;
@@ -188,6 +197,25 @@ void forward_pass(Solver &s) {
     }
 }
 
+// Exact Euclidean SOC projection (closed form as solver/cones.py
+// project_cone: interior unchanged, polar cone to the apex, else boundary).
+inline void project_soc(double *w, const SocCone &c) {
+    double a2 = 0;
+    for (int b : c.ball) a2 += w[b] * w[b];
+    const double a = std::sqrt(a2);
+    const double sft = w[c.axis] + c.shift;
+    if (a <= c.mu * sft) return;
+    if (c.mu * a <= -sft) {
+        for (int b : c.ball) w[b] = 0;
+        w[c.axis] = -c.shift;
+        return;
+    }
+    const double cc = (c.mu * a + sft) / (c.mu * c.mu + 1.0);
+    const double scale = a > 0 ? c.mu * cc / a : 0;
+    for (int b : c.ball) w[b] *= scale;
+    w[c.axis] = cc - c.shift;
+}
+
 void update_slack(Solver &s) {
     const int nx = s.nx, nu = s.nu;
     for (int k = 0; k < s.N - 1; ++k)
@@ -200,6 +228,8 @@ void update_slack(Solver &s) {
             }
             s.znew[idx] = zi;
         }
+    for (const SocCone &c : s.input_cones)
+        for (int k = 0; k < s.N - 1; ++k) project_soc(&s.znew[k * nu], c);
     for (int k = 0; k < s.N; ++k)
         for (int i = 0; i < nx; ++i) {
             const int idx = k * nx + i;
@@ -210,6 +240,8 @@ void update_slack(Solver &s) {
             }
             s.vnew[idx] = vi;
         }
+    for (const SocCone &c : s.state_cones)
+        for (int k = 0; k < s.N; ++k) project_soc(&s.vnew[k * nx], c);
 }
 
 void update_dual(Solver &s) {
@@ -366,6 +398,25 @@ void tn_reset_duals(void *h) {
     auto *s = static_cast<Solver *>(h);
     std::fill(s->y.begin(), s->y.end(), 0.0);
     std::fill(s->g.begin(), s->g.end(), 0.0);
+}
+
+// Append one SOC constraint; is_state selects the per-knot vector it
+// constrains (0 = input u_k, 1 = state x_k). Applied at every knot.
+void tn_add_cone(void *h, int is_state, int nball, const int *ball,
+                 int axis, double mu, double shift) {
+    auto *s = static_cast<Solver *>(h);
+    SocCone c;
+    c.ball.assign(ball, ball + nball);
+    c.axis = axis;
+    c.mu = mu;
+    c.shift = shift;
+    (is_state ? s->state_cones : s->input_cones).push_back(c);
+}
+
+void tn_clear_cones(void *h) {
+    auto *s = static_cast<Solver *>(h);
+    s->input_cones.clear();
+    s->state_cones.clear();
 }
 
 int tn_solve(void *h) { return solve_one(*static_cast<Solver *>(h)); }

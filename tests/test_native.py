@@ -144,3 +144,63 @@ def test_cartpole_native(tmp_path):
     np.testing.assert_allclose(
         u_native, np.asarray(out.u, np.float64), rtol=0, atol=1e-4
     )
+
+
+def test_native_cones_match_engine():
+    """Native runtime SOC support: the f64 host solver with a thrust cone
+    matches the engine's coned scan solve and keeps its slack in the cone."""
+    from accelerated_tinympc_tpu.solver import admm
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update, cone_violation,
+    )
+
+    dt, horizon = 0.1, 15
+    I3 = np.eye(3)
+    A = np.block([[I3, dt * I3], [0 * I3, I3]])
+    B = np.vstack([0.5 * dt * dt * I3, dt * I3])
+    Q = np.concatenate([np.full(3, 10.0), np.full(3, 1.0)])
+    R = np.full(3, 1.0)
+    cone = Cone(ball=(0, 1), axis=2, mu=1.0, shift=3.0)
+    cones = ConeSet(input_cones=(cone,))
+    x0 = np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5])
+
+    ns = NativeSolver(
+        A, B, Q, R, rho=1.0, horizon=horizon,
+        max_iter=400, check_termination=1,
+    )
+    ns.set_cones(cones)
+    ns.set_x0(x0)
+    info = ns.solve()
+    assert info["solved"]
+
+    problem = atm.Problem(
+        A=jnp.asarray(A, jnp.float32), B=jnp.asarray(B, jnp.float32),
+        Q=jnp.asarray(Q, jnp.float32), R=jnp.asarray(R, jnp.float32),
+        u_min=jnp.full((horizon - 1, 3), -1e17, jnp.float32),
+        u_max=jnp.full((horizon - 1, 3), 1e17, jnp.float32),
+        x_min=jnp.full((horizon, 6), -1e17, jnp.float32),
+        x_max=jnp.full((horizon, 6), 1e17, jnp.float32),
+        Xref=jnp.zeros((horizon, 6), jnp.float32),
+        Uref=jnp.zeros((horizon - 1, 3), jnp.float32),
+    )
+    from accelerated_tinympc_tpu.precompute import riccati_cache
+
+    cache = riccati_cache(A, B, Q, R, 1.0)
+    sets = atm.Settings(
+        max_iter=400, check_termination=1,
+        en_input_bound=False, en_state_bound=False,
+    )
+    st = atm.set_x0(atm.init_state(6, 3, horizon), jnp.asarray(x0, jnp.float32))
+    ref = jax.jit(
+        lambda s: admm.solve(
+            s, problem, cache, sets, project=cone_slack_update(cones)
+        )
+    )(st)
+    assert int(ref.status) == atm.SOLVED
+    # Same check schedule (f64 vs f32 may differ by a knife-edge check) and
+    # matching controls at tolerance scale.
+    u_native = ns.get_u().reshape(horizon - 1, 3)
+    np.testing.assert_allclose(
+        u_native, np.asarray(ref.u), rtol=0, atol=5e-3
+    )
+    assert float(cone_violation(jnp.asarray(u_native), cone)) < 5e-3
