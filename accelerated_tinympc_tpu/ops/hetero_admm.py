@@ -255,6 +255,50 @@ class HeteroResult:
     stats: jax.Array
 
 
+def _project_soc_seg(seg, dim: int, S: int, cone):
+    """Exact SOC projection of one knot's rows ``seg (S, L)`` — 128
+    instances at once, pure full-width VPU arithmetic (closed form as
+    solver/cones.py project_cone; 0/1-mask case resolution, no select_n).
+    ``cone`` is static (ball indices / axis / mu / shift baked in)."""
+    f32 = jnp.float32
+    mu = float(cone.mu)
+    shift = float(cone.shift)
+    ax = int(cone.axis)
+    a2 = None
+    for b in cone.ball:
+        sq = seg[b:b + 1] * seg[b:b + 1]
+        a2 = sq if a2 is None else a2 + sq
+    a = jnp.sqrt(a2)
+    s = seg[ax:ax + 1] + shift
+    inside = (a <= mu * s).astype(f32)
+    polar = (mu * a <= -s).astype(f32)
+    boundary = (1.0 - inside) * (1.0 - polar)
+    c = (mu * a + s) / (mu * mu + 1.0)
+    safe_a = a + (a2 == 0.0).astype(f32)
+    scale = inside + boundary * (mu * c / safe_a)
+    s_new = inside * s + boundary * c - shift
+    rows = []
+    for r in range(S):
+        if r == ax:
+            rows.append(s_new)
+        elif r in cone.ball:
+            rows.append(seg[r:r + 1] * scale)
+        else:
+            rows.append(seg[r:r + 1])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _apply_cones(W, knots: int, dim: int, S: int, cones):
+    """Apply static cones to every knot of ``W (knots*S, L)``."""
+    segs = []
+    for i in range(knots):
+        seg = W[i * S:(i + 1) * S]
+        for cone in cones:
+            seg = _project_soc_seg(seg, dim, S, cone)
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=0)
+
+
 def _kernel(
     x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
     umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
@@ -262,6 +306,7 @@ def _kernel(
     u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
     *, nx: int, nu: int, N: int, SX: int, SU: int,
     max_iter: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (),
 ):
     m = N - 1
     f32 = jnp.float32
@@ -300,8 +345,13 @@ def _kernel(
         # Slack projection (admm.cpp:45-61) + dual ascent (:67-71).
         Su = Unew + Y
         Znew = jnp.clip(Su, uminf, umaxf) if en_ib else Su
+        if ucones:
+            # SOC projection composes after the box clip (solver/cones.py).
+            Znew = _apply_cones(Znew, m, nu, SU, ucones)
         Tx = Xnew + G
         Vnew = jnp.clip(Tx, xminf, xmaxf) if en_sb else Tx
+        if xcones:
+            Vnew = _apply_cones(Vnew, N, nx, SX, xcones)
         Ynew = Su - Znew
         Gnew = Tx - Vnew
         # Linear-cost refresh (admm.cpp:77-85), r/q consumed in place by the
@@ -374,7 +424,7 @@ def _unpack_lane(p: jax.Array, nt: int, Bn: int, k: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "en_input_bound", "en_state_bound",
-                     "interpret"),
+                     "interpret", "cones"),
 )
 def hetero_solve(
     x0: jax.Array,
@@ -385,6 +435,7 @@ def hetero_solve(
     en_input_bound: bool = True,
     en_state_bound: bool = True,
     interpret: bool = False,
+    cones=None,
 ) -> HeteroResult:
     """Fixed-iteration batched ADMM, one distinct plant per instance.
 
@@ -392,6 +443,12 @@ def hetero_solve(
     :func:`..solver.admm.solve` with ``check_termination = 0`` (reference:
     src/tinympc/admm.cpp:111-152 with checks disabled). Returns final
     iterates + a warm-start carry + per-instance residual stats.
+
+    ``cones`` (a static :class:`..solver.cones.ConeSet`, shared across the
+    batch) adds exact SOC projections to the in-kernel slack stage — with
+    knots on sublanes and instances on lanes the projection is pure
+    full-width VPU arithmetic (no extra matmuls, unlike the homogeneous
+    kernel's lane-packed layout).
     """
     nx, nu, N = hp.dims
     m = N - 1
@@ -415,6 +472,8 @@ def hetero_solve(
     kernel = functools.partial(
         _kernel, nx=nx, nu=nu, N=N, SX=SX, SU=SU, max_iter=max_iter,
         en_ib=en_input_bound, en_sb=en_state_bound,
+        ucones=tuple(cones.input_cones) if cones is not None else (),
+        xcones=tuple(cones.state_cones) if cones is not None else (),
     )
     outs = pl.pallas_call(
         kernel,

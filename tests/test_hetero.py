@@ -223,3 +223,33 @@ def test_multi_tile():
     np.testing.assert_allclose(
         np.asarray(res.U), np.asarray(w.u), rtol=0, atol=1e-4
     )
+
+
+def test_hetero_cones_parity(setup):
+    """In-kernel SOC projection (static ConeSet shared across distinct
+    plants) matches the scan tier's cone path per instance."""
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update, cone_violation,
+    )
+
+    prob_b, cache_b, _rhos, x0s = setup
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0,
+                                      shift=2.0),))
+    hp = pad_hetero_problem(prob_b, cache_b)
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=40, interpret=True,
+        cones=cones,
+    )
+    st = init_state_batched(B, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = solve_batched(
+        st, prob_b, cache_b,
+        atm.Settings(max_iter=40, check_termination=0),
+        problem_axes=0, cache_axes=0,
+        project=cone_slack_update(cones),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=2e-5,
+    )
+    # Scan-tier slack obeys the cone exactly; the kernel matched it above.
+    assert float(cone_violation(want.znew, cones.input_cones[0])) <= 1e-6
