@@ -62,6 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Cache, Problem
+from .hetero_admm import _project_soc_seg
 
 LANES = 128
 _HI = jax.lax.Precision.HIGHEST
@@ -248,6 +249,7 @@ def _kernel(
     d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
     su_buf, sx_buf, sems_in, sems_out,
     *, max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (),
 ):
     """One batch tile's full fixed-iteration solve. See module docstring for
     the phase structure; ``d_in``..``v_in`` are the aliased input refs (all
@@ -329,10 +331,19 @@ def _kernel(
         return carry
 
     def clip_u(a):
-        return jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+        # SOC projection after the box clip (solver/cones.py composition);
+        # the (SU, LANES) knot block is the hetero kernel's layout, so the
+        # same full-width VPU projection applies.
+        for cone in ucones:
+            a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
+        return a
 
     def clip_x(a):
-        return jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+        for cone in xcones:
+            a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
+        return a
 
     fwd_ins = [
         (dma_su, _SU_D_IN, _IN_D, d_hbm),
@@ -480,6 +491,7 @@ def stream_solve(
     en_state_bound: bool = True,
     en_input_bound: bool = True,
     interpret: bool = False,
+    cones=None,
 ) -> StreamResult:
     """Run the streaming fixed-iteration solve over a batch.
 
@@ -538,6 +550,8 @@ def stream_solve(
     kernel = functools.partial(
         _kernel, max_iter=max_iter, Kb=Kb, N=N,
         en_ib=en_input_bound, en_sb=en_state_bound,
+        ucones=tuple(cones.input_cones) if cones is not None else (),
+        xcones=tuple(cones.state_cones) if cones is not None else (),
     )
     # Per-iteration streamed bytes (see module docstring traffic table).
     su_b, sx_b = N * SU * LANES * 4, N * SX * LANES * 4

@@ -145,16 +145,33 @@ def _bmv(v: jax.Array, M: jax.Array) -> jax.Array:
     return jnp.einsum("bi,bij->bj", v, M, precision=_HI)
 
 
-def _iteration(D, Y, G, Xb, Ub, ops: InstanceOps):
+def _iteration(D, Y, G, Xb, Ub, ops: InstanceOps, cones=None,
+               dims=None):
     """One folded condensed iteration, per-instance operators (same schedule
-    as ops/fused_admm._iteration; reference: src/tinympc/admm.cpp:117-150)."""
+    as ops/fused_admm._iteration; reference: src/tinympc/admm.cpp:117-150).
+    ``cones`` (static ConeSet) appends exact SOC projections after the box
+    clips — the flat slacks view per-knot via ``dims = (nx, nu)``."""
     X = Xb + _bmv(D, ops.W_fd)
     U = Ub + _bmv(D, ops.W_gd)
     S = U + Y
     Znew = jnp.clip(S, ops.u_min, ops.u_max)
+    if cones is not None and cones.input_cones:
+        from .cones import project_cone
+
+        Zk = Znew.reshape(Znew.shape[0], -1, dims[1])
+        for cone in cones.input_cones:
+            Zk = project_cone(Zk, cone)
+        Znew = Zk.reshape(Znew.shape[0], -1)
     Yn = S - Znew
     T = X + G
     Vnew = jnp.clip(T, ops.x_min, ops.x_max)
+    if cones is not None and cones.state_cones:
+        from .cones import project_cone
+
+        Vk = Vnew.reshape(Vnew.shape[0], -1, dims[0])
+        for cone in cones.state_cones:
+            Vk = project_cone(Vk, cone)
+        Vnew = Vk.reshape(Vnew.shape[0], -1)
     Gn = T - Vnew
     Dn = _bmv(Vnew - Gn, ops.W_q) + _bmv(Znew - Yn, ops.W_r) + ops.const_d
     return Dn, Yn, Gn, Znew, Vnew, U, X
@@ -165,6 +182,9 @@ def solve_instance_ops(
     state: OpsState,
     ops: InstanceOps,
     settings: Settings,
+    *,
+    cones=None,
+    dims=None,
 ) -> OpsState:
     """Batched solve with one operator set per instance.
 
@@ -172,7 +192,11 @@ def solve_instance_ops(
     (an instance's trajectory matches its standalone solve; early exit skips
     the slack save + backward pass — reference: src/tinympc/admm.cpp:135-144).
     ``check_termination == 0`` runs the deterministic fixed-iteration mode.
+    ``cones``/``dims=(nx, nu)`` as in :func:`_iteration` (static; required
+    together).
     """
+    if cones is not None and dims is None:
+        raise ValueError("cones on the instance-ops tier require dims")
     Xb = _bmv(x0, ops.Fx0T)
     Ub = _bmv(x0, ops.Gx0T)
     max_iter = settings.max_iter
@@ -185,7 +209,7 @@ def solve_instance_ops(
     if ce <= 0:
         def fbody(_, st: OpsState) -> OpsState:
             Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(
-                st.D, st.Y, st.G, Xb, Ub, ops
+                st.D, st.Y, st.G, Xb, Ub, ops, cones, dims
             )
             return st._replace(D=Dn, Y=Yn, G=Gn, Z=Znew, V=Vnew, U=U, X=X,
                                iter=st.iter + 1)
@@ -199,7 +223,7 @@ def solve_instance_ops(
 
     def body(st: OpsState) -> OpsState:
         Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(
-            st.D, st.Y, st.G, Xb, Ub, ops
+            st.D, st.Y, st.G, Xb, Ub, ops, cones, dims
         )
         it = st.iter + 1
         checking = (it % ce) == 0
@@ -267,6 +291,7 @@ def solve_adaptive_rho_batched(
     refresh: str = "exact",
     trust: float = 2.0,
     fd_eps: float = 0.05,
+    cones=None,
 ) -> AdaptiveRhoBatchedResult:
     """Per-instance OSQP-style rho adaptation, fully on device (jittable).
 
@@ -317,6 +342,8 @@ def solve_adaptive_rho_batched(
     broadcasting); ``rho0 (B,)`` initial penalties; ``problem`` supplies
     batch-leading bounds/Xref. Termination inside chunks uses the
     ``settings`` tolerances with ``check_termination`` cadence.
+    ``cones`` (static ConeSet) adds SOC projections to every chunk's slack
+    stage (adaptive-rho SOC MPC).
     """
     if refresh not in ("exact", "first_order", "cold"):
         raise ValueError(
@@ -375,7 +402,9 @@ def solve_adaptive_rho_batched(
         rnd, st, rho, prev_max, ops, anchor = carry
         solved_in = st.solved
         iter_in = st.iter
-        nxt = solve_instance_ops(x0, st, ops, chunk_settings)
+        nxt = solve_instance_ops(
+            x0, st, ops, chunk_settings, cones=cones, dims=(nx, nu)
+        )
         nxt = nxt._replace(
             iter=iter_in + nxt.iter,           # accumulate across rounds
             solved=nxt.solved | solved_in,

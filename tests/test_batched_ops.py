@@ -188,3 +188,56 @@ def test_adaptive_rho_first_order_refresh(plants):
     assert du < 5e-2, du
     # The rescue budget stays in the same ballpark as exact refresh.
     assert int(jnp.max(fo.total_iter)) <= 2 * int(jnp.max(exact.total_iter)) + 100
+
+
+def test_instance_ops_cones(plants):
+    """SOC cones in the per-instance-operator tier: parity vs the scan
+    tier's cone path on distinct plants, and through the batched
+    adaptive-rho loop (coned adaptive SOC MPC converges)."""
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update,
+    )
+
+    problems, caches, prob_b, cache_b, x0s = plants
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0,
+                                      shift=2.0),))
+    settings = atm.Settings(max_iter=40, check_termination=0)
+    ops = build_instance_ops(prob_b, cache_b)
+    st = solve_instance_ops(
+        x0s, OpsState.zeros(B, N * NX, (N - 1) * NU), ops, settings,
+        cones=cones, dims=(NX, NU),
+    )
+    from accelerated_tinympc_tpu.solver.batched import solve_batched
+
+    bst = init_state(NX, NU, N)
+    import jax as _jax
+
+    stb = _jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), bst
+    )
+    stb = stb.replace(x=stb.x.at[:, 0, :].set(x0s))
+    want = solve_batched(
+        stb, prob_b, cache_b, settings,
+        problem_axes=0, cache_axes=0, project=cone_slack_update(cones),
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.U), np.asarray(want.u.reshape(B, -1)),
+        rtol=0, atol=2e-5,
+    )
+
+    # Coned adaptive rho: mis-scaled instances still get rescued with the
+    # cone enforced every chunk.
+    A = jnp.stack([p.A for p in problems])
+    Bm = jnp.stack([p.B for p in problems])
+    Q = jnp.stack([p.Q for p in problems])
+    R = jnp.stack([p.R for p in problems])
+    rho0 = jnp.asarray([1.0, 1.0, 1e-3, 1e-3, 1e3, 1e3], jnp.float32)
+    asets = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                         check_termination=1)
+    res = jax.jit(
+        lambda x, r: solve_adaptive_rho_batched(
+            x, prob_b, A, Bm, Q, R, r, asets,
+            chunk=25, max_rounds=40, cones=cones,
+        )
+    )(x0s, rho0)
+    assert bool(jnp.all(res.state.solved)), np.asarray(res.total_iter)

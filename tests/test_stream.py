@@ -192,3 +192,34 @@ def test_stream_ref_vectors_tracking(setup):
     np.testing.assert_allclose(
         np.asarray(got.U), np.asarray(w.u), rtol=0, atol=1e-5
     )
+
+
+def test_stream_cones_parity(setup):
+    """In-kernel SOC projection at long horizon: streaming tier matches the
+    scan tier's cone path (input + state cones, N=64)."""
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update,
+    )
+
+    problem, cache, sp, x0s = setup
+    cones = ConeSet(
+        input_cones=(Cone(ball=(0,), axis=1, mu=0.8, shift=1.0),),
+        state_cones=(Cone(ball=(0, 1), axis=2, mu=2.0, shift=3.0),),
+    )
+    res = stream_solve(
+        x0s, StreamCarry.zeros(B, sp), sp, max_iter=30, interpret=True,
+        cones=cones,
+    )
+    st = init_state_batched(B, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=30, check_termination=0),
+        project=cone_slack_update(cones),
+    ))(st)
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(want.x), rtol=0, atol=2e-5
+    )
