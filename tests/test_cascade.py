@@ -164,3 +164,36 @@ def test_cascade_validation(setup):
             x0s, carry, pp, check_termination=4, segment_iters=10,
             interpret=True,
         )
+
+
+def test_cascade_with_cones():
+    """The compaction cascade composes with in-kernel cones: iteration-exact
+    vs one coned adaptive call."""
+    from accelerated_tinympc_tpu.ops.fused_admm import pad_cones
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    problem, cache, x0 = quadrotor_hovering_setup()
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0,
+                                      shift=1.0),))
+    cone_ops = pad_cones(pp, cones)
+    rng = np.random.default_rng(5)
+    scale = np.repeat([0.02, 0.3, 1.0], B // 3)[:, None]
+    x0s = jnp.asarray(
+        np.asarray(x0)[None] + scale * rng.standard_normal((B, x0.size)),
+        jnp.float32,
+    )
+    carry = FusedCarry.zeros(B, pp)
+    kw = dict(max_iter=120, check_termination=2, interpret=True,
+              cone_ops=cone_ops)
+    want = fused_solve(x0s, carry, pp, **kw)
+    got = cascade_solve(x0s, carry, pp, segment_iters=10, min_bucket=4, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(got.stats[:, :2]), np.asarray(want.stats[:, :2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U), rtol=0, atol=5e-6
+    )
