@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Cache, Problem
 
@@ -299,17 +300,14 @@ def _apply_cones(W, knots: int, dim: int, S: int, cones):
     return jnp.concatenate(segs, axis=0)
 
 
-def _kernel(
+def _make_iteration(
     x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
     umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
-    d0, y0, g0, z0, v0,
-    u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
-    *, nx: int, nu: int, N: int, SX: int, SU: int,
-    max_iter: int, en_ib: bool, en_sb: bool,
-    ucones: tuple = (), xcones: tuple = (),
+    *, nx, nu, N, SX, SU, en_ib, en_sb, ucones, xcones,
 ):
+    """Load the tile's VMEM-resident operands and close the per-iteration
+    map over them (shared by the fixed and adaptive kernels)."""
     m = N - 1
-    f32 = jnp.float32
 
     A3 = a3[:]
     B3 = b3[:]
@@ -371,6 +369,27 @@ def _kernel(
             return Dnew, Ynew, Gnew, Znew, Vnew, Unew, Xnew
         return Dnew, Ynew, Gnew
 
+    return iteration
+
+
+def _kernel(
+    x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
+    umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
+    d0, y0, g0, z0, v0,
+    u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
+    *, nx: int, nu: int, N: int, SX: int, SU: int,
+    max_iter: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (),
+):
+    m = N - 1
+    f32 = jnp.float32
+    iteration = _make_iteration(
+        x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
+        umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
+        nx=nx, nu=nu, N=N, SX=SX, SU=SU, en_ib=en_ib, en_sb=en_sb,
+        ucones=ucones, xcones=xcones,
+    )
+
     D, Y, G = jax.lax.fori_loop(
         0, max(max_iter - 2, 0),
         lambda _, c: iteration(*c, full=False),
@@ -411,6 +430,148 @@ def _kernel(
     )
 
 
+def _kernel_adaptive(
+    tol_ref,
+    x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
+    umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
+    d0, y0, g0, z0, v0,
+    u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
+    *, nx: int, nu: int, N: int, SX: int, SU: int,
+    max_iter: int, check_every: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (),
+):
+    """Adaptive (per-instance early-termination) heterogeneous solve.
+
+    Same check-block structure and freeze semantics as the homogeneous
+    adaptive kernel (ops/fused_admm._kernel_adaptive; reference early-exit
+    dataflow admm.cpp:91-109,135-144): plain iterations between checks, a
+    newly-converged instance's result set snapshotted with pre-backward D /
+    pre-save Z,V / advanced duals, lanes keep iterating, outputs select by
+    the frozen flag. Per-instance bookkeeping lives in full (8, LANES)
+    blocks (all sublanes equal) — sublane-keepdims maxima are computed in
+    the loop body but never carried at row-1 width.
+    """
+    m = N - 1
+    f32 = jnp.float32
+    iteration = _make_iteration(
+        x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
+        umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
+        nx=nx, nu=nu, N=N, SX=SX, SU=SU, en_ib=en_ib, en_sb=en_sb,
+        ucones=ucones, xcones=xcones,
+    )
+    pri_tol = tol_ref[0, 0]
+    dua_tol = tol_ref[0, 1]
+    rho8 = jnp.concatenate([rhox_ref[0:1, :]] * 8, axis=0)  # (8, L)
+
+    def red8(a):
+        """Row max of ``a (rows, L)`` replicated into an (8, L) block."""
+        r = jnp.max(a, axis=0, keepdims=True)
+        return jnp.concatenate([r] * 8, axis=0)
+
+    def to_u(m8):
+        return jnp.concatenate([m8] * (m * SU // 8), axis=0)
+
+    def to_x(m8):
+        return jnp.concatenate([m8] * (N * SX // 8), axis=0)
+
+    def pick(msk, a, b):
+        # Exact for 0/1 masks; avoids select_n (unlowerable layouts).
+        return a * msk + b * (1.0 - msk)
+
+    def plain_body(_, c):
+        # Z/V advance too: the check's dual residuals compare against the
+        # immediately-previous slacks (admm.cpp:96,98), not the previous
+        # check's.
+        D, Y, G, _Z, _V = c
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = iteration(D, Y, G, full=True)
+        return (Dn, Yn, Gn, Znew, Vnew)
+
+    def cond(st):
+        k, done8 = st[0], st[1]
+        return jnp.logical_and(
+            k < max_iter, jnp.logical_not(jnp.all(done8 > 0.5))
+        )
+
+    def body(st):
+        (k, done8, D, Y, G, Z, V, lU, lX,
+         sD, sY, sG, sZ, sV, sU, sX, itf, r0, r1, r2, r3) = st
+        if check_every > 1:
+            n_plain = jnp.minimum(
+                check_every - jnp.remainder(k, check_every), max_iter - k
+            ) - 1
+            D, Y, G, Z, V = jax.lax.fori_loop(
+                0, n_plain, plain_body, (D, Y, G, Z, V)
+            )
+            kc = k + n_plain + 1
+        else:
+            kc = k + 1
+        # The check iteration. D/Z/V going in are the pre-backward /
+        # pre-slack-save values a newly-frozen instance must keep.
+        Dn, Yn, Gn, Znew, Vnew, U, X = iteration(D, Y, G, full=True)
+        is_check = jnp.remainder(kc, check_every) == 0
+        chk = is_check.astype(f32)
+        ps8 = red8(jnp.abs(X - Vnew))
+        ds8 = rho8 * red8(jnp.abs(V - Vnew))
+        pu8 = red8(jnp.abs(U - Znew))
+        du8 = rho8 * red8(jnp.abs(Z - Znew))
+        adv8 = 1.0 - done8
+        conv8 = (
+            (ps8 < pri_tol) & (pu8 < pri_tol)
+            & (ds8 < dua_tol) & (du8 < dua_tol)
+        ).astype(f32) * chk
+        newly8 = adv8 * conv8
+        mu_u = to_u(newly8)
+        mu_x = to_x(newly8)
+        sD = pick(mu_u, D, sD)       # backward pass skipped
+        sZ = pick(mu_u, Z, sZ)       # slack save skipped
+        sV = pick(mu_x, V, sV)
+        sY = pick(mu_u, Yn, sY)      # duals advanced before the check
+        sG = pick(mu_x, Gn, sG)
+        sU = pick(mu_u, U, sU)
+        sX = pick(mu_x, X, sX)
+        itf = pick(newly8, itf * 0.0 + kc.astype(f32), itf)
+        m_rec = adv8 * chk
+        r0 = pick(m_rec, ps8, r0)
+        r1 = pick(m_rec, ds8, r1)
+        r2 = pick(m_rec, pu8, r2)
+        r3 = pick(m_rec, du8, r3)
+        done8 = jnp.maximum(done8, newly8)
+        return (kc, done8, Dn, Yn, Gn, Znew, Vnew, U, X,
+                sD, sY, sG, sZ, sV, sU, sX, itf, r0, r1, r2, r3)
+
+    # Zero-inits derived from real ref data (pure constants materialize in
+    # replicated layouts that poison the carry chain — CLAUDE.md).
+    zu = d0[:] * 0.0
+    zx = g0[:] * 0.0
+    z8 = zu[:8]
+    init = (
+        jnp.zeros((), jnp.int32), z8,
+        d0[:], y0[:], g0[:], z0[:], v0[:], zu, zx,
+        zu, zu, zx, zu, zx, zu, zx,
+        z8, z8, z8, z8, z8,
+    )
+    (_k, done8, D, Y, G, Z, V, lU, lX,
+     sD, sY, sG, sZ, sV, sU, sX, itf, r0, r1, r2, r3) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    d_u = to_u(done8)
+    d_x = to_x(done8)
+    u_out[:] = pick(d_u, sU, lU)
+    x_out[:] = pick(d_x, sX, lX)
+    d_out[:] = pick(d_u, sD, D)
+    y_out[:] = pick(d_u, sY, Y)
+    g_out[:] = pick(d_x, sG, G)
+    z_out[:] = pick(d_u, sZ, Z)
+    v_out[:] = pick(d_x, sV, V)
+    itf = pick(done8, itf, itf * 0.0 + float(max_iter))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    stats_ref[:] = (
+        (row == 0).astype(f32) * itf + (row == 1).astype(f32) * done8
+        + (row == 2).astype(f32) * r0 + (row == 3).astype(f32) * r1
+        + (row == 4).astype(f32) * r2 + (row == 5).astype(f32) * r3
+    )
+
+
 def _unpack_lane(p: jax.Array, nt: int, Bn: int, k: int) -> jax.Array:
     """(NT*S, L) rows-major tiles back to (B, S) then first-k columns."""
     S = p.shape[0] // nt
@@ -423,8 +584,8 @@ def _unpack_lane(p: jax.Array, nt: int, Bn: int, k: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "en_input_bound", "en_state_bound",
-                     "interpret", "cones"),
+    static_argnames=("max_iter", "check_termination", "en_input_bound",
+                     "en_state_bound", "interpret", "cones"),
 )
 def hetero_solve(
     x0: jax.Array,
@@ -432,17 +593,25 @@ def hetero_solve(
     hp: HeteroProblem,
     *,
     max_iter: int = 100,
+    check_termination: int = 0,
+    abs_pri_tol: float | jax.Array = 1e-3,
+    abs_dua_tol: float | jax.Array = 1e-3,
     en_input_bound: bool = True,
     en_state_bound: bool = True,
     interpret: bool = False,
     cones=None,
 ) -> HeteroResult:
-    """Fixed-iteration batched ADMM, one distinct plant per instance.
+    """Batched ADMM, one distinct plant per instance.
 
     ``x0 (B, nx)``; semantics per instance match
-    :func:`..solver.admm.solve` with ``check_termination = 0`` (reference:
-    src/tinympc/admm.cpp:111-152 with checks disabled). Returns final
-    iterates + a warm-start carry + per-instance residual stats.
+    :func:`..solver.admm.solve` (reference: src/tinympc/admm.cpp:111-152).
+    ``check_termination == 0`` runs the deterministic fixed-iteration
+    kernel; ``> 0`` the adaptive kernel with per-instance convergence
+    freezing every that many iterations (same early-exit dataflow as the
+    scan tier / homogeneous adaptive kernel; stats row 1 = solved flag,
+    row 0 = per-instance iteration count). Tolerances are traced SMEM
+    operands — changing them never recompiles. Returns final iterates + a
+    warm-start carry + per-instance residual stats.
 
     ``cones`` (a static :class:`..solver.cones.ConeSet`, shared across the
     batch) adds exact SOC projections to the in-kernel slack stage — with
@@ -469,16 +638,38 @@ def hetero_solve(
         return pl.BlockSpec((r_in, r_out, LANES), lambda t: (t, 0, 0))
 
     grid = (nt,)
-    kernel = functools.partial(
-        _kernel, nx=nx, nu=nu, N=N, SX=SX, SU=SU, max_iter=max_iter,
-        en_ib=en_input_bound, en_sb=en_state_bound,
+    cone_kw = dict(
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
     )
+    if check_termination <= 0:
+        kernel = functools.partial(
+            _kernel, nx=nx, nu=nu, N=N, SX=SX, SU=SU, max_iter=max_iter,
+            en_ib=en_input_bound, en_sb=en_state_bound, **cone_kw,
+        )
+        scalar_args: tuple = ()
+        scalar_specs: list = []
+    else:
+        if max_iter < 1:
+            raise ValueError("adaptive hetero solve needs max_iter >= 1")
+        kernel = functools.partial(
+            _kernel_adaptive, nx=nx, nu=nu, N=N, SX=SX, SU=SU,
+            max_iter=max_iter, check_every=check_termination,
+            en_ib=en_input_bound, en_sb=en_state_bound, **cone_kw,
+        )
+        tols = jnp.stack([
+            jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),
+            jnp.asarray(abs_dua_tol, jnp.float32).reshape(()),
+        ]).reshape(1, 2)
+        scalar_args = (tols,)
+        scalar_specs = [
+            pl.BlockSpec((1, 2), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=scalar_specs + [
             spec(SX),                     # x0
             spec3(SX, SX), spec3(SU, SX), spec3(SX, SU), spec3(SU, SX),
             spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
@@ -499,6 +690,7 @@ def hetero_solve(
         ],
         interpret=interpret,
     )(
+        *scalar_args,
         x0p, hp.A3, hp.B3, hp.K3, hp.Kt3, hp.Quu3, hp.Bt3, hp.M3,
         hp.u_min, hp.u_max, hp.x_min, hp.x_max, hp.qc, hp.pterm,
         hp.rho_u, hp.rho_x,

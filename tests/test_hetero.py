@@ -253,3 +253,68 @@ def test_hetero_cones_parity(setup):
     )
     # Scan-tier slack obeys the cone exactly; the kernel matched it above.
     assert float(cone_violation(want.znew, cones.input_cones[0])) <= 1e-6
+
+
+def test_adaptive_parity(setup):
+    """Adaptive hetero kernel: per-instance iteration counts, solved flags
+    and controls match the scan tier's early-exit semantics across 24
+    distinct plants."""
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=200, check_termination=2,
+        abs_pri_tol=5e-3, abs_dua_tol=5e-3, interpret=True,
+    )
+    st = init_state_batched(B, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = solve_batched(
+        st, prob_b, cache_b,
+        atm.Settings(max_iter=200, check_termination=2,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+        problem_axes=0, cache_axes=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 0], np.int32), np.asarray(want.iter)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 1]) > 0.5,
+        np.asarray(want.status) == atm.types.SOLVED,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(want.x), rtol=0, atol=1e-4
+    )
+    # Spread sanity: distinct plants should not all share one count.
+    assert len(set(np.asarray(res.stats[:, 0]).tolist())) > 1
+
+
+def test_adaptive_warm_start_carry(setup):
+    """Adaptive-mode carries warm-start a follow-up solve identically to the
+    scan tier's re-solve protocol (duals reset, slacks kept)."""
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    kw = dict(max_iter=60, check_termination=5, abs_pri_tol=1e-2,
+              abs_dua_tol=1e-2, interpret=True)
+    r1 = hetero_solve(x0s, HeteroCarry.zeros(hp), hp, **kw)
+    r2 = hetero_solve(x0s * 0.9, r1.carry.reset_duals(), hp, **kw)
+
+    st = init_state_batched(B, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    sets = atm.Settings(max_iter=60, check_termination=5,
+                        abs_pri_tol=1e-2, abs_dua_tol=1e-2)
+    w1 = solve_batched(st, prob_b, cache_b, sets,
+                       problem_axes=0, cache_axes=0)
+    st2 = w1.replace(
+        x=w1.x.at[:, 0, :].set(x0s * 0.9),
+        y=jnp.zeros_like(w1.y), g=jnp.zeros_like(w1.g),
+    )
+    w2 = solve_batched(st2, prob_b, cache_b, sets,
+                       problem_axes=0, cache_axes=0)
+    np.testing.assert_array_equal(
+        np.asarray(r2.stats[:, 0], np.int32), np.asarray(w2.iter)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.U), np.asarray(w2.u), rtol=0, atol=1e-4
+    )
