@@ -138,6 +138,80 @@ def _lane_pack_mat(a: jax.Array, R_in: int, R_out: int, nt: int) -> jax.Array:
     )
 
 
+def _unpack_rows(p: jax.Array, S: int) -> jax.Array:
+    """(NT*S, L) lane-packed -> (NT*L, S) batch-leading (padding rows kept)."""
+    nt = p.shape[0] // S
+    return p.reshape(nt, S, LANES).transpose(0, 2, 1).reshape(nt * LANES, S)
+
+
+def _repack_rows(a: jax.Array, S: int) -> jax.Array:
+    """(B, S) batch-leading -> (NT*S, L) lane-packed (batch padded to a lane
+    multiple with zeros)."""
+    Bn = a.shape[0]
+    nt = -(-Bn // LANES)
+    out = jnp.zeros((nt * LANES, S), a.dtype).at[:Bn].set(a)
+    return out.reshape(nt, LANES, S).transpose(0, 2, 1).reshape(nt * S, LANES)
+
+
+def _unpack_mat3(p: jax.Array, R_in: int) -> jax.Array:
+    """(NT*R_in, R_out, L) -> (NT*L, R_in, R_out)."""
+    R_out = p.shape[1]
+    nt = p.shape[0] // R_in
+    return (
+        p.reshape(nt, R_in, R_out, LANES)
+        .transpose(0, 3, 1, 2)
+        .reshape(nt * LANES, R_in, R_out)
+    )
+
+
+def _repack_mat3(a: jax.Array) -> jax.Array:
+    """(B, R_in, R_out) -> (NT*R_in, R_out, L)."""
+    Bn, R_in, R_out = a.shape
+    nt = -(-Bn // LANES)
+    out = jnp.zeros((nt * LANES, R_in, R_out), a.dtype).at[:Bn].set(a)
+    return (
+        out.reshape(nt, LANES, R_in, R_out)
+        .transpose(0, 2, 3, 1)
+        .reshape(nt * R_in, R_out, LANES)
+    )
+
+
+def gather_hetero(
+    hp: HeteroProblem, carry: HeteroCarry, x0: jax.Array, idx: jax.Array,
+) -> tuple[HeteroProblem, HeteroCarry, jax.Array]:
+    """Gather instances ``idx`` out of a lane-packed problem + carry + x0
+    into a fresh (smaller) lane packing — the compaction primitive for
+    :func:`..solver.cascade.hetero_cascade_solve`. ``idx`` length must be a
+    multiple of LANES (pad with repeats of a live instance). Jittable;
+    retraces per (in, out) shape pair."""
+    nx, nu, N = hp.dims
+    m = N - 1
+    SX, SU = hp.SX, hp.SU
+
+    def g_rows(p, S):
+        return _repack_rows(_unpack_rows(p, S)[idx], S)
+
+    def g_mat(p, R_in):
+        return _repack_mat3(_unpack_mat3(p, R_in)[idx])
+
+    hp2 = HeteroProblem(
+        A3=g_mat(hp.A3, SX), B3=g_mat(hp.B3, SU), K3=g_mat(hp.K3, SX),
+        Kt3=g_mat(hp.Kt3, SU), Quu3=g_mat(hp.Quu3, SU),
+        Bt3=g_mat(hp.Bt3, SX), M3=g_mat(hp.M3, SX),
+        u_min=g_rows(hp.u_min, SU), u_max=g_rows(hp.u_max, SU),
+        x_min=g_rows(hp.x_min, SX), x_max=g_rows(hp.x_max, SX),
+        qc=g_rows(hp.qc, N * SX), pterm=g_rows(hp.pterm, SX),
+        rho_u=g_rows(hp.rho_u, SU), rho_x=g_rows(hp.rho_x, SX),
+        dims=hp.dims, batch=int(idx.shape[0]),
+    )
+    carry2 = HeteroCarry(
+        d=g_rows(carry.d, m * SU), y=g_rows(carry.y, m * SU),
+        g=g_rows(carry.g, N * SX), z=g_rows(carry.z, m * SU),
+        v=g_rows(carry.v, N * SX),
+    )
+    return hp2, carry2, x0[idx]
+
+
 def pad_hetero_problem(
     problem: Problem, cache: Cache, dtype: Any = jnp.float32
 ) -> HeteroProblem:

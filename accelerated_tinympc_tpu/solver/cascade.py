@@ -277,3 +277,219 @@ def cascade_solve(
     return FusedResult(
         U=out[0], X=out[1], carry=FusedCarry(*out[3:]), stats=out[2],
     )
+
+
+# ---------------------------------------------------------------- hetero ----
+
+@functools.lru_cache(maxsize=2)
+def _jit_hetero_scatter(interpret):
+    """Hetero-tier segment scatter: unpack the lane-packed carry to
+    batch-leading rows and scatter carry+results into the (B+1)-row output
+    buffers (row B discards padding); returns the solved column."""
+    from ..ops.hetero_admm import _unpack_rows
+
+    def fn(out, res, idx, off, dims):
+        nx, nu, N = dims
+        m = N - 1
+        from ..ops.hetero_admm import _pad8
+
+        SX, SU = _pad8(nx), _pad8(nu)
+        rows = (
+            res.U, res.X, res.stats.at[:, 0].add(off),
+            _unpack_rows(res.carry.d, m * SU),
+            _unpack_rows(res.carry.y, m * SU),
+            _unpack_rows(res.carry.g, N * SX),
+            _unpack_rows(res.carry.z, m * SU),
+            _unpack_rows(res.carry.v, N * SX),
+        )
+        n = idx.shape[0]
+        out = tuple(
+            buf.at[idx].set(r[:n]) for buf, r in zip(out, rows)
+        )
+        return out, res.stats[:, 1]
+
+    if interpret:
+        return fn
+    return jax.jit(fn, donate_argnums=0, static_argnums=4)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_hetero_init(interpret):
+    from ..ops.hetero_admm import _pad8, _unpack_rows
+
+    def fn(res, idx, B, off, dims):
+        nx, nu, N = dims
+        m = N - 1
+        SX, SU = _pad8(nx), _pad8(nu)
+        rows = (
+            res.U, res.X, res.stats.at[:, 0].add(off),
+            _unpack_rows(res.carry.d, m * SU),
+            _unpack_rows(res.carry.y, m * SU),
+            _unpack_rows(res.carry.g, N * SX),
+            _unpack_rows(res.carry.z, m * SU),
+            _unpack_rows(res.carry.v, N * SX),
+        )
+        n = idx.shape[0]
+        out = tuple(
+            jnp.zeros((B + 1,) + r.shape[1:], r.dtype).at[idx].set(r[:n])
+            for r in rows
+        )
+        return out, res.stats[:, 1]
+
+    return fn if interpret else jax.jit(fn, static_argnums=(2, 4))
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_hetero_gather(interpret):
+    from ..ops.hetero_admm import gather_hetero
+
+    fn = gather_hetero
+    return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_hetero_finalize(interpret):
+    """Drop the discard row and re-pack the carry for the full batch in one
+    dispatch."""
+    from ..ops.hetero_admm import _pad8, _repack_rows
+
+    def fn(out, B, dims):
+        nx, nu, N = dims
+        m = N - 1
+        SX, SU = _pad8(nx), _pad8(nu)
+        U, X, stats, d, y, g, z, v = (a[:B] for a in out)
+        return U, X, stats, (
+            _repack_rows(d, m * SU), _repack_rows(y, m * SU),
+            _repack_rows(g, N * SX), _repack_rows(z, m * SU),
+            _repack_rows(v, N * SX),
+        )
+
+    return fn if interpret else jax.jit(fn, static_argnums=(1, 2))
+
+
+def hetero_cascade_solve(
+    x0: jax.Array,
+    carry,
+    hp,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 1,
+    segment_iters: int | None = None,
+    segment_growth: float = 4.0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    min_bucket: int | None = None,
+    interpret: bool = False,
+    cones=None,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+):
+    """Compaction cascade over the heterogeneous-plant adaptive kernel.
+
+    Default ``segment_growth=4`` (vs the homogeneous cascade's 2): each
+    hetero compaction re-packs the survivors' *plant tensors* too
+    (~30 ms at 65k instances over the relay), so fewer, longer late
+    segments win — measured 1.46x over one adaptive call at B=65536
+    (5% stragglers), bit-exact, vs 0.97x at growth 2 (BASELINE.md).
+
+    Same dispatch-level early-termination reclaim as :func:`cascade_solve`
+    (which see for the cost model), for batches where every instance carries
+    its own plant: between segments the surviving instances — plants,
+    carries, x0 — are gathered into a fresh lane packing
+    (:func:`..ops.hetero_admm.gather_hetero`) and re-dispatched in
+    LANES-multiple pow-2 buckets.  Unlike the lane-packed homogeneous
+    kernel, per-lane arithmetic is invariant to the lane an instance sits
+    on, so the cascade is **bit-exact** against one long adaptive call —
+    schedules and iterates both (tests/test_hetero.py).
+
+    Returns ``(U, X, stats, carry)`` with the full original batch order;
+    ``carry`` is re-packed for the full batch (warm-start ready).
+    """
+    from ..ops.hetero_admm import (
+        LANES, HeteroCarry, _pad8, hetero_solve,
+    )
+
+    if check_termination <= 0:
+        raise ValueError("hetero_cascade_solve requires adaptive mode")
+    if segment_iters is None:
+        segment_iters = check_termination * max(
+            1, round(25 / check_termination)
+        )
+    if segment_iters % check_termination != 0:
+        raise ValueError(
+            "segment_iters must be a multiple of check_termination"
+        )
+    if segment_growth < 1.0:
+        raise ValueError("segment_growth must be >= 1.0")
+
+    nx, nu, N = hp.dims
+    m = N - 1
+    SX, SU = _pad8(nx), _pad8(nu)
+    B = x0.shape[0]
+    if min_bucket is None:
+        min_bucket = LANES
+    min_bucket = max(LANES, min_bucket)
+
+    def run(x, c, h, k):
+        return hetero_solve(
+            x, c, h, max_iter=k, check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            en_input_bound=en_input_bound, en_state_bound=en_state_bound,
+            interpret=interpret, cones=cones,
+        )
+
+    if max_iter <= segment_iters:
+        res = run(x0, carry, hp, max_iter)
+        return res.U, res.X, res.stats, res.carry
+
+    active_idx = np.arange(B, dtype=np.int32)
+    x0_b, carry_b, hp_b = x0, carry, hp
+    done_iters = 0
+    cur_seg = segment_iters
+    gather = _jit_hetero_gather(interpret)
+    scatter = _jit_hetero_scatter(interpret)
+    out = None
+    dims = (nx, nu, N)
+
+    while True:
+        n_active = active_idx.size
+        k = min(cur_seg, max_iter - done_iters)
+        res = run(x0_b, carry_b, hp_b, k)
+        idx = np.full(res.stats.shape[0], B, np.int32)
+        idx[:n_active] = active_idx
+        if out is None:
+            out, solved_col = _jit_hetero_init(interpret)(
+                res, jnp.asarray(idx), B, jnp.float32(done_iters), dims
+            )
+        else:
+            out, solved_col = scatter(
+                out, res, jnp.asarray(idx), jnp.float32(done_iters), dims
+            )
+        done_iters += k
+        if done_iters >= max_iter:
+            break
+        solved = np.asarray(jax.device_get(solved_col))[:n_active] > 0.5
+        keep = np.nonzero(~solved)[0]
+        if keep.size == 0:
+            break
+        cur_seg = max(
+            check_termination,
+            int(cur_seg * segment_growth)
+            // check_termination * check_termination,
+        )
+        active_idx = active_idx[keep]
+        bucket = min(
+            -(-B // LANES) * LANES,
+            max(min_bucket, _next_pow2(-(-keep.size // LANES)) * LANES),
+        )
+        local = np.concatenate([
+            keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
+        ])
+        hp_b, carry_b, x0_b = gather(
+            hp_b, res.carry, x0_b, jnp.asarray(local)
+        )
+
+    U, X, stats, packed = _jit_hetero_finalize(interpret)(out, B, dims)
+    return U, X, stats, HeteroCarry(
+        d=packed[0], y=packed[1], g=packed[2], z=packed[3], v=packed[4],
+    )

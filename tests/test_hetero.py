@@ -318,3 +318,28 @@ def test_adaptive_warm_start_carry(setup):
     np.testing.assert_allclose(
         np.asarray(r2.U), np.asarray(w2.u), rtol=0, atol=1e-4
     )
+
+
+def test_hetero_cascade_bit_exact(setup):
+    """Compaction cascade over the hetero adaptive kernel is BIT-exact vs
+    one long adaptive call (per-lane arithmetic is lane-invariant, unlike
+    the lane-packed homogeneous kernel)."""
+    from accelerated_tinympc_tpu.solver.cascade import hetero_cascade_solve
+
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    kw = dict(max_iter=200, check_termination=2,
+              abs_pri_tol=5e-3, abs_dua_tol=5e-3, interpret=True)
+    want = hetero_solve(x0s, HeteroCarry.zeros(hp), hp, **kw)
+    U, X, stats, carry = hetero_cascade_solve(
+        x0s, HeteroCarry.zeros(hp), hp, segment_iters=10, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(stats[:, :2]),
+                                  np.asarray(want.stats[:, :2]))
+    np.testing.assert_array_equal(np.asarray(U), np.asarray(want.U))
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(want.X))
+    for f in ("d", "y", "g", "z", "v"):
+        # carry is repacked for the full batch; compare the live rows.
+        got = getattr(carry, f)
+        ref = getattr(want.carry, f)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
