@@ -27,6 +27,6 @@ from .solver import admm  # noqa: F401
 from .solver.admm import solve  # noqa: F401
 from . import models  # noqa: F401
 from . import api, ops, parallel, utils  # noqa: F401
-from .api import TinyMPC, mpc_rollout, tiny_codegen  # noqa: F401
+from .api import TinyMPC, TinyMPCFleet, mpc_rollout, tiny_codegen  # noqa: F401
 
 __version__ = "0.1.0"

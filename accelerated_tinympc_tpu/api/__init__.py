@@ -3,6 +3,7 @@ offline codegen, and AOT export (capability parity with the reference's
 L3 layers — SURVEY.md §1)."""
 
 from .solver import TinyMPC  # noqa: F401
+from .fleet import TinyMPCFleet  # noqa: F401
 from .mpc import (  # noqa: F401
     MPCTrace,
     default_plant,

@@ -1,0 +1,299 @@
+"""Fleet API: one MPC problem per instance, at kernel speed.
+
+The reference binds one problem per process (global workspace, reference:
+src/tinympc/tiny_wrapper.hpp:6). :class:`TinyMPCFleet` is the TPU-native
+inversion — thousands of *distinct* plants (and penalties) solved in one
+dispatch — wrapping the heterogeneous tiers behind the same setter/getter
+surface as :class:`.solver.TinyMPC`:
+
+* tier ``"hetero"`` (default): the per-lane VPU fused kernel
+  (:mod:`..ops.hetero_admm`) — fixed and adaptive modes, SOC cones,
+  optional early-termination compaction (:func:`..solver.cascade.hetero_cascade_solve`).
+* tier ``"instance_ops"``: the per-instance-operator einsum tier
+  (:mod:`..solver.batched_ops`) — same semantics under plain XLA, plus the
+  fully on-device batched adaptive-rho loop (:meth:`solve_adaptive_rho`).
+
+Caches are built **on device** (vmapped float32 Riccati,
+:func:`..precompute.riccati_cache_jax`); pass ``host_precompute=True`` for
+the reference's float64 host path on ill-conditioned plants (reference:
+examples/codegen_cartpole.cpp:9-11).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Problem, Settings
+
+FLEET_TIERS = ("hetero", "instance_ops")
+
+
+@dataclasses.dataclass
+class TinyMPCFleet:
+    """A batch of independent MPC problems, one plant per instance."""
+
+    problem: Problem            # batch-leading leaves
+    cache: Any                  # batch-leading Cache pytree
+    settings: Settings
+    tier: str = "hetero"
+    interpret: bool = False
+    cones: Any = None
+    # hetero adaptive mode only: > 0 runs the compaction cascade with this
+    # segment length (multiple of check_termination).
+    compaction_segment: int = 0
+    # internals
+    _hp: Any = None
+    _ops: Any = None
+    _carry: Any = None
+    _x0: Any = None
+    _last: Any = None
+
+    # ------------------------------------------------------------- setup ----
+    @classmethod
+    def setup(
+        cls,
+        A: np.ndarray | jax.Array,
+        B: np.ndarray | jax.Array,
+        Q: np.ndarray | jax.Array,
+        R: np.ndarray | jax.Array,
+        rho: float | np.ndarray | jax.Array,
+        horizon: int,
+        *,
+        x_min=None, x_max=None, u_min=None, u_max=None,
+        settings: Settings | None = None,
+        tier: str = "hetero",
+        interpret: bool = False,
+        cones: Any = None,
+        compaction_segment: int = 0,
+        host_precompute: bool = False,
+    ) -> "TinyMPCFleet":
+        """Construct from per-instance plants: ``A (B, nx, nx)``,
+        ``B (B, nx, nu)``, ``Q (B, nx)`` / ``R (B, nu)`` raw cost diagonals
+        (broadcast a shared plant by stacking), ``rho`` scalar or ``(B,)``.
+        Bounds are scalars or per-instance ``(B, k)`` arrays; enabled iff
+        provided (the reference's nullptr-enable logic,
+        codegen.cpp:227-243)."""
+        if tier not in FLEET_TIERS:
+            raise ValueError(f"tier must be one of {FLEET_TIERS}")
+        A = jnp.asarray(A, jnp.float32)
+        Bm = jnp.asarray(B, jnp.float32)
+        Q = jnp.asarray(Q, jnp.float32)
+        R = jnp.asarray(R, jnp.float32)
+        Bn, nx, nu = Bm.shape
+        N, m = horizon, horizon - 1
+        rho_b = jnp.broadcast_to(
+            jnp.asarray(rho, jnp.float32).reshape(-1), (Bn,)
+        )
+
+        def expand(v, default, knots, k):
+            if v is None:
+                return jnp.full((Bn, knots, k), default, jnp.float32)
+            v = jnp.asarray(v, jnp.float32)
+            if v.ndim <= 1:
+                v = jnp.broadcast_to(v, (Bn, knots, k))
+            elif v.ndim == 2:  # (B, k) per-instance, time-uniform
+                v = jnp.broadcast_to(v[:, None, :], (Bn, knots, k))
+            return v
+
+        en_input = u_min is not None and u_max is not None
+        en_state = x_min is not None and x_max is not None
+        problem = Problem(
+            A=A, B=Bm, Q=Q, R=R,
+            u_min=expand(u_min, -jnp.inf, m, nu),
+            u_max=expand(u_max, jnp.inf, m, nu),
+            x_min=expand(x_min, -jnp.inf, N, nx),
+            x_max=expand(x_max, jnp.inf, N, nx),
+            Xref=jnp.zeros((Bn, N, nx), jnp.float32),
+            Uref=jnp.zeros((Bn, m, nu), jnp.float32),
+        )
+        if host_precompute:
+            from ..precompute import riccati_cache
+
+            caches = [
+                riccati_cache(
+                    np.asarray(A[b]), np.asarray(Bm[b]),
+                    np.asarray(Q[b]), np.asarray(R[b]), float(rho_b[b]),
+                )
+                for b in range(Bn)
+            ]
+            cache = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *caches
+            )
+        else:
+            from ..precompute import riccati_cache_jax
+
+            cache = jax.jit(jax.vmap(riccati_cache_jax))(A, Bm, Q, R, rho_b)
+        settings = (settings or Settings()).replace(
+            en_input_bound=en_input, en_state_bound=en_state
+        )
+        self = cls(
+            problem=problem, cache=cache, settings=settings, tier=tier,
+            interpret=interpret, cones=cones,
+            compaction_segment=compaction_segment,
+        )
+        self._build()
+        return self
+
+    def _build(self) -> None:
+        if self.tier == "hetero":
+            from ..ops.hetero_admm import HeteroCarry, pad_hetero_problem
+
+            self._hp = jax.jit(pad_hetero_problem)(self.problem, self.cache)
+            self._carry = HeteroCarry.zeros(self._hp)
+        else:
+            from ..solver.batched_ops import OpsState, build_instance_ops
+
+            self._ops = jax.jit(build_instance_ops)(self.problem, self.cache)
+            nx, nu = self.problem.A.shape[-1], self.problem.B.shape[-1]
+            N = self.problem.Xref.shape[-2]
+            self._carry = OpsState.zeros(
+                self.batch, N * nx, (N - 1) * nu
+            )
+
+    # ----------------------------------------------------------- surface ----
+    @property
+    def batch(self) -> int:
+        return self.problem.A.shape[0]
+
+    @property
+    def dims(self) -> tuple:
+        return (
+            self.problem.A.shape[-1], self.problem.B.shape[-1],
+            self.problem.Xref.shape[-2],
+        )
+
+    def set_x0(self, x0s) -> None:
+        """Per-instance measurements ``(B, nx)``."""
+        x0s = jnp.asarray(x0s, jnp.float32)
+        if x0s.shape != (self.batch, self.dims[0]):
+            raise ValueError(
+                f"x0s shape {x0s.shape} != ({self.batch}, {self.dims[0]})"
+            )
+        self._x0 = x0s
+
+    def reset_duals(self) -> None:
+        """Re-solve protocol: duals zeroed, slacks kept (reference:
+        examples/quadrotor_hovering.cpp:99-104)."""
+        self._carry = self._carry.reset_duals()
+
+    def solve(self) -> dict[str, Any]:
+        """One batched solve from the current x0 / warm-start carries.
+        ``settings.check_termination == 0`` is the deterministic
+        fixed-iteration mode; ``> 0`` per-instance early termination."""
+        if self._x0 is None:
+            raise RuntimeError("call set_x0 first")
+        s = self.settings
+        if self.tier == "hetero":
+            from ..ops.hetero_admm import hetero_solve
+
+            ce = s.check_termination
+            if self.compaction_segment and ce > 0:
+                from ..solver.cascade import hetero_cascade_solve
+
+                U, X, stats, carry = hetero_cascade_solve(
+                    self._x0, self._carry, self._hp,
+                    max_iter=s.max_iter, check_termination=ce,
+                    segment_iters=self.compaction_segment,
+                    abs_pri_tol=float(s.abs_pri_tol),
+                    abs_dua_tol=float(s.abs_dua_tol),
+                    en_input_bound=s.en_input_bound,
+                    en_state_bound=s.en_state_bound,
+                    interpret=self.interpret, cones=self.cones,
+                )
+                self._carry = carry
+                self._last = (U, X)
+            else:
+                res = hetero_solve(
+                    self._x0, self._carry, self._hp,
+                    max_iter=s.max_iter, check_termination=ce,
+                    abs_pri_tol=float(s.abs_pri_tol),
+                    abs_dua_tol=float(s.abs_dua_tol),
+                    en_input_bound=s.en_input_bound,
+                    en_state_bound=s.en_state_bound,
+                    interpret=self.interpret, cones=self.cones,
+                )
+                self._carry = res.carry
+                self._last = (res.U, res.X)
+                stats = res.stats
+            stats = np.asarray(stats)
+            return {
+                "iterations": stats[:, 0].astype(np.int64),
+                "solved": stats[:, 1] > 0.5,
+                "iterations_mean": float(stats[:, 0].mean()),
+                "converged_fraction": float((stats[:, 1] > 0.5).mean()),
+                "primal_residual_state_max": float(stats[:, 2].max()),
+                "dual_residual_state_max": float(stats[:, 3].max()),
+                "primal_residual_input_max": float(stats[:, 4].max()),
+                "dual_residual_input_max": float(stats[:, 5].max()),
+            }
+        from ..solver.batched_ops import solve_instance_ops
+
+        nx, nu, N = self.dims
+        st = jax.jit(
+            solve_instance_ops,
+            static_argnames=("cones", "dims"),
+        )(
+            self._x0, self._carry, self._ops, s,
+            cones=self.cones, dims=(nx, nu),
+        )
+        self._carry = st
+        self._last = (
+            st.U.reshape(self.batch, N - 1, nu),
+            st.X.reshape(self.batch, N, nx),
+        )
+        return {
+            "iterations": np.asarray(st.iter, np.int64),
+            "solved": np.asarray(st.solved),
+            "iterations_mean": float(np.asarray(st.iter).mean()),
+            "converged_fraction": float(np.asarray(st.solved).mean()),
+        }
+
+    def get_u(self) -> jax.Array:
+        """Final (pre-projection) controls ``(B, N-1, nu)`` — the reference
+        applies pre-projection u."""
+        if self._last is None:
+            raise RuntimeError("no solve yet")
+        return self._last[0]
+
+    def get_x(self) -> jax.Array:
+        """State trajectories ``(B, N, nx)``."""
+        if self._last is None:
+            raise RuntimeError("no solve yet")
+        return self._last[1]
+
+    def solve_adaptive_rho(self, **kw) -> dict[str, Any]:
+        """Per-instance on-device rho adaptation
+        (:func:`..solver.batched_ops.solve_adaptive_rho_batched`); adopts
+        the adapted caches for subsequent solves. Any-tier: the refresh
+        machinery lives in the einsum tier; hetero rebuilds its packing
+        from the adapted caches."""
+        from ..solver.batched_ops import solve_adaptive_rho_batched
+
+        if self._x0 is None:
+            raise RuntimeError("call set_x0 first")
+        nx, nu, N = self.dims
+        res = jax.jit(
+            lambda x, r: solve_adaptive_rho_batched(
+                x, self.problem, self.problem.A, self.problem.B,
+                self.problem.Q, self.problem.R, r, self.settings,
+                cones=self.cones, **kw,
+            )
+        )(self._x0, jnp.asarray(self.cache.rho, jnp.float32).reshape(-1))
+        self.cache = res.cache
+        self._build()  # re-pack operators at the adapted rho
+        st = res.state
+        self._last = (
+            st.U.reshape(self.batch, N - 1, nu),
+            st.X.reshape(self.batch, N, nx),
+        )
+        return {
+            "rho": np.asarray(res.rho),
+            "iterations": np.asarray(res.total_iter, np.int64),
+            "solved": np.asarray(st.solved),
+            "rounds": int(res.rounds),
+        }

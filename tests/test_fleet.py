@@ -1,0 +1,121 @@
+"""Fleet API (api/fleet.py): the per-instance-plant capability behind the
+TinyMPC-style surface — distinct plants, both tiers, cones, adaptive rho,
+compaction. The reference's one-problem-per-process limitation inverted
+(reference: src/tinympc/tiny_wrapper.hpp:6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.models import random_lti_problem
+
+B, NX, NU, N = 12, 8, 3, 10
+
+
+@pytest.fixture(scope="module")
+def plants():
+    As, Bs, Qs, Rs = [], [], [], []
+    for seed in range(B):
+        p, _rho = random_lti_problem(seed=seed, nx=NX, nu=NU, horizon=N)
+        As.append(np.asarray(p.A)); Bs.append(np.asarray(p.B))
+        Qs.append(np.asarray(p.Q)); Rs.append(np.asarray(p.R))
+    rng = np.random.default_rng(1)
+    x0s = rng.standard_normal((B, NX)).astype(np.float32) * 0.4
+    return (np.stack(As), np.stack(Bs), np.stack(Qs), np.stack(Rs), x0s)
+
+
+def test_fleet_tiers_agree(plants):
+    """hetero and instance_ops tiers produce matching per-instance results
+    (distinct plants, adaptive mode, identical schedules)."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=150, check_termination=2,
+                        abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+    fleets = {}
+    for tier in ("hetero", "instance_ops"):
+        f = atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=1.0, horizon=N,
+            u_min=-2.0, u_max=2.0, settings=sets, tier=tier,
+            interpret=True,
+        )
+        f.set_x0(x0s)
+        fleets[tier] = (f, f.solve())
+    fh, ih = fleets["hetero"]
+    fo, io = fleets["instance_ops"]
+    np.testing.assert_array_equal(ih["iterations"], io["iterations"])
+    np.testing.assert_array_equal(ih["solved"], io["solved"])
+    np.testing.assert_allclose(
+        np.asarray(fh.get_u()), np.asarray(fo.get_u()), rtol=0, atol=5e-5
+    )
+
+
+def test_fleet_warm_start_and_compaction(plants):
+    """Warm-started re-solve protocol + the compaction cascade through the
+    fleet surface (iteration counts match the plain path bit-for-bit)."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=200, check_termination=2,
+                        abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+    plain = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+    )
+    casc = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+        compaction_segment=10,
+    )
+    for f in (plain, casc):
+        f.set_x0(x0s)
+    i1 = plain.solve()
+    i2 = casc.solve()
+    np.testing.assert_array_equal(i1["iterations"], i2["iterations"])
+    np.testing.assert_array_equal(
+        np.asarray(plain.get_u()), np.asarray(casc.get_u())
+    )
+    # warm re-solve: carries persist, duals reset
+    for f in (plain, casc):
+        f.reset_duals()
+        f.set_x0(x0s * 0.9)
+    j1 = plain.solve()
+    j2 = casc.solve()
+    np.testing.assert_array_equal(j1["iterations"], j2["iterations"])
+
+
+def test_fleet_adaptive_rho(plants):
+    """Batched adaptive rho through the fleet surface rescues mis-scaled
+    instances and adopts the adapted caches."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                        check_termination=1)
+    f = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R,
+        rho=np.asarray([1.0] * 6 + [1e-3] * 3 + [1e3] * 3, np.float32),
+        horizon=N, settings=sets, tier="instance_ops", interpret=True,
+    )
+    f.set_x0(x0s)
+    info = f.solve_adaptive_rho(chunk=25, max_rounds=40)
+    assert bool(np.all(info["solved"])), info["iterations"]
+    # well-scaled instances untouched
+    np.testing.assert_allclose(info["rho"][:6], 1.0)
+
+
+def test_fleet_cones(plants):
+    """SOC cones through the fleet surface (hetero kernel)."""
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_violation,
+    )
+
+    A, Bm, Q, R, x0s = plants
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0,
+                                      shift=2.0),))
+    sets = atm.Settings(max_iter=150, check_termination=2,
+                        abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+    f = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+        cones=cones,
+    )
+    f.set_x0(x0s)
+    info = f.solve()
+    assert info["converged_fraction"] > 0.5
+    # Slack-consensus controls approach the cone for solved instances.
+    u = np.asarray(f.get_u())[info["solved"]]
+    assert float(cone_violation(jnp.asarray(u), cones.input_cones[0])) < 0.1
