@@ -29,18 +29,26 @@ def export_batched_solve(
     batch: int,
     *,
     platforms: tuple[str, ...] | None = None,
+    cones=None,
 ) -> jax_export.Exported:
     """Export ``x0s (batch, nx) -> solved State`` with problem/cache baked in.
 
     ``platforms`` defaults to the current backend; pass e.g. ``("tpu", "cpu")``
-    for a multi-platform artifact.
+    for a multi-platform artifact. ``cones`` (a static
+    :class:`..solver.cones.ConeSet`) bakes SOC projections into the
+    artifact.
     """
     nx, nu, N = problem.nx, problem.nu, problem.horizon
+    project = None
+    if cones is not None:
+        from ..solver.cones import cone_slack_update
+
+        project = cone_slack_update(cones)
 
     def solve_fn(x0s: jax.Array) -> dict[str, jax.Array]:
         state = init_state_batched(batch, nx, nu, N, x0s.dtype)
         state = state.replace(x=state.x.at[:, 0, :].set(x0s))
-        out = solve_batched(state, problem, cache, settings)
+        out = solve_batched(state, problem, cache, settings, project=project)
         # Plain dict output: jax.export can serialize it without pytree
         # registration, and consumers get named arrays.
         return {

@@ -416,3 +416,43 @@ def test_fused_rollout_with_cones():
     # takes ~60, see examples/soc_landing.py).
     assert float(xf[0, 2]) < float(x0s[0, 2]) - 1.0
     assert float(xf[1, 2]) < float(x0s[1, 2]) - 0.2
+
+
+def test_aot_export_with_cones(tmp_path):
+    """AOT export bakes the cone projection: the serialized artifact
+    reproduces the live coned solve."""
+    from accelerated_tinympc_tpu.api.export import (
+        export_batched_solve, load_exported, save_exported,
+    )
+    from accelerated_tinympc_tpu.solver.batched import (
+        init_state_batched as _isb, solve_batched as _sb,
+    )
+
+    problem, cache = _landing_setup()
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0),))
+    settings = atm.Settings(
+        max_iter=120, check_termination=2,
+        en_input_bound=False, en_state_bound=False,
+    )
+    exported = export_batched_solve(
+        problem, cache, settings, batch=3, cones=cones
+    )
+    f = tmp_path / "coned.jaxexport"
+    save_exported(f, exported)
+    solve = load_exported(f)
+    rng = np.random.default_rng(4)
+    x0s = jnp.asarray(
+        np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5])[None]
+        + rng.standard_normal((3, 6)) * 0.3, jnp.float32,
+    )
+    got = solve(x0s)
+    st = _isb(3, 6, 3, 15)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: _sb(
+        s, problem, cache, settings,
+        project=cone_slack_update(cones),
+    ))(st)
+    np.testing.assert_array_equal(np.asarray(got["u"]), np.asarray(want.u))
+    np.testing.assert_array_equal(
+        np.asarray(got["iterations"]), np.asarray(want.iter)
+    )
