@@ -274,3 +274,59 @@ def sharded_hetero_solve(
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def sharded_stream_solve(
+    mesh: Mesh,
+    *,
+    max_iter: int = 100,
+    knot_block: int = 32,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+    interpret: bool = False,
+    cones=None,
+):
+    """Streaming long-horizon kernel per shard: the batch (lane tiles)
+    shards over the mesh, the shared problem operands replicate, the solve
+    is communication-free, residual stats are psum'd.
+
+    Returns a jitted ``(x0s, carry, sp) -> (StreamResult, stats)``. ``x0s``
+    and every carry leaf shard on the leading axis (lane-tile granularity:
+    the tile count must divide by the mesh size — pad the batch to a
+    multiple of ``128 * n_devices``); ``sp`` is replicated.
+    """
+    from ..ops.stream_admm import stream_solve
+
+    def shard_fn(x0s, carry, sp):
+        res = stream_solve(
+            x0s, carry, sp, max_iter=max_iter, knot_block=knot_block,
+            en_input_bound=en_input_bound, en_state_bound=en_state_bound,
+            interpret=interpret, cones=cones,
+        )
+        n_local = jnp.asarray(res.stats.shape[0], jnp.float32)
+        stats = {
+            "n_total": jax.lax.psum(n_local, BATCH_AXIS),
+            "primal_residual_state_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 2]), BATCH_AXIS
+            ),
+            "dual_residual_state_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 3]), BATCH_AXIS
+            ),
+            "primal_residual_input_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 4]), BATCH_AXIS
+            ),
+            "dual_residual_input_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 5]), BATCH_AXIS
+            ),
+        }
+        return res, stats
+
+    batch_spec = P(BATCH_AXIS)
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec, P()),
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

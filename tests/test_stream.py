@@ -223,3 +223,31 @@ def test_stream_cones_parity(setup):
     np.testing.assert_allclose(
         np.asarray(res.X), np.asarray(want.x), rtol=0, atol=2e-5
     )
+
+
+def test_sharded_stream_solve(setup):
+    """Streaming kernel per shard over an 8-device mesh: sharded ==
+    unsharded per-instance numerics; shared operands replicate."""
+    from accelerated_tinympc_tpu.ops.stream_admm import LANES
+    from accelerated_tinympc_tpu.parallel import (
+        make_batch_mesh, replicate, shard_batch, sharded_stream_solve,
+    )
+
+    problem, cache, sp, _ = setup
+    nd = 8
+    Bn = LANES * nd
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.standard_normal((Bn, NX)) * 0.5, jnp.float32)
+    carry = StreamCarry.zeros(Bn, sp)
+    want = stream_solve(x0s, carry, sp, max_iter=8, interpret=True)
+
+    mesh = make_batch_mesh(nd)
+    solve = sharded_stream_solve(mesh, max_iter=8, interpret=True)
+    got, stats = solve(
+        shard_batch(x0s, mesh), shard_batch(carry, mesh),
+        replicate(sp, mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-6
+    )
+    assert float(stats["n_total"]) == Bn
