@@ -493,3 +493,219 @@ def hetero_cascade_solve(
     return U, X, stats, HeteroCarry(
         d=packed[0], y=packed[1], g=packed[2], z=packed[3], v=packed[4],
     )
+
+
+# ---------------------------------------------------------------- stream ----
+
+def _stream_unpack4(p):
+    """(NT, N, S, LANES) -> (NT*LANES, N, S) batch-leading."""
+    nt, N, S, L = p.shape
+    return p.transpose(0, 3, 1, 2).reshape(nt * L, N, S)
+
+
+def _stream_repack4(a):
+    """(B, N, S) -> (NT, N, S, LANES), batch zero-padded to a lane multiple."""
+    Bn, N, S = a.shape
+    from ..ops.hetero_admm import LANES
+
+    nt = -(-Bn // LANES)
+    out = jnp.zeros((nt * LANES, N, S), a.dtype).at[:Bn].set(a)
+    return out.reshape(nt, LANES, N, S).transpose(0, 2, 3, 1)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_stream_step(interpret):
+    """One segment's scatter + convergence flags in one dispatch: solved =
+    all four final-iteration residuals under tolerance (the scan tier's
+    check predicate, reference admm.cpp:99-105, applied at segment ends)."""
+
+    def fn(out, res, idx, off, pri, dua):
+        solved = (
+            (res.stats[:, 2] < pri) & (res.stats[:, 4] < pri)
+            & (res.stats[:, 3] < dua) & (res.stats[:, 5] < dua)
+        )
+        stats = res.stats.at[:, 0].set(off).at[:, 1].set(
+            solved.astype(jnp.float32)
+        )
+        rows = (
+            res.U, res.X, stats,
+            _stream_unpack4(res.carry.d), _stream_unpack4(res.carry.y),
+            _stream_unpack4(res.carry.g), _stream_unpack4(res.carry.z),
+            _stream_unpack4(res.carry.v),
+        )
+        n = idx.shape[0]
+        out = tuple(
+            buf.at[idx].set(r[:n]) for buf, r in zip(out, rows)
+        )
+        return out, solved
+
+    return fn if interpret else jax.jit(fn, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_stream_init(interpret):
+    def fn(res, idx, B, off, pri, dua):
+        solved = (
+            (res.stats[:, 2] < pri) & (res.stats[:, 4] < pri)
+            & (res.stats[:, 3] < dua) & (res.stats[:, 5] < dua)
+        )
+        stats = res.stats.at[:, 0].set(off).at[:, 1].set(
+            solved.astype(jnp.float32)
+        )
+        rows = (
+            res.U, res.X, stats,
+            _stream_unpack4(res.carry.d), _stream_unpack4(res.carry.y),
+            _stream_unpack4(res.carry.g), _stream_unpack4(res.carry.z),
+            _stream_unpack4(res.carry.v),
+        )
+        n = idx.shape[0]
+        out = tuple(
+            jnp.zeros((B + 1,) + r.shape[1:], r.dtype).at[idx].set(r[:n])
+            for r in rows
+        )
+        return out, solved
+
+    return fn if interpret else jax.jit(fn, static_argnums=2)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_stream_segment(k, knot_block, en_ib, en_sb, interpret, cones):
+    """One compiled stream segment per (iteration count; bucket shapes key
+    the jit cache via tracing)."""
+    from ..ops.stream_admm import stream_solve
+
+    def fn(x, c, sp):
+        return stream_solve(
+            x, c, sp, max_iter=k, knot_block=knot_block,
+            en_input_bound=en_ib, en_state_bound=en_sb,
+            interpret=interpret, cones=cones,
+        )
+
+    return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_stream_gather(interpret):
+    def fn(carry, x0, loc):
+        c = jax.tree.map(
+            lambda p: _stream_repack4(_stream_unpack4(p)[loc]), carry
+        )
+        return c, x0[loc]
+
+    return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_stream_finalize(interpret):
+    def fn(out, B):
+        U, X, stats, d, y, g, z, v = (a[:B] for a in out)
+        return U, X, stats, tuple(
+            _stream_repack4(a) for a in (d, y, g, z, v)
+        )
+
+    return fn if interpret else jax.jit(fn, static_argnums=1)
+
+
+def stream_cascade_solve(
+    x0: jax.Array,
+    carry,
+    sp,
+    *,
+    max_iter: int = 100,
+    segment_iters: int = 25,
+    segment_growth: float = 4.0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    knot_block: int = 32,
+    min_bucket: int | None = None,
+    interpret: bool = False,
+    cones=None,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+):
+    """Segment-level early termination for the streaming long-horizon tier.
+
+    The streaming kernel is fixed-iteration by design (its whole loop state
+    streams HBM<->VMEM; per-lane freeze masks would add two arrays of
+    per-iteration traffic). This cascade supplies the early-termination
+    capability at the dispatch level instead: fixed segments, the scan
+    tier's convergence predicate applied to each segment's final-iteration
+    residuals (reference: admm.cpp:99-105 at a check cadence of
+    ``segment_iters``), converged instances scattered out, survivors
+    re-dispatched in pow-2 lane-tile buckets.
+
+    Semantics: controls/trajectories of a converged instance equal the
+    fixed-iteration solve at its recorded iteration count (a multiple of
+    ``segment_iters`` — segment-granular, i.e. an upper bound of the scan
+    tier's per-iteration check schedule); the returned carry holds the
+    slack-saved post-backward state (one stage past the reference's
+    early-exit freeze — an equally valid warm start, see
+    solver/admm.py's early-exit notes).
+
+    Returns ``(U, X, stats, carry)`` in original batch order; stats lane 0 =
+    iterations (segment-granular), lane 1 = solved flag, 2-5 = residuals at
+    the exit segment's final iteration.
+    """
+    from ..ops.hetero_admm import LANES
+    from ..ops.stream_admm import StreamCarry
+
+    if max_iter < 1 or segment_iters < 1:
+        raise ValueError("max_iter and segment_iters must be >= 1")
+    if segment_growth < 1.0:
+        raise ValueError("segment_growth must be >= 1.0")
+    B = x0.shape[0]
+    if min_bucket is None:
+        min_bucket = LANES
+    min_bucket = max(LANES, min_bucket)
+    pri = jnp.float32(abs_pri_tol)
+    dua = jnp.float32(abs_dua_tol)
+
+    def run(x, c, k):
+        return _jit_stream_segment(
+            k, knot_block, en_input_bound, en_state_bound, interpret, cones
+        )(x, c, sp)
+
+    active_idx = np.arange(B, dtype=np.int32)
+    x0_b, carry_b = x0, carry
+    done_iters = 0
+    cur_seg = segment_iters
+    gather = _jit_stream_gather(interpret)
+    step = _jit_stream_step(interpret)
+    out = None
+
+    while True:
+        n_active = active_idx.size
+        k = min(cur_seg, max_iter - done_iters)
+        res = run(x0_b, carry_b, k)
+        done_iters += k
+        idx = np.full(res.stats.shape[0], B, np.int32)
+        idx[:n_active] = active_idx
+        if out is None:
+            out, solved_col = _jit_stream_init(interpret)(
+                res, jnp.asarray(idx), B, jnp.float32(done_iters), pri, dua
+            )
+        else:
+            out, solved_col = step(
+                out, res, jnp.asarray(idx), jnp.float32(done_iters), pri, dua
+            )
+        if done_iters >= max_iter:
+            break
+        solved = np.asarray(jax.device_get(solved_col))[:n_active]
+        keep = np.nonzero(~solved)[0]
+        if keep.size == 0:
+            break
+        cur_seg = int(cur_seg * segment_growth)
+        active_idx = active_idx[keep]
+        bucket = min(
+            -(-B // LANES) * LANES,
+            max(min_bucket, _next_pow2(-(-keep.size // LANES)) * LANES),
+        )
+        local = np.concatenate([
+            keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
+        ])
+        carry_b, x0_b = gather(res.carry, x0_b, jnp.asarray(local))
+
+    U, X, stats, packed = _jit_stream_finalize(interpret)(out, B)
+    return U, X, stats, StreamCarry(
+        d=packed[0], y=packed[1], g=packed[2], z=packed[3], v=packed[4],
+    )

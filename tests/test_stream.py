@@ -251,3 +251,46 @@ def test_sharded_stream_solve(setup):
         np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-6
     )
     assert float(stats["n_total"]) == Bn
+
+
+def test_stream_cascade(setup):
+    """Segment-level early termination for the streaming tier: every
+    instance's controls are BIT-exact against a fixed-iteration solve of
+    its recorded iteration count (segments compose exactly through the
+    carry), and stragglers run to max_iter."""
+    from accelerated_tinympc_tpu.solver.cascade import stream_cascade_solve
+
+    problem, cache, sp, _ = setup
+    rng = np.random.default_rng(9)
+    B2 = 12
+    scale = np.repeat([0.05, 0.4, 2.0], B2 // 3)[:, None]
+    x0s = jnp.asarray(
+        scale * rng.standard_normal((B2, NX)), jnp.float32
+    )
+    carry = StreamCarry.zeros(B2, sp)
+    U, X, stats, carry_out = stream_cascade_solve(
+        x0s, carry, sp, max_iter=60, segment_iters=10,
+        abs_pri_tol=5e-3, abs_dua_tol=5e-3, interpret=True,
+    )
+    stats = np.asarray(stats)
+    iters = stats[:, 0].astype(int)
+    assert set(np.unique(iters)).issubset({10, 20, 30, 40, 50, 60})
+    assert len(np.unique(iters)) > 1, "no early-termination spread"
+    # Bit-exactness per recorded count.
+    for k in np.unique(iters):
+        want = stream_solve(
+            x0s, StreamCarry.zeros(B2, sp), sp, max_iter=int(k),
+            interpret=True,
+        )
+        sel = iters == k
+        np.testing.assert_array_equal(
+            np.asarray(U)[sel], np.asarray(want.U)[sel]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(X)[sel], np.asarray(want.X)[sel]
+        )
+    # Solved flags consistent with the residual predicate at the exit.
+    solved = stats[:, 1] > 0.5
+    ok = (stats[:, 2] < 5e-3) & (stats[:, 4] < 5e-3) \
+        & (stats[:, 3] < 5e-3) & (stats[:, 5] < 5e-3)
+    np.testing.assert_array_equal(solved, ok)
