@@ -43,6 +43,9 @@ class TinyMPCFleet:
     tier: str = "hetero"
     interpret: bool = False
     cones: Any = None
+    # Per-instance cone geometry (hetero tier): lane-packed mu/shift rows
+    # from ops.hetero_admm.pad_hetero_cone_params.
+    cone_params: Any = None
     # hetero adaptive mode only: > 0 runs the compaction cascade with this
     # segment length (multiple of check_termination).
     compaction_segment: int = 0
@@ -69,6 +72,8 @@ class TinyMPCFleet:
         tier: str = "hetero",
         interpret: bool = False,
         cones: Any = None,
+        cone_mu=None,
+        cone_shift=None,
         compaction_segment: int = 0,
         host_precompute: bool = False,
     ) -> "TinyMPCFleet":
@@ -131,9 +136,21 @@ class TinyMPCFleet:
         settings = (settings or Settings()).replace(
             en_input_bound=en_input, en_state_bound=en_state
         )
+        cone_params = None
+        if cones is not None and (cone_mu is not None
+                                  or cone_shift is not None):
+            if tier != "hetero":
+                raise ValueError(
+                    "per-instance cone parameters need the hetero tier"
+                )
+            from ..ops.hetero_admm import pad_hetero_cone_params
+
+            cone_params = pad_hetero_cone_params(
+                cones, Bn, mu_u=cone_mu, shift_u=cone_shift,
+            )
         self = cls(
             problem=problem, cache=cache, settings=settings, tier=tier,
-            interpret=interpret, cones=cones,
+            interpret=interpret, cones=cones, cone_params=cone_params,
             compaction_segment=compaction_segment,
         )
         self._build()
@@ -216,6 +233,7 @@ class TinyMPCFleet:
                     en_input_bound=s.en_input_bound,
                     en_state_bound=s.en_state_bound,
                     interpret=self.interpret, cones=self.cones,
+                    cone_params=self.cone_params,
                 )
                 self._carry = res.carry
                 self._last = (res.U, res.X)

@@ -176,6 +176,44 @@ def _repack_mat3(a: jax.Array) -> jax.Array:
     )
 
 
+def pad_hetero_cone_params(
+    cones, batch: int,
+    mu_u=None, shift_u=None, mu_x=None, shift_x=None,
+    dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Lane-pack per-instance cone parameters for :func:`hetero_solve`.
+
+    ``mu_u``/``shift_u`` are ``(n_input_cones, B)`` (or None to use the
+    cones' static scalars), likewise ``mu_x``/``shift_x`` for state cones —
+    heterogeneous constraint geometry (e.g. per-lander tilt limits) to go
+    with the heterogeneous plants. Returns the stacked ``(NT*C*8, L)``
+    operand (per cone: row 0 = mu lanes, row 1 = shift lanes, rows 2-7
+    pad the 8-sublane tile), input cones first."""
+    nt = -(-batch // LANES)
+    blocks = []
+
+    def push(cone_list, mu, shift):
+        for c, cone in enumerate(cone_list):
+            muv = (jnp.full((batch,), float(cone.mu), dtype)
+                   if mu is None else jnp.asarray(mu[c], dtype))
+            shv = (jnp.full((batch,), float(cone.shift), dtype)
+                   if shift is None else jnp.asarray(shift[c], dtype))
+            rows = jnp.stack([
+                muv, shv,
+                *([jnp.zeros((batch,), dtype)] * 6),
+            ], axis=1)  # (B, 8)
+            blocks.append(_lane_pack_vec(rows, 8, nt))  # (nt*8, L)
+
+    push(tuple(cones.input_cones), mu_u, shift_u)
+    push(tuple(cones.state_cones), mu_x, shift_x)
+    C = len(blocks)
+    # interleave per tile: want (NT * C*8, L) with tile t's C blocks
+    # contiguous — each block is (nt*8, L); restack.
+    stacked = jnp.stack(blocks, axis=0)          # (C, nt*8, L)
+    stacked = stacked.reshape(C, nt, 8, LANES).transpose(1, 0, 2, 3)
+    return stacked.reshape(nt * C * 8, LANES)
+
+
 def gather_hetero(
     hp: HeteroProblem, carry: HeteroCarry, x0: jax.Array, idx: jax.Array,
 ) -> tuple[HeteroProblem, HeteroCarry, jax.Array]:
@@ -330,14 +368,16 @@ class HeteroResult:
     stats: jax.Array
 
 
-def _project_soc_seg(seg, dim: int, S: int, cone):
+def _project_soc_seg(seg, dim: int, S: int, cone, mu=None, shift=None):
     """Exact SOC projection of one knot's rows ``seg (S, L)`` — 128
     instances at once, pure full-width VPU arithmetic (closed form as
     solver/cones.py project_cone; 0/1-mask case resolution, no select_n).
-    ``cone`` is static (ball indices / axis / mu / shift baked in)."""
+    ``cone`` is static (ball indices / axis baked in); ``mu``/``shift``
+    default to the cone's static scalars, or pass per-instance ``(1, L)``
+    lane rows (heterogeneous cone geometry)."""
     f32 = jnp.float32
-    mu = float(cone.mu)
-    shift = float(cone.shift)
+    mu = float(cone.mu) if mu is None else mu
+    shift = float(cone.shift) if shift is None else shift
     ax = int(cone.axis)
     a2 = None
     for b in cone.ball:
@@ -363,13 +403,17 @@ def _project_soc_seg(seg, dim: int, S: int, cone):
     return jnp.concatenate(rows, axis=0)
 
 
-def _apply_cones(W, knots: int, dim: int, S: int, cones):
-    """Apply static cones to every knot of ``W (knots*S, L)``."""
+def _apply_cones(W, knots: int, dim: int, S: int, cones, params=None):
+    """Apply static cones to every knot of ``W (knots*S, L)``. ``params``
+    (optional) is a list of per-cone ``(mu_row, shift_row)`` lane rows."""
     segs = []
     for i in range(knots):
         seg = W[i * S:(i + 1) * S]
-        for cone in cones:
-            seg = _project_soc_seg(seg, dim, S, cone)
+        for c, cone in enumerate(cones):
+            mu = sh = None
+            if params is not None:
+                mu, sh = params[c]
+            seg = _project_soc_seg(seg, dim, S, cone, mu=mu, shift=sh)
         segs.append(seg)
     return jnp.concatenate(segs, axis=0)
 
@@ -377,11 +421,26 @@ def _apply_cones(W, knots: int, dim: int, S: int, cones):
 def _make_iteration(
     x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
     umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
-    *, nx, nu, N, SX, SU, en_ib, en_sb, ucones, xcones,
+    *, nx, nu, N, SX, SU, en_ib, en_sb, ucones, xcones, cp_ref=None,
 ):
     """Load the tile's VMEM-resident operands and close the per-iteration
-    map over them (shared by the fixed and adaptive kernels)."""
+    map over them (shared by the fixed and adaptive kernels). ``cp_ref``
+    (optional) holds per-instance cone parameters: stacked per-cone
+    8-row blocks [mu row, shift row, 6 pad], input cones first."""
     m = N - 1
+    uparams = xparams = None
+    if cp_ref is not None:
+        cp = cp_ref[:]
+        uparams = [
+            (cp[c * 8:c * 8 + 1, :], cp[c * 8 + 1:c * 8 + 2, :])
+            for c in range(len(ucones))
+        ]
+        off = len(ucones)
+        xparams = [
+            (cp[(off + c) * 8:(off + c) * 8 + 1, :],
+             cp[(off + c) * 8 + 1:(off + c) * 8 + 2, :])
+            for c in range(len(xcones))
+        ]
 
     A3 = a3[:]
     B3 = b3[:]
@@ -419,11 +478,11 @@ def _make_iteration(
         Znew = jnp.clip(Su, uminf, umaxf) if en_ib else Su
         if ucones:
             # SOC projection composes after the box clip (solver/cones.py).
-            Znew = _apply_cones(Znew, m, nu, SU, ucones)
+            Znew = _apply_cones(Znew, m, nu, SU, ucones, uparams)
         Tx = Xnew + G
         Vnew = jnp.clip(Tx, xminf, xmaxf) if en_sb else Tx
         if xcones:
-            Vnew = _apply_cones(Vnew, N, nx, SX, xcones)
+            Vnew = _apply_cones(Vnew, N, nx, SX, xcones, xparams)
         Ynew = Su - Znew
         Gnew = Tx - Vnew
         # Linear-cost refresh (admm.cpp:77-85), r/q consumed in place by the
@@ -449,19 +508,22 @@ def _make_iteration(
 def _kernel(
     x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
     umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
-    d0, y0, g0, z0, v0,
-    u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
-    *, nx: int, nu: int, N: int, SX: int, SU: int,
+    *rest,
+    nx: int, nu: int, N: int, SX: int, SU: int,
     max_iter: int, en_ib: bool, en_sb: bool,
-    ucones: tuple = (), xcones: tuple = (),
+    ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
 ):
     m = N - 1
     f32 = jnp.float32
+    cp_ref = rest[0] if has_cparams else None
+    rest = rest[1 if has_cparams else 0:]
+    (d0, y0, g0, z0, v0,
+     u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref) = rest
     iteration = _make_iteration(
         x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
         umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
         nx=nx, nu=nu, N=N, SX=SX, SU=SU, en_ib=en_ib, en_sb=en_sb,
-        ucones=ucones, xcones=xcones,
+        ucones=ucones, xcones=xcones, cp_ref=cp_ref,
     )
 
     D, Y, G = jax.lax.fori_loop(
@@ -508,11 +570,10 @@ def _kernel_adaptive(
     tol_ref,
     x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
     umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
-    d0, y0, g0, z0, v0,
-    u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref,
-    *, nx: int, nu: int, N: int, SX: int, SU: int,
+    *rest,
+    nx: int, nu: int, N: int, SX: int, SU: int,
     max_iter: int, check_every: int, en_ib: bool, en_sb: bool,
-    ucones: tuple = (), xcones: tuple = (),
+    ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
 ):
     """Adaptive (per-instance early-termination) heterogeneous solve.
 
@@ -527,11 +588,15 @@ def _kernel_adaptive(
     """
     m = N - 1
     f32 = jnp.float32
+    cp_ref = rest[0] if has_cparams else None
+    rest = rest[1 if has_cparams else 0:]
+    (d0, y0, g0, z0, v0,
+     u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref) = rest
     iteration = _make_iteration(
         x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
         umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
         nx=nx, nu=nu, N=N, SX=SX, SU=SU, en_ib=en_ib, en_sb=en_sb,
-        ucones=ucones, xcones=xcones,
+        ucones=ucones, xcones=xcones, cp_ref=cp_ref,
     )
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
@@ -674,6 +739,7 @@ def hetero_solve(
     en_state_bound: bool = True,
     interpret: bool = False,
     cones=None,
+    cone_params: jax.Array | None = None,
 ) -> HeteroResult:
     """Batched ADMM, one distinct plant per instance.
 
@@ -691,7 +757,9 @@ def hetero_solve(
     batch) adds exact SOC projections to the in-kernel slack stage — with
     knots on sublanes and instances on lanes the projection is pure
     full-width VPU arithmetic (no extra matmuls, unlike the homogeneous
-    kernel's lane-packed layout).
+    kernel's lane-packed layout). ``cone_params``
+    (:func:`pad_hetero_cone_params`) overrides the cones' mu/shift with
+    per-instance lane values — heterogeneous constraint geometry.
     """
     nx, nu, N = hp.dims
     m = N - 1
@@ -712,10 +780,20 @@ def hetero_solve(
         return pl.BlockSpec((r_in, r_out, LANES), lambda t: (t, 0, 0))
 
     grid = (nt,)
+    has_cp = cone_params is not None
+    if has_cp and cones is None:
+        raise ValueError("cone_params without cones")
     cone_kw = dict(
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
+        has_cparams=has_cp,
     )
+    n_cones = (
+        len(cones.input_cones) + len(cones.state_cones)
+        if cones is not None else 0
+    )
+    cp_args = (cone_params,) if has_cp else ()
+    cp_specs = [spec(n_cones * 8)] if has_cp else []
     if check_termination <= 0:
         kernel = functools.partial(
             _kernel, nx=nx, nu=nu, N=N, SX=SX, SU=SU, max_iter=max_iter,
@@ -749,6 +827,7 @@ def hetero_solve(
             spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
             spec(SU), spec(SU), spec(SX), spec(SX),
             spec(N * SX), spec(SX), spec(SU), spec(SX),
+        ] + cp_specs + [
             spec(m * SU), spec(m * SU), spec(N * SX), spec(m * SU),
             spec(N * SX),
         ],
@@ -767,7 +846,7 @@ def hetero_solve(
         *scalar_args,
         x0p, hp.A3, hp.B3, hp.K3, hp.Kt3, hp.Quu3, hp.Bt3, hp.M3,
         hp.u_min, hp.u_max, hp.x_min, hp.x_max, hp.qc, hp.pterm,
-        hp.rho_u, hp.rho_x,
+        hp.rho_u, hp.rho_x, *cp_args,
         carry.d, carry.y, carry.g, carry.z, carry.v,
     )
     U, X, d, y, g, z, v, stats = outs

@@ -343,3 +343,48 @@ def test_hetero_cascade_bit_exact(setup):
         got = getattr(carry, f)
         ref = getattr(want.carry, f)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_per_instance_cone_params(setup):
+    """Heterogeneous cone geometry: per-instance mu/shift lanes. Instances
+    sharing the static scalars match the scalar path (to array-vs-folded
+    rounding); instances with different mu match a scalar run at that
+    mu."""
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        pad_hetero_cone_params,
+    )
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    base = Cone(ball=(0, 1), axis=2, mu=1.0, shift=2.0)
+    cones = ConeSet(input_cones=(base,))
+    # Half the fleet keeps mu=1.0, half tightens to mu=0.4.
+    mu = np.full(B, 1.0, np.float32)
+    mu[B // 2:] = 0.4
+    cp = pad_hetero_cone_params(cones, B, mu_u=mu[None, :])
+    kw = dict(max_iter=40, interpret=True)
+    got = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, cones=cones, cone_params=cp, **kw
+    )
+    w_loose = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, cones=cones, **kw
+    )
+    tight = ConeSet(input_cones=(base._replace(mu=0.4),))
+    w_tight = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, cones=tight, **kw
+    )
+    # atol 2e-5: scalar-mu kernels constant-fold (mu*a+s)/(mu^2+1) into
+    # cheaper exact forms; the lane-array path performs the literal
+    # arithmetic, so the two round differently by a few ulp per iteration.
+    h = B // 2
+    np.testing.assert_allclose(
+        np.asarray(got.U[:h]), np.asarray(w_loose.U[:h]), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U[h:]), np.asarray(w_tight.U[h:]), rtol=0, atol=2e-5
+    )
+    # And the tight half genuinely differs from the loose run.
+    assert float(np.max(np.abs(
+        np.asarray(got.U[h:]) - np.asarray(w_loose.U[h:])
+    ))) > 1e-4
