@@ -1,6 +1,8 @@
 """Randomized cross-tier consistency fuzzing: for random stabilizable plants
-across (nx, nu, N) shapes, all four solver tiers must agree on the same ADMM
-trajectory (fixed iterations; tolerances scaled for f32 drift)."""
+across (nx, nu, N) shapes, all solver tiers (scan, assoc, condensed, fused,
+hetero, stream — and the coned variants of each that supports cones) must
+agree on the same ADMM trajectory (fixed iterations; tolerances scaled for
+f32 drift)."""
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +87,37 @@ def test_all_tiers_agree(nx, nu, N):
         res.U[:, : (N - 1) * nu]
     ).reshape(B, N - 1, nu)
 
+    # hetero tier (per-instance plants degenerate to a shared one)
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        HeteroCarry, pad_hetero_problem,
+    )
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        hetero_solve as _hsolve,
+    )
+
+    bcast = lambda t: jax.tree.map(
+        lambda a: jnp.broadcast_to(
+            jnp.asarray(a), (B,) + jnp.asarray(a).shape
+        ), t
+    )
+    hp = pad_hetero_problem(bcast(problem), bcast(cache))
+    hres = _hsolve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=ITERS, interpret=True
+    )
+    u_het = np.asarray(hres.U)
+
+    # stream tier
+    from accelerated_tinympc_tpu.ops.stream_admm import (
+        StreamCarry, pad_stream_problem, stream_solve,
+    )
+
+    sp = pad_stream_problem(problem, cache)
+    sres = stream_solve(
+        x0s, StreamCarry.zeros(B, sp), sp, max_iter=ITERS,
+        knot_block=min(8, N), interpret=True,
+    )
+    u_stream = np.asarray(sres.U)
+
     scale = max(1.0, np.abs(u_scan).max())
     tol = 2e-4 * scale
     np.testing.assert_allclose(u_assoc, u_scan, rtol=0, atol=tol,
@@ -93,3 +126,113 @@ def test_all_tiers_agree(nx, nu, N):
                                err_msg="condensed")
     np.testing.assert_allclose(u_fused, u_scan, rtol=0, atol=tol,
                                err_msg="fused")
+    np.testing.assert_allclose(u_het, u_scan, rtol=0, atol=tol,
+                               err_msg="hetero")
+    np.testing.assert_allclose(u_stream, u_scan, rtol=0, atol=tol,
+                               err_msg="stream")
+
+
+CONE_SHAPES = [(4, 2, 8), (12, 4, 10), (9, 5, 17)]
+
+
+@pytest.mark.parametrize("nx,nu,N", CONE_SHAPES)
+def test_coned_tiers_agree(nx, nu, N):
+    """Every cone-capable tier agrees on the coned trajectory: scan
+    (projection override), condensed, fused (in-kernel matmul projection),
+    hetero and stream (in-kernel VPU projection), instance-ops."""
+    from accelerated_tinympc_tpu.ops.fused_admm import pad_cones
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        HeteroCarry, hetero_solve, pad_hetero_problem,
+    )
+    from accelerated_tinympc_tpu.ops.stream_admm import (
+        StreamCarry, pad_stream_problem, stream_solve,
+    )
+    from accelerated_tinympc_tpu.solver.batched_ops import (
+        OpsState, build_instance_ops, solve_instance_ops,
+    )
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update,
+    )
+
+    problem, rho = random_lti_problem(seed=nx * 7 + nu, nx=nx, nu=nu,
+                                      horizon=N)
+    cache = riccati_cache(
+        np.asarray(problem.A), np.asarray(problem.B),
+        np.asarray(problem.Q), np.asarray(problem.R), rho,
+    )
+    cones = ConeSet(
+        input_cones=(Cone(ball=(0,), axis=1, mu=0.8, shift=1.5),),
+        state_cones=(Cone(ball=(0,), axis=1, mu=1.2, shift=2.0),),
+    )
+    rng = np.random.default_rng(nx * 13 + N)
+    x0s = jnp.asarray(rng.standard_normal((B, nx)) * 0.3, jnp.float32)
+    settings = atm.Settings(max_iter=ITERS, check_termination=0)
+
+    st = init_state_batched(B, nx, nu, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    u_scan = np.asarray(jax.jit(lambda s: solve_batched(
+        s, problem, cache, settings, project=cone_slack_update(cones)
+    ))(st).u)
+    scale = max(1.0, np.abs(u_scan).max())
+    tol = 2e-4 * scale
+
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), N
+    )
+    fp = flatten_problem(problem, cache)
+    fs = init_flat_state(B, nx, nu, N).replace(x0=x0s)
+    out = jax.jit(lambda s: solve_condensed(
+        s, fp, ops, settings, nx, cones=cones, nu=nu
+    ))(fs)
+    np.testing.assert_allclose(
+        np.asarray(out.U).reshape(B, N - 1, nu), u_scan,
+        rtol=0, atol=tol, err_msg="condensed",
+    )
+
+    pp = pad_problem(problem, cache, ops)
+    res = fused_solve(
+        x0s, FusedCarry.zeros(B, pp), pp, max_iter=ITERS,
+        check_termination=0, batch_tile=B, interpret=True,
+        cone_ops=pad_cones(pp, cones),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U[:, : (N - 1) * nu]).reshape(B, N - 1, nu),
+        u_scan, rtol=0, atol=tol, err_msg="fused",
+    )
+
+    bcast = lambda t: jax.tree.map(
+        lambda a: jnp.broadcast_to(
+            jnp.asarray(a), (B,) + jnp.asarray(a).shape
+        ), t
+    )
+    hp = pad_hetero_problem(bcast(problem), bcast(cache))
+    hres = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=ITERS, interpret=True,
+        cones=cones,
+    )
+    # 3x tol: the hetero kernel's pairwise-tree matvec accumulation rounds
+    # differently from the scan tier's sequential sums (see
+    # test_hetero.py::test_stats_residuals), and the cone's case boundaries
+    # sit where that drift surfaces — measured 3.4e-4 worst at (9,5,17).
+    np.testing.assert_allclose(
+        np.asarray(hres.U), u_scan, rtol=0, atol=3 * tol, err_msg="hetero"
+    )
+
+    sp = pad_stream_problem(problem, cache)
+    sres = stream_solve(
+        x0s, StreamCarry.zeros(B, sp), sp, max_iter=ITERS,
+        knot_block=min(8, N), interpret=True, cones=cones,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sres.U), u_scan, rtol=0, atol=tol, err_msg="stream"
+    )
+
+    iops = build_instance_ops(bcast(problem), bcast(cache))
+    ist = solve_instance_ops(
+        x0s, OpsState.zeros(B, N * nx, (N - 1) * nu), iops, settings,
+        cones=cones, dims=(nx, nu),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ist.U).reshape(B, N - 1, nu), u_scan,
+        rtol=0, atol=tol, err_msg="instance_ops",
+    )
