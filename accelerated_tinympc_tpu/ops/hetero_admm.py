@@ -93,9 +93,9 @@ class HeteroProblem:
     Quu3: jax.Array      # (NT*SU, SU, L)   Quu_inv
     Bt3: jax.Array       # (NT*SX, SU, L)   B^T (contract p -> u-dim)
     M3: jax.Array        # (NT*SX, SX, L)   AmBKt
-    u_min: jax.Array     # (NT*SU, L) time-uniform per-instance bounds
+    u_min: jax.Array     # (NT*m*SU, L) per-knot per-instance bounds
     u_max: jax.Array
-    x_min: jax.Array     # (NT*SX, L)
+    x_min: jax.Array     # (NT*N*SX, L)
     x_max: jax.Array
     qc: jax.Array        # (NT*N*SX, L)  -(Q o Xref_i) per knot
     pterm: jax.Array     # (NT*SX, L)    -Pinf^T Xref_{N-1}
@@ -236,8 +236,8 @@ def gather_hetero(
         A3=g_mat(hp.A3, SX), B3=g_mat(hp.B3, SU), K3=g_mat(hp.K3, SX),
         Kt3=g_mat(hp.Kt3, SU), Quu3=g_mat(hp.Quu3, SU),
         Bt3=g_mat(hp.Bt3, SX), M3=g_mat(hp.M3, SX),
-        u_min=g_rows(hp.u_min, SU), u_max=g_rows(hp.u_max, SU),
-        x_min=g_rows(hp.x_min, SX), x_max=g_rows(hp.x_max, SX),
+        u_min=g_rows(hp.u_min, m * SU), u_max=g_rows(hp.u_max, m * SU),
+        x_min=g_rows(hp.x_min, N * SX), x_max=g_rows(hp.x_max, N * SX),
         qc=g_rows(hp.qc, N * SX), pterm=g_rows(hp.pterm, SX),
         rho_u=g_rows(hp.rho_u, SU), rho_x=g_rows(hp.rho_x, SX),
         dims=hp.dims, batch=int(idx.shape[0]),
@@ -260,8 +260,8 @@ def pad_hetero_problem(
     a fully on-device build from raw plants (see
     :func:`pad_hetero_from_plants`).
 
-    Bounds must be time-uniform per instance (the reference examples' form);
-    per-knot bounds take the scan/batched_ops tiers.
+    Bounds are fully general: per instance AND per knot (the reference's
+    ``(N-1, nu)``/``(N, nx)`` bound arrays, one set per instance).
     """
     Bn = problem.A.shape[0]
     nx = problem.A.shape[-1]
@@ -284,9 +284,14 @@ def pad_hetero_problem(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    def uniform(b):
-        # (B, m_or_N, k) -> (B, k); callers guarantee time-uniformity.
-        return f(b)[:, 0, :]
+    def pk(b, knots, k, S):
+        # (B, knots, k) -> (NT*knots*S, L), knot rows padded k -> S.
+        if k == S:
+            return _lane_pack_vec(
+                f(b).reshape(Bn, knots * k), knots * S, nt
+            )
+        full = jnp.zeros((Bn, knots, S), dtype).at[:, :, :k].set(f(b))
+        return _lane_pack_vec(full.reshape(Bn, knots * S), knots * S, nt)
 
     rho_col = rho[:, None]
     return HeteroProblem(
@@ -297,10 +302,10 @@ def pad_hetero_problem(
         Quu3=_lane_pack_mat(Quu, SU, SU, nt),
         Bt3=_lane_pack_mat(jnp.swapaxes(Bm, -1, -2), SX, SU, nt),
         M3=_lane_pack_mat(AmBKt, SX, SX, nt),
-        u_min=_lane_pack_vec(uniform(problem.u_min), SU, nt),
-        u_max=_lane_pack_vec(uniform(problem.u_max), SU, nt),
-        x_min=_lane_pack_vec(uniform(problem.x_min), SX, nt),
-        x_max=_lane_pack_vec(uniform(problem.x_max), SX, nt),
+        u_min=pk(problem.u_min, N - 1, nu, SU),
+        u_max=pk(problem.u_max, N - 1, nu, SU),
+        x_min=pk(problem.x_min, N, nx, SX),
+        x_max=pk(problem.x_max, N, nx, SX),
         qc=_lane_pack_vec(qc.reshape(Bn, N * nx), N * SX, nt)
         if nx == SX else _lane_pack_vec(
             jnp.zeros((Bn, N, SX), dtype).at[:, :, :nx].set(qc).reshape(
@@ -453,10 +458,10 @@ def _make_iteration(
     ptermv = pterm_ref[:]
     rho_uf = jnp.concatenate([rhou_ref[:]] * m, axis=0)    # (m*SU, L)
     rho_xf = jnp.concatenate([rhox_ref[:]] * N, axis=0)    # (N*SX, L)
-    uminf = jnp.concatenate([umin[:]] * m, axis=0)
-    umaxf = jnp.concatenate([umax[:]] * m, axis=0)
-    xminf = jnp.concatenate([xmin[:]] * N, axis=0)
-    xmaxf = jnp.concatenate([xmax[:]] * N, axis=0)
+    uminf = umin[:]   # (m*SU, L) per-knot bounds, pre-packed
+    umaxf = umax[:]
+    xminf = xmin[:]   # (N*SX, L)
+    xmaxf = xmax[:]
     x0v = x0_ref[:]
 
     def iteration(D, Y, G, full: bool):
@@ -825,7 +830,7 @@ def hetero_solve(
             spec(SX),                     # x0
             spec3(SX, SX), spec3(SU, SX), spec3(SX, SU), spec3(SU, SX),
             spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
-            spec(SU), spec(SU), spec(SX), spec(SX),
+            spec(m * SU), spec(m * SU), spec(N * SX), spec(N * SX),
             spec(N * SX), spec(SX), spec(SU), spec(SX),
         ] + cp_specs + [
             spec(m * SU), spec(m * SU), spec(N * SX), spec(m * SU),

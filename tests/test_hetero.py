@@ -388,3 +388,33 @@ def test_per_instance_cone_params(setup):
     assert float(np.max(np.abs(
         np.asarray(got.U[h:]) - np.asarray(w_loose.U[h:])
     ))) > 1e-4
+
+
+def test_per_knot_bounds(setup):
+    """Per-knot bound schedules (the reference's (N-1,nu)/(N,nx) arrays, one
+    set per instance) run in the kernel and match the scan tier."""
+    prob_b, cache_b, _rhos, x0s = setup
+    rng = np.random.default_rng(13)
+    # Tightening input funnel + per-knot state box, distinct per instance.
+    funnel = np.linspace(1.2, 0.3, N - 1)[None, :, None]
+    u_lim = jnp.asarray(
+        funnel * (1.0 + 0.2 * rng.random((B, 1, NU))), jnp.float32
+    )
+    x_lim = jnp.asarray(
+        np.linspace(5.0, 2.0, N)[None, :, None]
+        * (1.0 + 0.1 * rng.random((B, 1, NX))), jnp.float32,
+    )
+    prob_k = prob_b.replace(
+        u_min=-u_lim, u_max=u_lim, x_min=-x_lim, x_max=x_lim,
+    )
+    hp = pad_hetero_problem(prob_k, cache_b)
+    res = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=40, interpret=True
+    )
+    w = _run_scan(prob_k, cache_b, x0s, 40)
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(w.u), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(w.x), rtol=0, atol=1e-4
+    )
