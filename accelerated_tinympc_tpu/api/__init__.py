@@ -7,6 +7,7 @@ from .fleet import TinyMPCFleet  # noqa: F401
 from .mpc import (  # noqa: F401
     MPCTrace,
     default_plant,
+    fleet_mpc_rollout,
     fused_mpc_rollout,
     mpc_rollout,
     tracking_error,

@@ -180,3 +180,54 @@ def fused_mpc_rollout(
         tick, (x0, carry), jnp.arange(n_ticks)
     )
     return x_final, us, carry
+
+
+def fleet_mpc_rollout(
+    hp,
+    problem_b: Problem,
+    x0s: jax.Array,
+    n_ticks: int,
+    *,
+    max_iter: int = 100,
+    carry=None,
+    interpret: bool = False,
+    cones=None,
+    cone_params=None,
+):
+    """Receding-horizon rollout for a heterogeneous fleet, fully on device:
+    ``n_ticks`` of (dual reset -> hetero kernel solve -> apply u0 ->
+    per-instance plant step) under one ``lax.scan`` — the scenario-MPC loop
+    for one-distinct-plant-per-instance batches (the configuration the
+    reference's one-problem-per-process design rules out,
+    reference: src/tinympc/tiny_wrapper.hpp:6; tick protocol per
+    examples/quadrotor_hovering.cpp:99-104).
+
+    ``hp`` is a :class:`..ops.hetero_admm.HeteroProblem`; ``problem_b`` the
+    batch-leading Problem supplying the per-instance plant matrices for the
+    simulation step; ``x0s (B, nx)``. Returns
+    ``(x_final, u0_trace (n_ticks, B, nu), carry)``.
+    """
+    from ..ops.hetero_admm import HeteroCarry, hetero_solve
+
+    hi = jax.lax.Precision.HIGHEST
+    if carry is None:
+        carry = HeteroCarry.zeros(hp)
+
+    def tick(c, _):
+        x, cy = c
+        res = hetero_solve(
+            x, cy.reset_duals(), hp, max_iter=max_iter,
+            check_termination=0, interpret=interpret,
+            cones=cones, cone_params=cone_params,
+        )
+        u0 = res.U[:, 0, :]
+        x_next = (
+            jnp.einsum("bij,bj->bi", problem_b.A, x, precision=hi)
+            + jnp.einsum("bij,bj->bi", problem_b.B, u0, precision=hi)
+        )
+        return (x_next, res.carry), u0
+
+    (x_final, carry), us = jax.lax.scan(
+        tick, (x0s, carry), None, length=n_ticks
+    )
+    return x_final, us, carry

@@ -119,3 +119,36 @@ def test_fleet_cones(plants):
     # Slack-consensus controls approach the cone for solved instances.
     u = np.asarray(f.get_u())[info["solved"]]
     assert float(cone_violation(jnp.asarray(u), cones.input_cones[0])) < 0.1
+
+
+def test_fleet_rollout_on_device(plants):
+    """On-device fleet rollout (lax.scan over ticks, hetero kernel inside)
+    matches a host-driven tick loop through the fleet API."""
+    from accelerated_tinympc_tpu.api import fleet_mpc_rollout
+    from accelerated_tinympc_tpu.ops.hetero_admm import pad_hetero_problem
+
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=25, check_termination=0)
+    f = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+    )
+    ticks = 4
+    xf, us, carry = fleet_mpc_rollout(
+        f._hp, f.problem, jnp.asarray(x0s), ticks,
+        max_iter=25, interpret=True,
+    )
+    # host loop replica
+    x = jnp.asarray(x0s)
+    for t in range(ticks):
+        f.set_x0(x)
+        f.solve()
+        u0 = f.get_u()[:, 0, :]
+        np.testing.assert_allclose(
+            np.asarray(us[t]), np.asarray(u0), rtol=0, atol=1e-6
+        )
+        x = (jnp.einsum("bij,bj->bi", f.problem.A, x)
+             + jnp.einsum("bij,bj->bi", f.problem.B, u0))
+        f.reset_duals()
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(x), rtol=0, atol=1e-5
+    )
