@@ -13,10 +13,14 @@ surface as :class:`.solver.TinyMPC`:
   (:mod:`..solver.batched_ops`) — same semantics under plain XLA, plus the
   fully on-device batched adaptive-rho loop (:meth:`solve_adaptive_rho`).
 
-Caches are built **on device** (vmapped float32 Riccati,
-:func:`..precompute.riccati_cache_jax`); pass ``host_precompute=True`` for
-the reference's float64 host path on ill-conditioned plants (reference:
-examples/codegen_cartpole.cpp:9-11).
+Caches are built **on device** — by the batched Pallas Riccati kernel
+(:func:`..ops.riccati_kernel.riccati_cache_kernel`, ~9x the vmapped XLA
+builder at the flagship shape) for ``nx <= 16``, the vmapped
+:func:`..precompute.riccati_cache_jax` otherwise; pass
+``host_precompute=True`` for the reference's float64 host path on
+ill-conditioned plants (reference: examples/codegen_cartpole.cpp:9-11 —
+both f32 device builders approximate the f64 cache to ~1e-3, which maps
+to ~7e-4 on controls; see tests/test_riccati_kernel.py).
 """
 
 from __future__ import annotations
@@ -128,6 +132,12 @@ class TinyMPCFleet:
             ]
             cache = jax.tree.map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *caches
+            )
+        elif nx <= 16:
+            from ..ops.riccati_kernel import riccati_cache_kernel
+
+            cache = riccati_cache_kernel(
+                A, Bm, Q, R, rho_b, interpret=interpret
             )
         else:
             from ..precompute import riccati_cache_jax
