@@ -135,11 +135,16 @@ def _chol_solve(L, N, n: int, m: int):
 
 def _kernel(
     a_ref, b_ref, qa_ref, ra_ref, rho_ref,
-    k_out, p_out, quu_out, ambkt_out, coeff_out, iters_out,
-    *, nx: int, nu: int, max_iters: int, tol: float, interpret: bool,
+    *rest,
+    nx: int, nu: int, max_iters: int, tol: float, interpret: bool,
+    has_warm: bool = False,
 ):
     f32 = jnp.float32
     nxx, nun, nuu, nxu = nx * nx, nu * nx, nu * nu, nx * nu
+    if has_warm:
+        p0_ref, k0_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (k_out, p_out, quu_out, ambkt_out, coeff_out, iters_out) = rest
     A = a_ref[:][:nxx]
     Bm = b_ref[:][:nxu]          # (nx*nu, L) row-major (nx rows of nu)
     Qa = qa_ref[:][:nx]          # diagonal entries as rows
@@ -151,14 +156,20 @@ def _kernel(
     def pick(m, a, b):
         return a * m + b * (1.0 - m)
 
-    # P0 = rho * I (entry rows built from A-derived zeros + rho at diagonal).
+    # P0 = rho * I (entry rows built from A-derived zeros + rho at the
+    # diagonal), or the caller's warm start (e.g. the cache at a nearby rho
+    # — the adaptive-rho refresh case; fixed point/stopping rule unchanged).
     zx = A[:1] * 0.0
-    p_rows = []
-    for i in range(nx):
-        for j in range(nx):
-            p_rows.append(rho + zx if i == j else zx + zx)
-    P0 = jnp.concatenate(p_rows, axis=0)
-    K0 = jnp.concatenate([zx] * nun, axis=0)
+    if has_warm:
+        P0 = p0_ref[:][:nxx]
+        K0 = k0_ref[:][:nun]
+    else:
+        p_rows = []
+        for i in range(nx):
+            for j in range(nx):
+                p_rows.append(rho + zx if i == j else zx + zx)
+        P0 = jnp.concatenate(p_rows, axis=0)
+        K0 = jnp.concatenate([zx] * nun, axis=0)
     z8 = jnp.concatenate([zx] * 8, axis=0)
 
     def ric_step(K, P):
@@ -294,6 +305,8 @@ def riccati_cache_kernel(
     max_iters: int = 1000,
     tol: float = 1e-5,
     interpret: bool = False,
+    P0: jax.Array | None = None,
+    K0: jax.Array | None = None,
 ) -> Cache:
     """Batched on-device Riccati precompute, one distinct plant per lane.
 
@@ -313,6 +326,7 @@ def riccati_cache_kernel(
     rho_b = jnp.asarray(rho, dtype).reshape(Bn)
     Qa = jnp.asarray(Q, dtype) + rho_b[:, None]
     Ra = jnp.asarray(R, dtype) + rho_b[:, None]
+    has_warm = P0 is not None
     args = (
         _lane_pack(jnp.asarray(A, dtype).reshape(Bn, -1), Rx2, nt),
         _lane_pack(jnp.asarray(B, dtype).reshape(Bn, -1), Rxu, nt),
@@ -320,19 +334,29 @@ def riccati_cache_kernel(
         _lane_pack(Ra, Ru, nt),
         _lane_pack(rho_b[:, None], 8, nt),
     )
+    warm_args: tuple = ()
+    warm_specs: list = []
+    if has_warm:
+        warm_args = (
+            _lane_pack(jnp.asarray(P0, dtype).reshape(Bn, -1), Rx2, nt),
+            _lane_pack(jnp.asarray(K0, dtype).reshape(Bn, -1), Rux, nt),
+        )
 
     def spec(rows):
         return pl.BlockSpec((rows, LANES), lambda t: (t, 0))
 
+    if has_warm:
+        warm_specs = [spec(Rx2), spec(Rux)]
     kernel = functools.partial(
         _kernel, nx=nx, nu=nu, max_iters=max_iters, tol=tol,
-        interpret=interpret,
+        interpret=interpret, has_warm=has_warm,
     )
     sds = jax.ShapeDtypeStruct
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[spec(Rx2), spec(Rxu), spec(Rx), spec(Ru), spec(8)],
+        in_specs=[spec(Rx2), spec(Rxu), spec(Rx), spec(Ru), spec(8)]
+        + warm_specs,
         out_specs=[
             spec(Rux), spec(Rx2), spec(Ru2), spec(Rx2), spec(Rxu), spec(8),
         ],
@@ -342,7 +366,7 @@ def riccati_cache_kernel(
             sds((nt * Rxu, LANES), dtype), sds((nt * 8, LANES), dtype),
         ],
         interpret=interpret,
-    )(*args)
+    )(*args, *warm_args)
     Kp, Pp, Quup, AmBKtp, coeffp, _itp = outs
     up = lambda p, k: _lane_unpack(p, nt, Bn, k)
     return Cache(

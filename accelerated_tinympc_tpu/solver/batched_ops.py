@@ -292,6 +292,7 @@ def solve_adaptive_rho_batched(
     trust: float = 2.0,
     fd_eps: float = 0.05,
     cones=None,
+    riccati: str = "auto",
 ) -> AdaptiveRhoBatchedResult:
     """Per-instance OSQP-style rho adaptation, fully on device (jittable).
 
@@ -344,6 +345,12 @@ def solve_adaptive_rho_batched(
     ``settings`` tolerances with ``check_termination`` cadence.
     ``cones`` (static ConeSet) adds SOC projections to every chunk's slack
     stage (adaptive-rho SOC MPC).
+
+    ``riccati`` selects the cache builder inside refreshes: ``"kernel"``
+    (the batched Pallas fixed point, :mod:`..ops.riccati_kernel` — ~5-9x
+    the vmapped path, warm-startable), ``"vmap"``
+    (:func:`..precompute.riccati_cache_jax`), or ``"auto"`` (kernel on TPU
+    for nx <= 16, vmap otherwise).
     """
     if refresh not in ("exact", "first_order", "cold"):
         raise ValueError(
@@ -357,9 +364,27 @@ def solve_adaptive_rho_batched(
     Dx, Du = N * nx, (N - 1) * nu
     chunk_settings = settings.replace(max_iter=chunk)
     first_order = refresh == "first_order"
+    if riccati not in ("auto", "kernel", "vmap"):
+        raise ValueError(f"unknown riccati builder {riccati!r}")
+    use_kernel = riccati == "kernel" or (
+        riccati == "auto" and nx <= 16
+        and jax.default_backend() == "tpu"
+    )
 
     def build(rho, warm=None):
-        if warm is None:
+        if use_kernel:
+            from ..ops.riccati_kernel import riccati_cache_kernel
+
+            Ab = jnp.broadcast_to(A, (batch, nx, nx))
+            Bb = jnp.broadcast_to(B, (batch, nx, nu))
+            caches = riccati_cache_kernel(
+                Ab, Bb,
+                jnp.broadcast_to(Q, (batch, nx)),
+                jnp.broadcast_to(R, (batch, nu)), rho,
+                P0=warm.Pinf if warm is not None else None,
+                K0=warm.Kinf if warm is not None else None,
+            )
+        elif warm is None:
             caches = jax.vmap(
                 lambda a, b, q, r, p: riccati_cache_jax(a, b, q, r, p)
             )(A, B, Q, R, rho)

@@ -72,11 +72,11 @@ def main() -> None:
 
     jax.jit(lambda a: (a @ a.T).sum())(jnp.ones((8, 128))).block_until_ready()
 
-    def make(refresh):
+    def make(refresh, ric="vmap"):
         return jax.jit(
             lambda x, r: solve_adaptive_rho_batched(
                 x, prob_b, A, Bm, Q, R, r, settings,
-                chunk=chunk, max_rounds=40, refresh=refresh,
+                chunk=chunk, max_rounds=40, refresh=refresh, riccati=ric,
             )
         )
 
@@ -89,25 +89,27 @@ def main() -> None:
         return min(ts)
 
     results = {}
-    for refresh in ("cold", "exact", "first_order"):
-        f = make(refresh)
+    variants = [("cold", "vmap"), ("exact", "vmap"),
+                ("exact", "kernel"), ("first_order", "vmap")]
+    for refresh, ric in variants:
+        f = make(refresh, ric)
         res = jax.block_until_ready(f(x0s, rho0))  # compile + warm
         t = best_of(lambda: f(x0s, rho0))
         solved = float(np.asarray(res.state.solved).mean())
         rounds = int(res.rounds)
-        results[refresh] = (t, res)
+        results[(refresh, ric)] = (t, res)
         n_adapted = int((np.abs(np.log10(
             np.asarray(res.rho) / np.asarray(rho0))) > 1e-6).sum())
-        print(f"{refresh:12s}: {t * 1e3:8.2f} ms  ({B / t:,.0f} adaptive "
+        print(f"{refresh:12s}/{ric:6s}: {t * 1e3:8.2f} ms  ({B / t:,.0f} adaptive "
               f"solves/s)  solved {solved:.1%}  rounds {rounds}  "
               f"adapted {n_adapted}/{B}  "
               f"iters p50={np.median(np.asarray(res.total_iter)):.0f}")
     du = float(np.max(np.abs(
-        np.asarray(results["exact"][1].state.U)
-        - np.asarray(results["first_order"][1].state.U)
+        np.asarray(results[("exact", "vmap")][1].state.U)
+        - np.asarray(results[("exact", "kernel")][1].state.U)
     )))
-    sp = results["exact"][0] / results["first_order"][0]
-    print(f"first-order vs exact: speedup {sp:.2f}x  max|dU| {du:.2e}")
+    sp = results[("exact", "vmap")][0] / results[("exact", "kernel")][0]
+    print(f"kernel-riccati vs vmap exact: speedup {sp:.2f}x  max|dU| {du:.2e}")
 
 
 if __name__ == "__main__":
