@@ -321,15 +321,29 @@ def pad_hetero_problem(
 
 def pad_hetero_from_plants(
     A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho: jax.Array,
-    problem: Problem, dtype: Any = jnp.float32,
+    problem: Problem, dtype: Any = jnp.float32, riccati: str = "auto",
 ) -> tuple[HeteroProblem, Cache]:
-    """On-device build for a batch of distinct plants: vmapped Riccati caches
-    (reference math: src/tinympc/codegen.cpp:268-292) + lane packing.
+    """On-device build for a batch of distinct plants: batched Riccati
+    caches (reference math: src/tinympc/codegen.cpp:268-292) + lane packing.
     ``A (B,nx,nx)``, ``B (B,nx,nu)``, ``Q/R`` raw cost diagonals, ``rho (B,)``;
-    ``problem`` supplies batch-leading bounds/Xref. Jittable."""
-    from ..precompute import riccati_cache_jax
+    ``problem`` supplies batch-leading bounds/Xref. Jittable.
 
-    caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
+    ``riccati``: ``"kernel"`` (batched Pallas fixed point,
+    :mod:`.riccati_kernel` — ~9x the vmapped builder), ``"vmap"``, or
+    ``"auto"`` (kernel on TPU for nx <= 16)."""
+    nx, nu = A.shape[-1], B.shape[-1]
+    use_kernel = riccati == "kernel" or (
+        riccati == "auto" and nx <= 16
+        and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from .riccati_kernel import riccati_cache_kernel
+
+        caches = riccati_cache_kernel(A, B, Q, R, rho)
+    else:
+        from ..precompute import riccati_cache_jax
+
+        caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
     prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
     return pad_hetero_problem(prob_b, caches, dtype), caches
 

@@ -92,16 +92,27 @@ def build_instance_ops(problem: Problem, cache: Cache) -> InstanceOps:
 
 def build_instance_ops_from_plants(
     A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho: jax.Array,
-    problem: Problem,
+    problem: Problem, riccati: str = "auto",
 ) -> tuple[InstanceOps, Cache]:
     """On-device cache + operator build for a batch of distinct plants.
 
     ``A (B,nx,nx)``, ``B (B,nx,nu)``, ``Q/R (B,nx)/(B,nu)`` raw cost
     diagonals, ``rho (B,)``; ``problem`` supplies batch-leading bounds/Xref.
-    Returns the operators plus the vmapped Riccati caches (reference math:
-    src/tinympc/codegen.cpp:268-292, run per instance on device).
+    Returns the operators plus the batched Riccati caches (reference math:
+    src/tinympc/codegen.cpp:268-292, run per instance on device; ``riccati``
+    selects the builder as in :func:`solve_adaptive_rho_batched`).
     """
-    caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
+    nx, nu = A.shape[-1], B.shape[-1]
+    use_kernel = riccati == "kernel" or (
+        riccati == "auto" and nx <= 16
+        and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from ..ops.riccati_kernel import riccati_cache_kernel
+
+        caches = riccati_cache_kernel(A, B, Q, R, rho)
+    else:
+        caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
     prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
     return build_instance_ops(prob_b, caches), caches
 
