@@ -35,11 +35,9 @@ body but never carried at row-1 width; freezes are 0/1-mask arithmetic.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 from ..types import Cache
