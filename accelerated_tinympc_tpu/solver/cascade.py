@@ -147,7 +147,7 @@ def cascade_solve(
     max_iter: int = 100,
     check_termination: int = 1,
     segment_iters: int | None = None,
-    segment_growth: float = 2.0,
+    segment_growth: float = 4.0,
     abs_pri_tol: float = 1e-3,
     abs_dua_tol: float = 1e-3,
     batch_tile: int = DEFAULT_BATCH_TILE,
@@ -171,8 +171,10 @@ def cascade_solve(
     the survivors of each compaction are the hard instances, which converge
     rarely — longer late segments trade (useless) compaction opportunities
     for fewer dispatches, which matters when per-dispatch latency is
-    non-trivial (a remote-attached TPU pays ~tens of ms per dispatch; set
-    ``segment_growth=1.0`` for fixed segments on locally-attached chips).
+    non-trivial (a remote-attached TPU pays ~ms per dispatch; measured at
+    batch 262k: growth 2 -> 696k, 4 -> 763k, 8 -> 803k solves/s — the
+    default 4 is near the plateau; use lower growth on locally-attached
+    chips where dispatches are cheap).
     ``warmup_iters`` applies to the first segment only.  This is a host-side
     orchestration loop (one device sync per segment) — not jittable; call it
     from the MPC outer loop, not inside one.
