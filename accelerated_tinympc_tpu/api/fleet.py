@@ -208,6 +208,20 @@ class TinyMPCFleet:
         examples/quadrotor_hovering.cpp:99-104)."""
         self._carry = self._carry.reset_duals()
 
+    def set_xref(self, Xref) -> None:
+        """Per-instance reference trajectories ``(B, N, nx)`` (or a shared
+        ``(N, nx)`` broadcast) — the reference FFI's ``set_xref``
+        (tiny_wrapper.cpp:21-41) per instance; rebuilds the
+        reference-dependent operands, carries kept."""
+        nx, _nu, N = self.dims
+        Xref = jnp.asarray(Xref, jnp.float32)
+        if Xref.ndim == 2:
+            Xref = jnp.broadcast_to(Xref, (self.batch, N, nx))
+        self.problem = self.problem.replace(Xref=Xref)
+        carry = self._carry
+        self._build()
+        self._carry = carry  # warm starts survive a reference update
+
     def solve(self) -> dict[str, Any]:
         """One batched solve from the current x0 / warm-start carries.
         ``settings.check_termination == 0`` is the deterministic

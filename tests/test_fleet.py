@@ -152,3 +152,38 @@ def test_fleet_rollout_on_device(plants):
     np.testing.assert_allclose(
         np.asarray(xf), np.asarray(x), rtol=0, atol=1e-5
     )
+
+
+def test_fleet_set_xref(plants):
+    """Per-instance reference update: each instance tracks its own setpoint
+    (reference FFI set_xref, per instance)."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=120, check_termination=2,
+                        abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+    f = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+    )
+    rng = np.random.default_rng(2)
+    # Small distinct setpoints (positions only meaningful for random LTI —
+    # just check the solver chases different references per instance).
+    refs = jnp.asarray(
+        np.repeat(rng.standard_normal((B, 1, NX)) * 0.2, N, axis=1),
+        jnp.float32,
+    )
+    f.set_xref(refs)
+    f.set_x0(x0s)
+    f.solve()
+    uA = np.asarray(f.get_u())
+    # Against per-instance scan solves with the same references.
+    from accelerated_tinympc_tpu.solver.batched import (
+        init_state_batched, solve_batched,
+    )
+
+    st = init_state_batched(B, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(jnp.asarray(x0s)))
+    want = solve_batched(
+        st, f.problem, f.cache, f.settings, problem_axes=0, cache_axes=0,
+    )
+    np.testing.assert_allclose(
+        uA, np.asarray(want.u), rtol=0, atol=5e-4
+    )
