@@ -208,6 +208,45 @@ class TinyMPCFleet:
         examples/quadrotor_hovering.cpp:99-104)."""
         self._carry = self._carry.reset_duals()
 
+    def set_bounds(self, u_min=None, u_max=None, x_min=None,
+                   x_max=None) -> None:
+        """Runtime bound updates (reference FFI set_umin/set_umax/...,
+        tiny_wrapper.cpp:43-129): scalars, shared ``(knots, k)``, or
+        per-instance ``(B, knots, k)`` arrays; providing a complete pair
+        enables that constraint set. Carries survive the rebuild."""
+        nx, nu, N = self.dims
+
+        def expand(v, knots, k):
+            v = jnp.asarray(v, jnp.float32)
+            if v.ndim <= 1:
+                return jnp.broadcast_to(v, (self.batch, knots, k))
+            if v.ndim == 2:
+                # (B, k) = per-instance time-uniform; (knots, k) = shared
+                # schedule. Ambiguous only if B == knots AND k matches both
+                # interpretations; per-instance wins there.
+                if v.shape[0] == self.batch and v.shape[1] == k:
+                    return jnp.broadcast_to(
+                        v[:, None, :], (self.batch, knots, k)
+                    )
+                return jnp.broadcast_to(v[None], (self.batch, knots, k))
+            return v
+
+        upd = {}
+        if u_min is not None and u_max is not None:
+            upd["u_min"] = expand(u_min, N - 1, nu)
+            upd["u_max"] = expand(u_max, N - 1, nu)
+            self.settings = self.settings.replace(en_input_bound=True)
+        if x_min is not None and x_max is not None:
+            upd["x_min"] = expand(x_min, N, nx)
+            upd["x_max"] = expand(x_max, N, nx)
+            self.settings = self.settings.replace(en_state_bound=True)
+        if not upd:
+            return
+        self.problem = self.problem.replace(**upd)
+        carry = self._carry
+        self._build()
+        self._carry = carry
+
     def set_xref(self, Xref) -> None:
         """Per-instance reference trajectories ``(B, N, nx)`` (or a shared
         ``(N, nx)`` broadcast) — the reference FFI's ``set_xref``

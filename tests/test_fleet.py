@@ -187,3 +187,30 @@ def test_fleet_set_xref(plants):
     np.testing.assert_allclose(
         uA, np.asarray(want.u), rtol=0, atol=5e-4
     )
+
+
+def test_fleet_set_bounds(plants):
+    """Runtime bound updates through the fleet surface: a tightened
+    per-instance input box binds (controls clamp to it at consensus)."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=200, check_termination=2,
+                        abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+    f = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+    )
+    f.set_x0(x0s * 3.0)  # large excursions so bounds bind
+    f.solve()
+    u_free = np.asarray(f.get_u())
+    # Clamp at half of each instance's free peak so the box genuinely binds.
+    peak = np.abs(u_free).max()
+    cap = float(0.5 * peak)
+    lim = np.full((B, NU), cap, np.float32)
+    f.set_bounds(u_min=-lim, u_max=lim)
+    f.set_x0(x0s * 3.0)
+    f.reset_duals()
+    info = f.solve()
+    u_box = np.asarray(f.get_u())
+    solved = info["solved"]
+    assert solved.mean() > 0.5
+    # Consensus controls respect the tightened box (ADMM tolerance scale).
+    assert np.abs(u_box[solved]).max() <= cap * 1.1 + 1e-3
