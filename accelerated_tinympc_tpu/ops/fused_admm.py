@@ -986,6 +986,11 @@ def fused_solve(
     )
     if check_termination > 0:
         per_row += 4 * (6 * g * LANES + 5 * Dug + 5 * gDxp)
+    # Cone projection temporaries (a2/s/masks/c/scale/ball_scale and the
+    # products feeding them, ~10 live arrays per cone at the slack width) —
+    # without this term the adaptive+state-cone configuration OOMs VMEM at
+    # the default tile (observed as a Mosaic compile crash).
+    per_row += 4 * 10 * (nc_u * Dug + nc_x * gDxp)
     budget = 12 * 1024 * 1024 - w_bytes
     rows_cap = max(8, (budget // per_row) // 8 * 8)
     rows_want = max(8, (-(-min(batch_tile, max(B, 1)) // g) + 7) // 8 * 8)
