@@ -136,6 +136,62 @@ def main() -> None:
     emit("mpc_rollout_solves_per_sec", round(B * ticks / best), "solves/s",
          batch=B, ticks=ticks)
 
+    # --- round-2 tiers -------------------------------------------------------
+    # Heterogeneous plants (one distinct plant per lane), fixed 100 iters.
+    from accelerated_tinympc_tpu.models import random_lti_problem
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        HeteroCarry, hetero_solve, pad_hetero_problem,
+    )
+    from accelerated_tinympc_tpu.ops.riccati_kernel import (
+        riccati_cache_kernel,
+    )
+    from accelerated_tinympc_tpu.precompute import (
+        riccati_cache as host_cache, riccati_cache_jax,
+    )
+
+    Bh = 16384
+    probs = [random_lti_problem(seed=s_, nx=12, nu=4, horizon=10)[0]
+             for s_ in range(32)]
+    caches = [host_cache(np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q),
+                         np.asarray(p.R), 5.0) for p in probs]
+    reps_ = Bh // 32
+    stk = lambda ts: jax.tree.map(
+        lambda *xs: jnp.tile(
+            jnp.stack([jnp.asarray(x) for x in xs]),
+            (reps_,) + (1,) * jnp.asarray(xs[0]).ndim,
+        ), *ts,
+    )
+    prob_h, cache_h = stk(probs), stk(caches)
+    hp = jax.jit(pad_hetero_problem)(prob_h, cache_h)
+    hx0 = perturbed(Bh)[:, :12]
+    hf = lambda: hetero_solve(hx0, HeteroCarry.zeros(hp), hp, max_iter=100)
+    best, _ = best_time(lambda _x: hf().U, 0, reps=3)
+    emit("hetero_solves_per_sec", round(Bh / best), "solves/s", batch=Bh)
+
+    # Batched Pallas Riccati precompute at the flagship shape.
+    Br = 4096
+    Ah = jnp.tile(jnp.stack([jnp.asarray(p.A) for p in probs]),
+                  (Br // 32, 1, 1))
+    Bmh = jnp.tile(jnp.stack([jnp.asarray(p.B) for p in probs]),
+                   (Br // 32, 1, 1))
+    Qh = jnp.tile(jnp.stack([jnp.asarray(p.Q) for p in probs]),
+                  (Br // 32, 1))
+    Rh = jnp.tile(jnp.stack([jnp.asarray(p.R) for p in probs]),
+                  (Br // 32, 1))
+    rho_h = jnp.full((Br,), 5.0, jnp.float32)
+    if platform != "cpu":
+        best, _ = best_time(
+            lambda _x: riccati_cache_kernel(Ah, Bmh, Qh, Rh, rho_h).Pinf,
+            0, reps=3,
+        )
+        emit("riccati_kernel_caches_per_sec", round(Br / best), "caches/s",
+             batch=Br)
+        vj = jax.jit(jax.vmap(riccati_cache_jax))
+        best, _ = best_time(lambda _x: vj(Ah, Bmh, Qh, Rh, rho_h).Pinf,
+                            0, reps=3)
+        emit("riccati_vmapped_caches_per_sec", round(Br / best), "caches/s",
+             batch=Br)
+
 
 if __name__ == "__main__":
     main()
