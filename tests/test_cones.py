@@ -456,3 +456,34 @@ def test_aot_export_with_cones(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(got["iterations"]), np.asarray(want.iter)
     )
+
+
+def test_api_cones_with_compaction():
+    """TinyMPC fused tier: cones + early-termination compaction compose
+    (identical schedules and controls vs the monolithic coned call)."""
+    problem, cache = _landing_setup()
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0),))
+    settings = atm.Settings(
+        max_iter=200, check_termination=2,
+        en_input_bound=False, en_state_bound=False,
+    )
+    rng = np.random.default_rng(8)
+    B2 = 8
+    x0s = jnp.asarray(
+        np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5])[None]
+        + rng.standard_normal((B2, 6)) * np.repeat([0.05, 0.8], 4)[:, None],
+        jnp.float32,
+    )
+    kw = dict(settings=settings, batch=B2, tier="fused", interpret=True,
+              cones=cones)
+    mono = atm.TinyMPC.from_parts(problem, cache, **kw)
+    casc = atm.TinyMPC.from_parts(problem, cache, compaction_segment=10, **kw)
+    for m in (mono, casc):
+        m.set_x0(x0s)
+    i1 = mono.solve()
+    i2 = casc.solve()
+    np.testing.assert_array_equal(i1["iterations"], i2["iterations"])
+    np.testing.assert_allclose(
+        np.asarray(mono.get_u()), np.asarray(casc.get_u()),
+        rtol=0, atol=5e-6,
+    )
