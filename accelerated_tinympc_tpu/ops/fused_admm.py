@@ -906,7 +906,12 @@ def fused_solve(
     ``cone_ops`` (from :func:`pad_cones`) appends exact second-order-cone
     projections to the slack stage — the beyond-reference SOC capability
     (solver/cones.py) in the fast path; composition after the box clip
-    matches the scan tier's ``cone_slack_update`` exactly.
+    matches the scan tier's ``cone_slack_update`` exactly. NB: batch-padding
+    instances (zero data) sit at the cone apex; with a *negative* ``shift``
+    the apex is infeasible from zero, so such padding lanes never converge
+    and would pin their tile at ``max_iter`` in adaptive mode — pad the
+    batch to a tile multiple yourself (with feasible x0 copies) if you use
+    negative shifts.
 
     ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded per instance
     (:class:`FusedCarry`); batches that are not tile multiples are padded
