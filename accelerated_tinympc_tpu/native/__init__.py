@@ -57,6 +57,12 @@ def _load() -> ctypes.CDLL:
     lib.tn_solve_batch.argtypes = [
         ctypes.c_void_p, _f64, ctypes.c_int, _f64, _i32, _i32,
     ]
+    lib.tn_solve_adaptive_rho.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.tn_solve_adaptive_rho.restype = ctypes.c_int
     lib.tn_add_cone.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, _i32,
         ctypes.c_int, ctypes.c_double, ctypes.c_double,
@@ -165,6 +171,32 @@ class NativeSolver:
 
     def reset_duals(self) -> None:
         self._lib.tn_reset_duals(self._h)
+
+    def solve_adaptive_rho(
+        self,
+        chunk: int = 25,
+        max_total_iter: int = 2000,
+        adapt_factor: float = 5.0,
+        stall_factor: float = 1.5,
+        rho_min: float = 1e-2,
+        rho_max: float = 1e3,
+    ) -> dict[str, Any]:
+        """Stall-guarded OSQP-style rho adaptation (the native counterpart
+        of solver/adaptive_rho.py): chunked iterations, rho rescaled by
+        sqrt(pri/dua) on stalls, duals rescaled, double-precision Riccati
+        refresh. The adapted rho persists for subsequent solves."""
+        rho = ctypes.c_double(0.0)
+        iters = ctypes.c_int(0)
+        flag = self._lib.tn_solve_adaptive_rho(
+            self._h, chunk, max_total_iter, adapt_factor, stall_factor,
+            rho_min, rho_max, ctypes.byref(rho), ctypes.byref(iters),
+        )
+        return {
+            "exitflag": flag,
+            "solved": flag == 0,
+            "rho": rho.value,
+            "iterations": iters.value,
+        }
 
     def solve(self) -> dict[str, Any]:
         flag = self._lib.tn_solve(self._h)

@@ -324,6 +324,31 @@ int solve_one(Solver &s) {
     return 1;
 }
 
+// One fixed `iters`-iteration chunk with residuals recorded every iteration
+// but no early exit (the adaptive outer loop owns termination — mirrors
+// solver/adaptive_rho.py's chunk settings).
+void run_chunk(Solver &s, int iters) {
+    const int save_check = s.check_termination;
+    const double save_pri = s.abs_pri_tol, save_dua = s.abs_dua_tol;
+    s.check_termination = 1;
+    s.abs_pri_tol = -1.0;  // residuals computed, never satisfied
+    s.abs_dua_tol = -1.0;
+    for (int it = 0; it < iters; ++it) {
+        s.iter = it + 1;
+        forward_pass(s);
+        update_slack(s);
+        update_dual(s);
+        update_linear_cost(s);
+        (void)termination(s);  // records pri/dua residual fields
+        s.v = s.vnew;
+        s.z = s.znew;
+        backward_pass(s);
+    }
+    s.check_termination = save_check;
+    s.abs_pri_tol = save_pri;
+    s.abs_dua_tol = save_dua;
+}
+
 }  // namespace
 
 extern "C" {
@@ -420,6 +445,55 @@ void tn_clear_cones(void *h) {
 }
 
 int tn_solve(void *h) { return solve_one(*static_cast<Solver *>(h)); }
+
+// Stall-guarded OSQP-style rho adaptation (the native counterpart of
+// solver/adaptive_rho.py: chunked iterations; when progress stalls AND the
+// primal/dual residual imbalance exceeds adapt_factor, rescale rho by
+// sqrt(pri/dua) clipped to [rho_min, rho_max], rescale the duals by
+// rho_old/rho_new, and re-run the double-precision Riccati precompute).
+// Returns 0 on convergence (status 1), 1 on budget exhaustion; *rho_out
+// (optional) receives the final rho, *iters_out the total iterations.
+int tn_solve_adaptive_rho(void *h, int chunk, int max_total_iter,
+                          double adapt_factor, double stall_factor,
+                          double rho_min, double rho_max,
+                          double *rho_out, int *iters_out) {
+    auto *s = static_cast<Solver *>(h);
+    if (chunk < 1) chunk = 25;
+    double prev_max = 1e300;
+    int total = 0;
+    s->status = 11;
+    while (total < max_total_iter) {
+        run_chunk(*s, chunk);
+        total += chunk;
+        const double pri = std::fmax(s->pri_state, s->pri_input);
+        const double dua = std::fmax(s->dua_state, s->dua_input);
+        if (pri < s->abs_pri_tol && dua < s->abs_dua_tol) {
+            s->status = 1;
+            break;
+        }
+        const double max_res = std::fmax(pri, dua);
+        const bool stalled = max_res * stall_factor > prev_max;
+        prev_max = max_res;
+        const double ratio = std::sqrt(std::fmax(pri, 1e-12) /
+                                       std::fmax(dua, 1e-12));
+        if (stalled && (ratio > adapt_factor || ratio < 1.0 / adapt_factor)) {
+            double new_rho = s->rho * ratio;
+            new_rho = std::fmin(std::fmax(new_rho, rho_min), rho_max);
+            if (new_rho != s->rho) {
+                const double scale = s->rho / new_rho;
+                for (double &v : s->y) v *= scale;
+                for (double &v : s->g) v *= scale;
+                s->rho = new_rho;
+                riccati(*s, 1000, 1e-5);  // f64 refresh, reference stopping
+                prev_max = 1e300;         // fresh contraction after the swap
+            }
+        }
+    }
+    s->iter = total;
+    if (rho_out) *rho_out = s->rho;
+    if (iters_out) *iters_out = total;
+    return s->status == 1 ? 0 : 1;
+}
 
 int tn_iter(void *h) { return static_cast<Solver *>(h)->iter; }
 int tn_status(void *h) { return static_cast<Solver *>(h)->status; }

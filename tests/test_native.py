@@ -204,3 +204,43 @@ def test_native_cones_match_engine():
         u_native, np.asarray(ref.u), rtol=0, atol=5e-3
     )
     assert float(cone_violation(jnp.asarray(u_native), cone)) < 5e-3
+
+
+def test_native_adaptive_rho():
+    """Native rho adaptation rescues a 4-orders-mis-scaled penalty the
+    fixed-rho solve cannot handle in the same budget (the native
+    counterpart of solver/adaptive_rho.py; same hard problem as
+    tests/test_adaptive_rho.py)."""
+    from accelerated_tinympc_tpu.models import random_lti_problem
+
+    problem, _ = random_lti_problem(
+        seed=3, nx=8, nu=3, horizon=15, bound=5.0, q_scale=100.0,
+        r_scale=0.1,
+    )
+    A = np.asarray(problem.A); Bm = np.asarray(problem.B)
+    Q = np.asarray(problem.Q); R = np.asarray(problem.R)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal(8)
+
+    def make(rho):
+        ns = NativeSolver(A, Bm, Q, R, rho=rho, horizon=15,
+                          max_iter=1500, check_termination=1,
+                          abs_pri_tol=2e-3, abs_dua_tol=2e-3)
+        ns.set_bounds(u_min=np.full((14, 3), -0.3),
+                      u_max=np.full((14, 3), 0.3))
+        ns.set_x0(x0)
+        return ns
+
+    fixed = make(1e-2)
+    assert not fixed.solve()["solved"], "premise: fixed bad rho fails"
+
+    adapt = make(1e-2)
+    info = adapt.solve_adaptive_rho(chunk=25, max_total_iter=1500)
+    assert info["solved"], info
+    assert info["rho"] != 1e-2, "rho never adapted"
+    assert info["iterations"] <= 800
+    # The adapted solver re-solves quickly from the warm state.
+    adapt.reset_duals()
+    adapt.set_x0(x0 * 0.9)
+    again = adapt.solve()
+    assert again["solved"]
