@@ -63,6 +63,11 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
     ]
     lib.tn_solve_adaptive_rho.restype = ctypes.c_int
+    lib.tn_solve_batch_adaptive.argtypes = [
+        ctypes.c_void_p, _f64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        _f64, _f64, _i32, _i32,
+    ]
     lib.tn_add_cone.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, _i32,
         ctypes.c_int, ctypes.c_double, ctypes.c_double,
@@ -197,6 +202,28 @@ class NativeSolver:
             "rho": rho.value,
             "iterations": iters.value,
         }
+
+    def solve_batch_adaptive(
+        self, x0s: np.ndarray, chunk: int = 25,
+        max_total_iter: int = 2000, adapt_factor: float = 5.0,
+        stall_factor: float = 1.5, rho_min: float = 1e-2,
+        rho_max: float = 1e3,
+    ):
+        """Batched per-instance rho adaptation (OpenMP; the host mirror of
+        solver/batched_ops.solve_adaptive_rho_batched). Returns
+        (u (B, N-1, nu), rho (B,), iters (B,), solved (B,))."""
+        x0s = np.ascontiguousarray(x0s, np.float64)
+        Bn = x0s.shape[0]
+        u = np.zeros((Bn, (self.N - 1) * self.nu), np.float64)
+        rho = np.zeros(Bn, np.float64)
+        iters = np.zeros(Bn, np.int32)
+        status = np.zeros(Bn, np.int32)
+        self._lib.tn_solve_batch_adaptive(
+            self._h, x0s, Bn, chunk, max_total_iter, adapt_factor,
+            stall_factor, rho_min, rho_max, u, rho, iters, status,
+        )
+        return (u.reshape(Bn, self.N - 1, self.nu), rho, iters,
+                status == 1)
 
     def solve(self) -> dict[str, Any]:
         flag = self._lib.tn_solve(self._h)

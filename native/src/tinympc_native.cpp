@@ -542,4 +542,37 @@ void tn_solve_batch(void *h, const double *x0s, int Bn, double *u_out,
     }
 }
 
+// Batched host adaptive-rho solve: B independent cold-start instances,
+// each running the stall-guarded adaptation above on a private Solver copy
+// (per-instance rho trajectories — the host mirror of
+// solver/batched_ops.solve_adaptive_rho_batched). OpenMP-parallel.
+void tn_solve_batch_adaptive(void *h, const double *x0s, int Bn,
+                             int chunk, int max_total_iter,
+                             double adapt_factor, double stall_factor,
+                             double rho_min, double rho_max,
+                             double *u_out, double *rho_out,
+                             int *iters_out, int *status_out) {
+    auto *base = static_cast<Solver *>(h);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < Bn; ++b) {
+        Solver s = *base;  // value copy: independent iterates + cache
+        for (auto *vec : {&s.x, &s.q, &s.p, &s.v, &s.vnew, &s.g,
+                          &s.u, &s.r, &s.d, &s.z, &s.znew, &s.y})
+            std::fill(vec->begin(), vec->end(), 0.0);
+        tn_set_x0(&s, x0s + b * base->nx);
+        double rho = 0.0;
+        int iters = 0;
+        (void)tn_solve_adaptive_rho(&s, chunk, max_total_iter,
+                                    adapt_factor, stall_factor,
+                                    rho_min, rho_max, &rho, &iters);
+        std::memcpy(u_out + b * (s.N - 1) * s.nu, s.u.data(),
+                    sizeof(double) * (s.N - 1) * s.nu);
+        if (rho_out) rho_out[b] = rho;
+        if (iters_out) iters_out[b] = iters;
+        if (status_out) status_out[b] = s.status;
+    }
+}
+
 }  // extern "C"

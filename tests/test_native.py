@@ -244,3 +244,27 @@ def test_native_adaptive_rho():
     adapt.set_x0(x0 * 0.9)
     again = adapt.solve()
     assert again["solved"]
+
+
+def test_native_batch_adaptive():
+    """Batched native adaptation: mis-scaled instances get per-instance rho
+    trajectories and converge; the well-scaled baseline solves too."""
+    from accelerated_tinympc_tpu.models import random_lti_problem
+
+    problem, _ = random_lti_problem(
+        seed=3, nx=8, nu=3, horizon=15, bound=5.0, q_scale=100.0,
+        r_scale=0.1,
+    )
+    A = np.asarray(problem.A); Bm = np.asarray(problem.B)
+    Q = np.asarray(problem.Q); R = np.asarray(problem.R)
+    ns = NativeSolver(A, Bm, Q, R, rho=1e-2, horizon=15,
+                      max_iter=1500, check_termination=1,
+                      abs_pri_tol=2e-3, abs_dua_tol=2e-3)
+    ns.set_bounds(u_min=np.full((14, 3), -0.3),
+                  u_max=np.full((14, 3), 0.3))
+    rng = np.random.default_rng(0)
+    x0s = rng.standard_normal((6, 8))
+    u, rho, iters, solved = ns.solve_batch_adaptive(x0s, max_total_iter=4000)
+    assert solved.all(), (iters, rho)
+    assert (rho != 1e-2).all(), "no instance adapted"
+    assert u.shape == (6, 14, 3)
