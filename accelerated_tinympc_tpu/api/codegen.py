@@ -191,6 +191,8 @@ enum {{
         + _carray("tiny_Adyn", A)
         + _carray("tiny_Bdyn", B)
         + _carray("tiny_Q", Q_emit)
+        + _carray("tiny_Qraw", Q)      # raw diagonals for the runtime
+        + _carray("tiny_R", R)         # Riccati refresh (adaptive rho)
         + _carray("tiny_Kinf", np.asarray(cache.Kinf))
         + _carray("tiny_Pinf", np.asarray(cache.Pinf))
         + _carray("tiny_Quu_inv", np.asarray(cache.Quu_inv))
@@ -284,7 +286,9 @@ _SOLVER_CPP = r"""// Generated by accelerated_tinympc_tpu.api.codegen — do not
 extern const tinytype tiny_rho;
 extern const tinytype tiny_Adyn[];      // (NX, NX) row-major
 extern const tinytype tiny_Bdyn[];      // (NX, NU)
-extern const tinytype tiny_Q[];         // (NX,) diagonal
+extern const tinytype tiny_Q[];         // (NX,) diagonal (workspace convention)
+extern const tinytype tiny_Qraw[];      // (NX,) raw diagonal (adaptive refresh)
+extern const tinytype tiny_R[];         // (NU,) raw diagonal
 extern const tinytype tiny_Kinf[];      // (NU, NX)
 extern const tinytype tiny_Pinf[];      // (NX, NX)
 extern const tinytype tiny_Quu_inv[];   // (NU, NU)
@@ -324,6 +328,10 @@ struct Workspace {
     // wrapper exposes bound setters over its mutable workspace).
     tinytype u_min[N - 1][NU], u_max[N - 1][NU];
     tinytype x_min[N][NX], x_max[N][NX];
+    // Runtime-mutable cache copies (adaptive rho refreshes them; loaded
+    // from the baked consts at init — identical values on the fixed path).
+    tinytype Kinf[NU][NX], Pinf[NX][NX], Quu_inv[NU][NU], AmBKt[NX][NX];
+    tinytype rho = 0;
     int iter = 0, status = 11;
     tinytype pri_state = 0, pri_input = 0, dua_state = 0, dua_input = 0;
 };
@@ -349,7 +357,7 @@ inline void matvec_t(const tinytype *M, const tinytype *vec, tinytype *out,
 void forward_pass() {
     for (int k = 0; k < N - 1; ++k) {
         tinytype Kx[NU];
-        matvec(tiny_Kinf, W.x[k], Kx, NU, NX);
+        matvec(&W.Kinf[0][0], W.x[k], Kx, NU, NX);
         for (int i = 0; i < NU; ++i) W.u[k][i] = -Kx[i] - W.d[k][i];
         tinytype Ax[NX], Bu[NX];
         matvec(tiny_Adyn, W.x[k], Ax, NX, NX);
@@ -428,17 +436,17 @@ void update_dual() {
 void update_linear_cost() {
     for (int k = 0; k < N - 1; ++k)
         for (int i = 0; i < NU; ++i)
-            W.r[k][i] = -tiny_rho * (W.znew[k][i] - W.y[k][i]);
+            W.r[k][i] = -W.rho * (W.znew[k][i] - W.y[k][i]);
     for (int k = 0; k < N; ++k)
         for (int i = 0; i < NX; ++i)
             W.q[k][i] = -W.Xref[k][i] * tiny_Q[i]
-                        - tiny_rho * (W.vnew[k][i] - W.g[k][i]);
+                        - W.rho * (W.vnew[k][i] - W.g[k][i]);
     // terminal costate: p[N-1] = -Pinf^T Xref[N-1] - rho (vnew - g)
     tinytype Px[NX];
-    matvec_t(tiny_Pinf, W.Xref[N - 1], Px, NX, NX);
+    matvec_t(&W.Pinf[0][0], W.Xref[N - 1], Px, NX, NX);
     for (int i = 0; i < NX; ++i)
         W.p[N - 1][i] = -Px[i]
-                        - tiny_rho * (W.vnew[N - 1][i] - W.g[N - 1][i]);
+                        - W.rho * (W.vnew[N - 1][i] - W.g[N - 1][i]);
 }
 
 bool termination() {
@@ -457,7 +465,7 @@ bool termination() {
             di = std::fmax(di, std::fabs(W.z[k][i] - W.znew[k][i]));
         }
     W.pri_state = ps; W.pri_input = pi;
-    W.dua_state = ds * tiny_rho; W.dua_input = di * tiny_rho;
+    W.dua_state = ds * W.rho; W.dua_input = di * W.rho;
     return ps < TINY_ABS_PRI_TOL && pi < TINY_ABS_PRI_TOL &&
            W.dua_state < TINY_ABS_DUA_TOL && W.dua_input < TINY_ABS_DUA_TOL;
 }
@@ -467,10 +475,10 @@ void backward_pass() {
         tinytype Btp[NU];
         matvec_t(tiny_Bdyn, W.p[k + 1], Btp, NX, NU);
         for (int i = 0; i < NU; ++i) Btp[i] += W.r[k][i];
-        matvec(tiny_Quu_inv, Btp, W.d[k], NU, NU);
+        matvec(&W.Quu_inv[0][0], Btp, W.d[k], NU, NU);
         tinytype Mp[NX], Kr[NX];
-        matvec(tiny_AmBKt, W.p[k + 1], Mp, NX, NX);
-        matvec_t(tiny_Kinf, W.r[k], Kr, NU, NX);
+        matvec(&W.AmBKt[0][0], W.p[k + 1], Mp, NX, NX);
+        matvec_t(&W.Kinf[0][0], W.r[k], Kr, NU, NX);
         for (int i = 0; i < NX; ++i) W.p[k][i] = W.q[k][i] + Mp[i] - Kr[i];
     }
 }
@@ -480,6 +488,17 @@ extern "C" {
 
 void tiny_init() {
     if (!xref_initialized) {
+        for (int i = 0; i < NU; ++i)
+            for (int j = 0; j < NX; ++j) W.Kinf[i][j] = tiny_Kinf[i * NX + j];
+        for (int i = 0; i < NX; ++i)
+            for (int j = 0; j < NX; ++j) {
+                W.Pinf[i][j] = tiny_Pinf[i * NX + j];
+                W.AmBKt[i][j] = tiny_AmBKt[i * NX + j];
+            }
+        for (int i = 0; i < NU; ++i)
+            for (int j = 0; j < NU; ++j)
+                W.Quu_inv[i][j] = tiny_Quu_inv[i * NU + j];
+        W.rho = tiny_rho;
         for (int k = 0; k < N; ++k)
             for (int i = 0; i < NX; ++i) {
                 W.Xref[k][i] = tiny_Xref_init[k * NX + i];
@@ -516,6 +535,215 @@ int tiny_solve() {
         backward_pass();
     }
     return 1;
+}
+
+// ---- adaptive rho (beyond the reference; mirrors the engine's
+// solver/adaptive_rho.py and the native runtime's tn_solve_adaptive_rho).
+// The Riccati refresh runs in double regardless of tinytype — the
+// reference insists the precompute run in double for robustness
+// (examples/codegen_cartpole.cpp:9-11).
+static bool rt_invert(double *M, double *out, int n) {
+    double I[NX * NX];
+    for (int i = 0; i < n * n; ++i) I[i] = 0;
+    for (int i = 0; i < n; ++i) I[i * n + i] = 1.0;
+    for (int col = 0; col < n; ++col) {
+        int piv = col;
+        for (int i = col + 1; i < n; ++i)
+            if (std::fabs(M[i * n + col]) > std::fabs(M[piv * n + col]))
+                piv = i;
+        if (std::fabs(M[piv * n + col]) < 1e-300) return false;
+        if (piv != col)
+            for (int j = 0; j < n; ++j) {
+                std::swap(M[piv * n + j], M[col * n + j]);
+                std::swap(I[piv * n + j], I[col * n + j]);
+            }
+        const double inv = 1.0 / M[col * n + col];
+        for (int j = 0; j < n; ++j) { M[col * n + j] *= inv; I[col * n + j] *= inv; }
+        for (int i = 0; i < n; ++i) {
+            if (i == col) continue;
+            const double f = M[i * n + col];
+            for (int j = 0; j < n; ++j) {
+                M[i * n + j] -= f * M[col * n + j];
+                I[i * n + j] -= f * I[col * n + j];
+            }
+        }
+    }
+    for (int i = 0; i < n * n; ++i) out[i] = I[i];
+    return true;
+}
+
+static bool rt_riccati(double rho) {
+    // Double-precision infinite-horizon fixed point (reference
+    // codegen.cpp:268-292), writing the workspace cache copies.
+    static double P[NX * NX], Pn[NX * NX], K[NU * NX], Kp[NU * NX];
+    static double BtP[NU * NX], M[NU * NU], Minv[NU * NU], BtPA[NU * NX];
+    static double AmBK[NX * NX];
+    for (int i = 0; i < NX * NX; ++i) P[i] = 0;
+    for (int i = 0; i < NX; ++i) P[i * NX + i] = rho;
+    for (int i = 0; i < NU * NX; ++i) Kp[i] = 0;
+    for (int it = 0; it < 1000; ++it) {
+        for (int i = 0; i < NU; ++i)
+            for (int j = 0; j < NX; ++j) {
+                double acc = 0;
+                for (int t = 0; t < NX; ++t)
+                    acc += (double)tiny_Bdyn[t * NU + i] * P[t * NX + j];
+                BtP[i * NX + j] = acc;
+            }
+        for (int i = 0; i < NU; ++i)
+            for (int j = 0; j < NU; ++j) {
+                double acc = 0;
+                for (int t = 0; t < NX; ++t)
+                    acc += BtP[i * NX + t] * (double)tiny_Bdyn[t * NU + j];
+                M[i * NU + j] = acc + (i == j ? (double)tiny_R[i] + rho : 0.0);
+            }
+        for (int i = 0; i < NU; ++i)
+            for (int j = 0; j < NX; ++j) {
+                double acc = 0;
+                for (int t = 0; t < NX; ++t)
+                    acc += BtP[i * NX + t] * (double)tiny_Adyn[t * NX + j];
+                BtPA[i * NX + j] = acc;
+            }
+        if (!rt_invert(M, Minv, NU)) return false;
+        for (int i = 0; i < NU; ++i)
+            for (int j = 0; j < NX; ++j) {
+                double acc = 0;
+                for (int t = 0; t < NU; ++t)
+                    acc += Minv[i * NU + t] * BtPA[t * NX + j];
+                K[i * NX + j] = acc;
+            }
+        for (int i = 0; i < NX; ++i)
+            for (int j = 0; j < NX; ++j) {
+                double acc = 0;
+                for (int t = 0; t < NU; ++t)
+                    acc += (double)tiny_Bdyn[i * NU + t] * K[t * NX + j];
+                AmBK[i * NX + j] = (double)tiny_Adyn[i * NX + j] - acc;
+            }
+        for (int i = 0; i < NX; ++i)
+            for (int j = 0; j < NX; ++j) {
+                double acc = 0;
+                for (int t = 0; t < NX; ++t) {
+                    double pa = 0;
+                    for (int t2 = 0; t2 < NX; ++t2)
+                        pa += P[t * NX + t2] * AmBK[t2 * NX + j];
+                    acc += (double)tiny_Adyn[t * NX + i] * pa;
+                }
+                Pn[i * NX + j] = acc
+                    + (i == j ? (double)tiny_Qraw[i] + rho : 0.0);
+            }
+        double dmax = 0;
+        for (int i = 0; i < NU * NX; ++i)
+            dmax = std::fmax(dmax, std::fabs(K[i] - Kp[i]));
+        for (int i = 0; i < NX * NX; ++i) P[i] = Pn[i];
+        for (int i = 0; i < NU * NX; ++i) Kp[i] = K[i];
+        if (dmax < 1e-5) break;
+    }
+    // refresh the workspace cache copies
+    for (int i = 0; i < NU; ++i)
+        for (int j = 0; j < NX; ++j) W.Kinf[i][j] = (tinytype)K[i * NX + j];
+    for (int i = 0; i < NX; ++i)
+        for (int j = 0; j < NX; ++j) W.Pinf[i][j] = (tinytype)P[i * NX + j];
+    // Quu_inv at the converged P
+    for (int i = 0; i < NU; ++i)
+        for (int j = 0; j < NX; ++j) {
+            double acc = 0;
+            for (int t = 0; t < NX; ++t)
+                acc += (double)tiny_Bdyn[t * NU + i] * P[t * NX + j];
+            BtP[i * NX + j] = acc;
+        }
+    for (int i = 0; i < NU; ++i)
+        for (int j = 0; j < NU; ++j) {
+            double acc = 0;
+            for (int t = 0; t < NX; ++t)
+                acc += BtP[i * NX + t] * (double)tiny_Bdyn[t * NU + j];
+            M[i * NU + j] = acc + (i == j ? (double)tiny_R[i] + rho : 0.0);
+        }
+    if (!rt_invert(M, Minv, NU)) return false;
+    for (int i = 0; i < NU; ++i)
+        for (int j = 0; j < NU; ++j)
+            W.Quu_inv[i][j] = (tinytype)Minv[i * NU + j];
+    for (int i = 0; i < NU; ++i)
+        for (int j = 0; j < NX; ++j) {
+            double acc = 0;
+            for (int t = 0; t < NU; ++t)
+                acc += Minv[i * NU + t] * BtPA[t * NX + j];
+            K[i * NX + j] = acc;
+        }
+    for (int i = 0; i < NX; ++i)
+        for (int j = 0; j < NX; ++j) {
+            double acc = 0;
+            for (int t = 0; t < NU; ++t)
+                acc += (double)tiny_Bdyn[i * NU + t] * K[t * NX + j];
+            W.AmBKt[j][i] = (tinytype)((double)tiny_Adyn[i * NX + j] - acc);
+        }
+    W.rho = (tinytype)rho;
+    return true;
+}
+
+int tiny_solve_adaptive_rho(int chunk, int max_total_iter,
+                            double adapt_factor, double stall_factor,
+                            double rho_min, double rho_max) {
+    tiny_init();
+    if (chunk < 1) chunk = 25;
+    double prev_max = 1e300;
+    int total = 0;
+    W.status = 11;
+    while (total < max_total_iter) {
+        for (int it = 0; it < chunk; ++it) {
+            W.iter = it + 1;
+            forward_pass();
+            update_slack();
+            update_dual();
+            update_linear_cost();
+            // residuals recorded every iteration; outer loop owns exit
+            tinytype ps = 0, pi = 0, ds = 0, di = 0;
+            for (int k = 0; k < N; ++k)
+                for (int i = 0; i < NX; ++i) {
+                    ps = std::fmax(ps, std::fabs(W.x[k][i] - W.vnew[k][i]));
+                    ds = std::fmax(ds, std::fabs(W.v[k][i] - W.vnew[k][i]));
+                }
+            for (int k = 0; k < N - 1; ++k)
+                for (int i = 0; i < NU; ++i) {
+                    pi = std::fmax(pi, std::fabs(W.u[k][i] - W.znew[k][i]));
+                    di = std::fmax(di, std::fabs(W.z[k][i] - W.znew[k][i]));
+                }
+            W.pri_state = ps; W.pri_input = pi;
+            W.dua_state = ds * W.rho; W.dua_input = di * W.rho;
+            for (int k = 0; k < N; ++k)
+                for (int i = 0; i < NX; ++i) W.v[k][i] = W.vnew[k][i];
+            for (int k = 0; k < N - 1; ++k)
+                for (int i = 0; i < NU; ++i) W.z[k][i] = W.znew[k][i];
+            backward_pass();
+        }
+        total += chunk;
+        const double pri = std::fmax((double)W.pri_state, (double)W.pri_input);
+        const double dua = std::fmax((double)W.dua_state, (double)W.dua_input);
+        if (pri < TINY_ABS_PRI_TOL && dua < TINY_ABS_DUA_TOL) {
+            W.status = 1;
+            break;
+        }
+        const double max_res = std::fmax(pri, dua);
+        const bool stalled = max_res * stall_factor > prev_max;
+        prev_max = max_res;
+        const double ratio = std::sqrt(std::fmax(pri, 1e-12) /
+                                       std::fmax(dua, 1e-12));
+        if (stalled && (ratio > adapt_factor || ratio < 1.0 / adapt_factor)) {
+            double new_rho = (double)W.rho * ratio;
+            new_rho = std::fmin(std::fmax(new_rho, rho_min), rho_max);
+            if (new_rho != (double)W.rho) {
+                const double scale = (double)W.rho / new_rho;
+                for (int k = 0; k < N - 1; ++k)
+                    for (int i = 0; i < NU; ++i)
+                        W.y[k][i] = (tinytype)(W.y[k][i] * scale);
+                for (int k = 0; k < N; ++k)
+                    for (int i = 0; i < NX; ++i)
+                        W.g[k][i] = (tinytype)(W.g[k][i] * scale);
+                if (!rt_riccati(new_rho)) return 2;
+                prev_max = 1e300;
+            }
+        }
+    }
+    W.iter = total;
+    return W.status == 1 ? 0 : 1;
 }
 
 // Accessors used by the API wrapper and main.
@@ -556,6 +784,11 @@ void set_xmin(float *xmin, int verbose);          // (N * NX)
 void set_xmax(float *xmax, int verbose);
 void reset_dual_variables(int verbose);
 int call_tiny_solve(int verbose);
+// Adaptive-rho solve (beyond the reference): chunked stall-guarded rho
+// rescaling with a double-precision in-binary Riccati refresh.
+int call_tiny_solve_adaptive(int chunk, int max_total_iter,
+                             double adapt_factor, double stall_factor,
+                             double rho_min, double rho_max, int verbose);
 void get_x(float *out, int verbose);              // (N * NX)
 void get_u(float *out, int verbose);              // ((N-1) * NU)
 #ifdef __cplusplus
@@ -570,6 +803,7 @@ _API_CPP = r"""// Generated by accelerated_tinympc_tpu.api.codegen — do not ed
 extern "C" {
 int tiny_solve();
 void tiny_init();
+int tiny_solve_adaptive_rho(int, int, double, double, double, double);
 tinytype *tiny_x_ptr();
 tinytype *tiny_u_ptr();
 tinytype *tiny_y_ptr();
@@ -630,6 +864,15 @@ void reset_dual_variables(int verbose) {
 int call_tiny_solve(int verbose) {
     int flag = tiny_solve();
     if (verbose) std::printf("tiny_solve exit %d\n", flag);
+    return flag;
+}
+
+int call_tiny_solve_adaptive(int chunk, int max_total_iter,
+                             double adapt_factor, double stall_factor,
+                             double rho_min, double rho_max, int verbose) {
+    int flag = tiny_solve_adaptive_rho(chunk, max_total_iter, adapt_factor,
+                                       stall_factor, rho_min, rho_max);
+    if (verbose) std::printf("tiny_solve_adaptive exit %d\n", flag);
     return flag;
 }
 

@@ -305,3 +305,48 @@ def test_generated_project_with_cones(tmp_path):
     # The binary's slack trajectory obeys the cone (checked via consensus
     # controls staying near-feasible at 150 iterations).
     assert float(cone_violation(jnp.asarray(u_cpp), cone)) < 5e-2
+
+
+def test_generated_adaptive_rho(tmp_path):
+    """Generated projects carry the adaptive-rho entry: a 4-orders
+    mis-scaled penalty the fixed solve cannot handle converges through
+    `call_tiny_solve_adaptive` (double-precision in-binary Riccati
+    refresh)."""
+    from accelerated_tinympc_tpu.models import random_lti_problem
+
+    problem, _ = random_lti_problem(
+        seed=3, nx=8, nu=3, horizon=15, bound=5.0, q_scale=100.0,
+        r_scale=0.1,
+    )
+    out = tmp_path / "adaptive_project"
+    tiny_codegen(
+        np.asarray(problem.A), np.asarray(problem.B),
+        np.asarray(problem.Q), np.asarray(problem.R),
+        rho=1e-2, horizon=15, output_dir=out,
+        u_min=np.full((14, 3), -0.3), u_max=np.full((14, 3), 0.3),
+        settings=atm.Settings(max_iter=1500, check_termination=1,
+                              abs_pri_tol=2e-3, abs_dua_tol=2e-3),
+        scalar_type="double",
+    )
+    build_project(out)
+    lib = ctypes.CDLL(str(out / "libtinympc_deploy.so"))
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.set_x0.argtypes = [f32p, ctypes.c_int]
+    lib.call_tiny_solve.argtypes = [ctypes.c_int]
+    lib.call_tiny_solve.restype = ctypes.c_int
+    lib.call_tiny_solve_adaptive.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+    ]
+    lib.call_tiny_solve_adaptive.restype = ctypes.c_int
+    lib.reset_dual_variables.argtypes = [ctypes.c_int]
+
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal(8).astype(np.float32)
+    lib.set_x0(x0.copy(), 0)
+    assert lib.call_tiny_solve(0) == 1, "premise: fixed bad rho fails"
+
+    lib.reset_dual_variables(0)
+    lib.set_x0(x0.copy(), 0)
+    flag = lib.call_tiny_solve_adaptive(25, 1500, 5.0, 1.5, 1e-2, 1e3, 0)
+    assert flag == 0, "adaptive rescue failed in the generated binary"
