@@ -110,8 +110,10 @@ class TinyMPC:
     tier: str = "scan"
     interpret: bool = False           # Pallas interpreter (CPU testing)
     # Fused-tier matmul arithmetic: "f32" (6-pass HIGHEST, golden default) or
-    # "bf16x3" (3-pass split bf16 + f32 polish — ~1.5x throughput, ~2e-5
-    # control error; fixed-iteration mode only, see ops/fused_admm.py).
+    # "bf16x3" (3-pass split bf16 — ~1.5x throughput, ~2e-5 control error).
+    # Fixed mode adds an f32 polish tail; adaptive mode keeps every check
+    # iteration f32 (exact residual guarantees) but gives up bit-exact
+    # iteration-count parity with the scan tier (see ops/fused_admm.py).
     algo: str = "f32"
     # Second-order-cone constraints (solver/cones.py) — scan and condensed
     # tiers (the fused kernel bakes box-projection structure; see from_parts).
@@ -412,6 +414,7 @@ class TinyMPC:
                 batch_tile=min(DEFAULT_BATCH_TILE, x0.shape[0]),
                 interpret=self.interpret,
                 cone_ops=self._cone_ops,
+                algo=self.algo,
             )
         else:
             res = _jit_fused(

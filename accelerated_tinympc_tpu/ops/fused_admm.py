@@ -687,7 +687,7 @@ def _kernel_adaptive(
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
     *rest,
     max_iter: int, check_every: int, warmup: int, g: int, interpret: bool,
-    nc_u: int = 0, nc_x: int = 0,
+    algo: str = "f32", nc_u: int = 0, nc_x: int = 0,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
 
@@ -705,6 +705,15 @@ def _kernel_adaptive(
     — an opt-in throughput knob; results are identical to plain adaptive
     whenever no instance converges within the warmup window (recorded
     residual lanes always come from actual check iterations).
+
+    ``algo == "bf16x3"`` runs the *between-check* plain iterations (and the
+    warmup window) with the 3-pass split-operand bf16 matmuls; every check
+    iteration stays full f32, so the residuals driving the freeze decision —
+    and the recorded residual lanes — are exact f32 residuals of the
+    returned iterates. The tolerance guarantee is therefore unchanged;
+    what is traded away is the bit-exact iteration-schedule parity with the
+    scan tier (counts can shift near the threshold). f32 remains the
+    default for that reason.
     """
     dot = functools.partial(
         jnp.dot, preferred_element_type=jnp.float32, precision=_HI
@@ -720,7 +729,7 @@ def _kernel_adaptive(
         Xb, Ub, const_ref[:],
         u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
     )
-    _W3, W = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), "f32")
+    W3, W = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), algo)
     rho = rho_ref[0, 0]
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
@@ -733,8 +742,11 @@ def _kernel_adaptive(
         return a * m + b * (1.0 - m)
 
     def plain_body(_, c):
+        # Between-check iterations use W3 (== W unless algo="bf16x3"); the
+        # check iteration below always contracts in f32 so the residuals
+        # that gate freezing are exact for the snapshotted iterates.
         D, Y, G, Z, V = c
-        Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W, consts)
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W3, consts)
         return (Dn, Yn, Gn, Znew, Vnew)
 
     def cond(st):
@@ -932,17 +944,17 @@ def fused_solve(
     split-operand bf16, :func:`_dot3` — ~2x the MXU rate at ~2^-17 relative
     matmul error; validated on-chip to stay inside the 1e-4 control-parity
     bar on the shipped quadrotor problems, see tests/test_fused.py and
-    tools/tpu_check_bf16x3.py).
+    tools/tpu_check_bf16x3.py). In fixed mode the last ``polish`` iterations
+    run full f32. In adaptive mode only the *between-check* iterations use
+    bf16x3 — checks (and the residuals/snapshots they record) stay f32, so
+    converged instances genuinely satisfy the tolerances; the trade-off is
+    that iteration counts are no longer bit-matched to the scan tier's
+    schedule (keep ``algo="f32"`` where that contract matters).
 
     ``interpret=True`` runs the Pallas interpreter (CPU-testable).
     """
     if algo not in ("f32", "bf16x3"):
         raise ValueError(f"unknown algo {algo!r}; use 'f32' or 'bf16x3'")
-    if algo != "f32" and check_termination > 0:
-        # Reduced-precision residuals would shift iteration counts near the
-        # tolerance threshold, breaking the adaptive tier's exact-parity
-        # contract with the scan tier.
-        raise ValueError("algo='bf16x3' supports fixed-iteration mode only")
     if max_iter < 1:
         raise ValueError("the fused tier runs at least one iteration; "
                          "use the scan tier for max_iter=0")
@@ -1098,7 +1110,7 @@ def fused_solve(
             _kernel_adaptive, max_iter=max_iter,
             check_every=check_termination,
             warmup=min(warmup_iters, max_iter - 1), g=g, interpret=interpret,
-            nc_u=nc_u, nc_x=nc_x,
+            algo=algo, nc_u=nc_u, nc_x=nc_x,
         )
         tols = jnp.stack([
             jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),

@@ -157,6 +157,7 @@ def cascade_solve(
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
     cone_ops=None,
+    algo: str = "f32",
 ) -> FusedResult:
     """Adaptive fused solve with between-segment batch compaction.
 
@@ -178,6 +179,9 @@ def cascade_solve(
     ``warmup_iters`` applies to the first segment only.  This is a host-side
     orchestration loop (one device sync per segment) — not jittable; call it
     from the MPC outer loop, not inside one.
+    ``algo`` threads through to every segment's :func:`fused_solve`
+    (``"bf16x3"`` = bf16x3 between-check iterations, f32 checks — exact
+    residual guarantees, iteration schedule no longer bit-matched to scan).
     """
     if check_termination <= 0:
         raise ValueError(
@@ -210,7 +214,7 @@ def cascade_solve(
             abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             batch_tile=batch_tile, warmup_iters=warmup_iters,
             interpret=interpret, xref_q=xref_q, pterm_c=pterm_c,
-            cone_ops=cone_ops,
+            cone_ops=cone_ops, algo=algo,
         )
 
     pri = jnp.float32(abs_pri_tol)
@@ -239,7 +243,7 @@ def cascade_solve(
         k = min(cur_seg, max_iter - done_iters)
         seg = _jit_segment(
             k, check_termination, batch_tile,
-            warmup_iters if done_iters == 0 else 0, interpret, "f32",
+            warmup_iters if done_iters == 0 else 0, interpret, algo,
         )
         res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c, cone_ops)
         idx = np.full(res.stats.shape[0], B, np.int32)

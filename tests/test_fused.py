@@ -243,7 +243,7 @@ def test_adaptive_warmup_equivalence(setup):
 def test_bf16x3_parity(setup):
     """algo='bf16x3' (3-pass split-operand bf16 matmuls + f32 polish tail)
     stays inside the 1e-4 control-parity bar over the reference's full
-    100-iteration budget; adaptive mode rejects it."""
+    100-iteration budget."""
     problem, cache, pp, x0s = setup
     got = fused_solve(
         x0s, FusedCarry.zeros(B, pp), pp, max_iter=100, check_termination=0,
@@ -256,8 +256,30 @@ def test_bf16x3_parity(setup):
         np.asarray(got.U[:, :36]).reshape(B, 9, 4) - np.asarray(want.u)
     ))
     assert err < 1e-4, err
-    with pytest.raises(ValueError, match="bf16x3"):
-        fused_solve(
-            x0s, FusedCarry.zeros(B, pp), pp, max_iter=10,
-            check_termination=1, interpret=True, algo="bf16x3",
-        )
+
+
+def test_bf16x3_adaptive(setup):
+    """Adaptive bf16x3 (bf16x3 between checks, f32 check iterations): every
+    instance converges with true-f32-residual guarantees and the controls
+    stay inside the parity band vs f32 adaptive; iteration counts may shift
+    near the threshold (the documented trade), but on this well-conditioned
+    problem they should match f32 adaptive exactly."""
+    problem, cache, pp, x0s = setup
+    kw = dict(
+        max_iter=400, check_termination=5, abs_pri_tol=0.05,
+        abs_dua_tol=0.05, batch_tile=B, interpret=True,
+    )
+    got3 = fused_solve(x0s, FusedCarry.zeros(B, pp), pp, algo="bf16x3", **kw)
+    gotf = fused_solve(x0s, FusedCarry.zeros(B, pp), pp, algo="f32", **kw)
+    s3 = np.asarray(got3.stats)
+    assert np.all(s3[:, 1] == 1.0), "all instances must converge"
+    # Recorded residuals are exact f32 residuals of the returned iterates
+    # and must satisfy the tolerances.
+    assert np.all(s3[:, 2:6] < 0.05 + 1e-6), s3[:, 2:6].max()
+    # Both stop at the (loose) 0.05 residual band, so the two solutions are
+    # each ~tol from the fixed point; the cross-algo gap is bf16x3 drift on
+    # top of that, well under the stopping band.
+    err = np.max(np.abs(np.asarray(got3.U[:, :36]) -
+                        np.asarray(gotf.U[:, :36])))
+    assert err < 5e-4, err
+    assert np.array_equal(s3[:, 0], np.asarray(gotf.stats)[:, 0])
