@@ -50,6 +50,9 @@ class TinyMPCFleet:
     # Per-instance cone geometry (hetero tier): lane-packed mu/shift rows
     # from ops.hetero_admm.pad_hetero_cone_params.
     cone_params: Any = None
+    # Per-instance cone *structure* (hetero tier): lane-packed ball/axis
+    # masks from ops.hetero_admm.pad_hetero_cone_masks.
+    cone_masks: Any = None
     # hetero adaptive mode only: > 0 runs the compaction cascade with this
     # segment length (multiple of check_termination).
     compaction_segment: int = 0
@@ -78,6 +81,8 @@ class TinyMPCFleet:
         cones: Any = None,
         cone_mu=None,
         cone_shift=None,
+        cone_ball=None,
+        cone_axis=None,
         compaction_segment: int = 0,
         host_precompute: bool = False,
     ) -> "TinyMPCFleet":
@@ -158,9 +163,22 @@ class TinyMPCFleet:
             cone_params = pad_hetero_cone_params(
                 cones, Bn, mu_u=cone_mu, shift_u=cone_shift,
             )
+        cone_masks = None
+        if cones is not None and (cone_ball is not None
+                                  or cone_axis is not None):
+            if tier != "hetero":
+                raise ValueError(
+                    "per-instance cone structure needs the hetero tier"
+                )
+            from ..ops.hetero_admm import pad_hetero_cone_masks
+
+            cone_masks = pad_hetero_cone_masks(
+                cones, Bn, nx, nu, ball_u=cone_ball, axis_u=cone_axis,
+            )
         self = cls(
             problem=problem, cache=cache, settings=settings, tier=tier,
             interpret=interpret, cones=cones, cone_params=cone_params,
+            cone_masks=cone_masks,
             compaction_segment=compaction_segment,
         )
         self._build()
@@ -273,6 +291,16 @@ class TinyMPCFleet:
 
             ce = s.check_termination
             if self.compaction_segment and ce > 0:
+                if self.cone_params is not None or self.cone_masks is not None:
+                    # Compaction re-packs instances between segments; the
+                    # lane-packed per-instance cone operands would need the
+                    # same gather (not implemented) — fail loudly rather
+                    # than silently solving with the static geometry.
+                    raise ValueError(
+                        "per-instance cone_params/cone_masks are not "
+                        "supported with compaction_segment; use the "
+                        "monolithic adaptive mode (compaction_segment=0)"
+                    )
                 from ..solver.cascade import hetero_cascade_solve
 
                 U, X, stats, carry = hetero_cascade_solve(
@@ -297,6 +325,7 @@ class TinyMPCFleet:
                     en_state_bound=s.en_state_bound,
                     interpret=self.interpret, cones=self.cones,
                     cone_params=self.cone_params,
+                    cone_masks=self.cone_masks,
                 )
                 self._carry = res.carry
                 self._last = (res.U, res.X)

@@ -15,6 +15,8 @@ from .hetero_admm import (  # noqa: F401
     HeteroProblem,
     HeteroResult,
     hetero_solve,
+    pad_hetero_cone_masks,
+    pad_hetero_cone_params,
     pad_hetero_from_plants,
     pad_hetero_problem,
 )

@@ -214,6 +214,54 @@ def pad_hetero_cone_params(
     return stacked.reshape(nt * C * 8, LANES)
 
 
+def pad_hetero_cone_masks(
+    cones, batch: int, nx: int, nu: int,
+    ball_u=None, axis_u=None, ball_x=None, axis_x=None,
+    dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Lane-pack per-instance cone *geometry* (ball/axis indices) for
+    :func:`hetero_solve` — e.g. a fleet whose landers have the thrust axis
+    on different coordinates. ``ball_u``/``axis_u`` are per-input-cone
+    lists: ``ball_u[c]`` is ``(B, nu)`` 0/1 membership (or None to
+    broadcast the cone's static ``ball``), ``axis_u[c]`` is ``(B,)`` int
+    axis indices (or None for the static ``axis``); likewise
+    ``ball_x``/``axis_x`` on ``(B, nx)``. Returns the stacked
+    ``(NT * MR, L)`` operand (per cone: ball-mask rows then axis-one-hot
+    rows at the cone's sublane width), input cones first. When a cone's
+    masks encode its static indices the kernel's masked projection matches
+    the static one bitwise (ascending ``ball``)."""
+    nt = -(-batch // LANES)
+    SX, SU = _pad8(max(nx, 1)), _pad8(max(nu, 1))
+    blocks = []   # list of (rows_per_tile, (nt*rows, L)) lane-packed blocks
+
+    def push(cone_list, dim, S, ball, axis):
+        for c, cone in enumerate(cone_list):
+            bm = np.zeros((batch, S), np.float32)
+            if ball is None or ball[c] is None:
+                bm[:, list(cone.ball)] = 1.0
+            else:
+                bm[:, :dim] = np.asarray(ball[c], np.float32)
+            am = np.zeros((batch, S), np.float32)
+            if axis is None or axis[c] is None:
+                am[:, int(cone.axis)] = 1.0
+            else:
+                am[np.arange(batch), np.asarray(axis[c], np.int64)] = 1.0
+            rows = jnp.asarray(
+                np.concatenate([bm, am], axis=1), dtype
+            )  # (B, 2*S)
+            blocks.append((2 * S, _lane_pack_vec(rows, 2 * S, nt)))
+
+    push(tuple(cones.input_cones), nu, SU, ball_u, axis_u)
+    push(tuple(cones.state_cones), nx, SX, ball_x, axis_x)
+    # Per-tile interleave with variable block heights: concatenate each
+    # tile's slice of every block in order.
+    tiles = []
+    for t in range(nt):
+        for rows, blk in blocks:
+            tiles.append(blk[t * rows:(t + 1) * rows])
+    return jnp.concatenate(tiles, axis=0)
+
+
 def gather_hetero(
     hp: HeteroProblem, carry: HeteroCarry, x0: jax.Array, idx: jax.Array,
 ) -> tuple[HeteroProblem, HeteroCarry, jax.Array]:
@@ -422,9 +470,43 @@ def _project_soc_seg(seg, dim: int, S: int, cone, mu=None, shift=None):
     return jnp.concatenate(rows, axis=0)
 
 
-def _apply_cones(W, knots: int, dim: int, S: int, cones, params=None):
+def _project_soc_seg_masked(seg, S: int, bm, am, mu, shift):
+    """Masked variant of :func:`_project_soc_seg`: the cone's geometry is
+    per-instance. ``bm``/``am`` are ``(S, L)`` 0/1 lane masks (ball rows /
+    axis one-hot per instance); ``mu``/``shift`` a scalar or ``(1, L)``
+    row. Same closed form, with the row gather/scatter replaced by
+    mask-weighted sums — still pure full-width VPU arithmetic. Where masks
+    encode the same indices as the static path, sums add exact zeros in
+    ascending row order, so results match the static projection bitwise
+    for ascending ``ball`` tuples."""
+    f32 = jnp.float32
+    a2 = None
+    s = None
+    for r in range(S):
+        b = seg[r:r + 1] * bm[r:r + 1]
+        sq = b * b
+        a2 = sq if a2 is None else a2 + sq
+        t = seg[r:r + 1] * am[r:r + 1]
+        s = t if s is None else s + t
+    a = jnp.sqrt(a2)
+    s = s + shift
+    inside = (a <= mu * s).astype(f32)
+    polar = (mu * a <= -s).astype(f32)
+    boundary = (1.0 - inside) * (1.0 - polar)
+    c = (mu * a + s) / (mu * mu + 1.0)
+    safe_a = a + (a2 == 0.0).astype(f32)
+    scale = inside + boundary * (mu * c / safe_a)
+    s_new = inside * s + boundary * c - shift
+    return seg * (1.0 - bm - am) + seg * scale * bm + am * s_new
+
+
+def _apply_cones(W, knots: int, dim: int, S: int, cones, params=None,
+                 masks=None):
     """Apply static cones to every knot of ``W (knots*S, L)``. ``params``
-    (optional) is a list of per-cone ``(mu_row, shift_row)`` lane rows."""
+    (optional) is a list of per-cone ``(mu_row, shift_row)`` lane rows;
+    ``masks`` (optional) a list of per-cone ``(ball_mask, axis_mask)``
+    ``(S, L)`` blocks selecting the masked (per-instance-geometry)
+    projection."""
     segs = []
     for i in range(knots):
         seg = W[i * S:(i + 1) * S]
@@ -432,7 +514,15 @@ def _apply_cones(W, knots: int, dim: int, S: int, cones, params=None):
             mu = sh = None
             if params is not None:
                 mu, sh = params[c]
-            seg = _project_soc_seg(seg, dim, S, cone, mu=mu, shift=sh)
+            if masks is not None:
+                bm, am = masks[c]
+                seg = _project_soc_seg_masked(
+                    seg, S, bm, am,
+                    float(cone.mu) if mu is None else mu,
+                    float(cone.shift) if sh is None else sh,
+                )
+            else:
+                seg = _project_soc_seg(seg, dim, S, cone, mu=mu, shift=sh)
         segs.append(seg)
     return jnp.concatenate(segs, axis=0)
 
@@ -441,11 +531,15 @@ def _make_iteration(
     x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
     umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
     *, nx, nu, N, SX, SU, en_ib, en_sb, ucones, xcones, cp_ref=None,
+    cm_ref=None,
 ):
     """Load the tile's VMEM-resident operands and close the per-iteration
     map over them (shared by the fixed and adaptive kernels). ``cp_ref``
     (optional) holds per-instance cone parameters: stacked per-cone
-    8-row blocks [mu row, shift row, 6 pad], input cones first."""
+    8-row blocks [mu row, shift row, 6 pad], input cones first. ``cm_ref``
+    (optional) holds per-instance cone *geometry* masks: stacked per-cone
+    [ball mask (SU or SX rows), axis mask (ditto)] blocks, input cones
+    first (:func:`pad_hetero_cone_masks`)."""
     m = N - 1
     uparams = xparams = None
     if cp_ref is not None:
@@ -460,6 +554,17 @@ def _make_iteration(
              cp[(off + c) * 8 + 1:(off + c) * 8 + 2, :])
             for c in range(len(xcones))
         ]
+    umasks = xmasks = None
+    if cm_ref is not None:
+        cm = cm_ref[:]
+        off = 0
+        umasks, xmasks = [], []
+        for _ in ucones:
+            umasks.append((cm[off:off + SU], cm[off + SU:off + 2 * SU]))
+            off += 2 * SU
+        for _ in xcones:
+            xmasks.append((cm[off:off + SX], cm[off + SX:off + 2 * SX]))
+            off += 2 * SX
 
     A3 = a3[:]
     B3 = b3[:]
@@ -497,11 +602,11 @@ def _make_iteration(
         Znew = jnp.clip(Su, uminf, umaxf) if en_ib else Su
         if ucones:
             # SOC projection composes after the box clip (solver/cones.py).
-            Znew = _apply_cones(Znew, m, nu, SU, ucones, uparams)
+            Znew = _apply_cones(Znew, m, nu, SU, ucones, uparams, umasks)
         Tx = Xnew + G
         Vnew = jnp.clip(Tx, xminf, xmaxf) if en_sb else Tx
         if xcones:
-            Vnew = _apply_cones(Vnew, N, nx, SX, xcones, xparams)
+            Vnew = _apply_cones(Vnew, N, nx, SX, xcones, xparams, xmasks)
         Ynew = Su - Znew
         Gnew = Tx - Vnew
         # Linear-cost refresh (admm.cpp:77-85), r/q consumed in place by the
@@ -531,18 +636,23 @@ def _kernel(
     nx: int, nu: int, N: int, SX: int, SU: int,
     max_iter: int, en_ib: bool, en_sb: bool,
     ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
+    has_cmasks: bool = False,
 ):
     m = N - 1
     f32 = jnp.float32
-    cp_ref = rest[0] if has_cparams else None
-    rest = rest[1 if has_cparams else 0:]
+    i = 0
+    cp_ref = rest[i] if has_cparams else None
+    i += 1 if has_cparams else 0
+    cm_ref = rest[i] if has_cmasks else None
+    i += 1 if has_cmasks else 0
+    rest = rest[i:]
     (d0, y0, g0, z0, v0,
      u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref) = rest
     iteration = _make_iteration(
         x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
         umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
         nx=nx, nu=nu, N=N, SX=SX, SU=SU, en_ib=en_ib, en_sb=en_sb,
-        ucones=ucones, xcones=xcones, cp_ref=cp_ref,
+        ucones=ucones, xcones=xcones, cp_ref=cp_ref, cm_ref=cm_ref,
     )
 
     D, Y, G = jax.lax.fori_loop(
@@ -593,6 +703,7 @@ def _kernel_adaptive(
     nx: int, nu: int, N: int, SX: int, SU: int,
     max_iter: int, check_every: int, en_ib: bool, en_sb: bool,
     ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
+    has_cmasks: bool = False,
 ):
     """Adaptive (per-instance early-termination) heterogeneous solve.
 
@@ -607,15 +718,19 @@ def _kernel_adaptive(
     """
     m = N - 1
     f32 = jnp.float32
-    cp_ref = rest[0] if has_cparams else None
-    rest = rest[1 if has_cparams else 0:]
+    i = 0
+    cp_ref = rest[i] if has_cparams else None
+    i += 1 if has_cparams else 0
+    cm_ref = rest[i] if has_cmasks else None
+    i += 1 if has_cmasks else 0
+    rest = rest[i:]
     (d0, y0, g0, z0, v0,
      u_out, x_out, d_out, y_out, g_out, z_out, v_out, stats_ref) = rest
     iteration = _make_iteration(
         x0_ref, a3, b3, k3, kt3, quu3, bt3, m3,
         umin, umax, xmin, xmax, qc_ref, pterm_ref, rhou_ref, rhox_ref,
         nx=nx, nu=nu, N=N, SX=SX, SU=SU, en_ib=en_ib, en_sb=en_sb,
-        ucones=ucones, xcones=xcones, cp_ref=cp_ref,
+        ucones=ucones, xcones=xcones, cp_ref=cp_ref, cm_ref=cm_ref,
     )
     pri_tol = tol_ref[0, 0]
     dua_tol = tol_ref[0, 1]
@@ -759,6 +874,7 @@ def hetero_solve(
     interpret: bool = False,
     cones=None,
     cone_params: jax.Array | None = None,
+    cone_masks: jax.Array | None = None,
 ) -> HeteroResult:
     """Batched ADMM, one distinct plant per instance.
 
@@ -778,7 +894,10 @@ def hetero_solve(
     full-width VPU arithmetic (no extra matmuls, unlike the homogeneous
     kernel's lane-packed layout). ``cone_params``
     (:func:`pad_hetero_cone_params`) overrides the cones' mu/shift with
-    per-instance lane values — heterogeneous constraint geometry.
+    per-instance lane values — heterogeneous constraint geometry;
+    ``cone_masks`` (:func:`pad_hetero_cone_masks`) additionally overrides
+    the cones' ball/axis *indices* per instance (masked projection — the
+    cone structure itself varies across the fleet).
     """
     nx, nu, N = hp.dims
     m = N - 1
@@ -800,12 +919,14 @@ def hetero_solve(
 
     grid = (nt,)
     has_cp = cone_params is not None
-    if has_cp and cones is None:
-        raise ValueError("cone_params without cones")
+    has_cm = cone_masks is not None
+    if (has_cp or has_cm) and cones is None:
+        raise ValueError("cone_params/cone_masks without cones")
     cone_kw = dict(
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
         has_cparams=has_cp,
+        has_cmasks=has_cm,
     )
     n_cones = (
         len(cones.input_cones) + len(cones.state_cones)
@@ -813,6 +934,11 @@ def hetero_solve(
     )
     cp_args = (cone_params,) if has_cp else ()
     cp_specs = [spec(n_cones * 8)] if has_cp else []
+    if has_cm:
+        mr = (2 * SU * len(cones.input_cones)
+              + 2 * SX * len(cones.state_cones))
+        cp_args = cp_args + (cone_masks,)
+        cp_specs = cp_specs + [spec(mr)]
     if check_termination <= 0:
         kernel = functools.partial(
             _kernel, nx=nx, nu=nu, N=N, SX=SX, SU=SU, max_iter=max_iter,

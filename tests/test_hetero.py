@@ -390,6 +390,59 @@ def test_per_instance_cone_params(setup):
     ))) > 1e-4
 
 
+def test_per_instance_cone_masks(setup):
+    """Heterogeneous cone *structure*: per-instance ball/axis index masks
+    (pad_hetero_cone_masks). Instances whose masks encode the static
+    geometry match the static path; instances with a different ball/axis
+    match a static run at that geometry."""
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        pad_hetero_cone_masks,
+    )
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    base = Cone(ball=(0, 1), axis=2, mu=1.0, shift=2.0)
+    alt = Cone(ball=(1, 2), axis=0, mu=1.0, shift=2.0)
+    cones = ConeSet(input_cones=(base,))
+    h = B // 2
+    ball = np.zeros((B, NU), np.float32)
+    ball[:h, [0, 1]] = 1.0
+    ball[h:, [1, 2]] = 1.0
+    axis = np.full(B, 2, np.int64)
+    axis[h:] = 0
+    cm = pad_hetero_cone_masks(cones, B, NX, NU,
+                               ball_u=[ball], axis_u=[axis])
+    kw = dict(max_iter=40, interpret=True)
+    got = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, cones=cones, cone_masks=cm, **kw
+    )
+    w_base = hetero_solve(x0s, HeteroCarry.zeros(hp), hp, cones=cones, **kw)
+    w_alt = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp,
+        cones=ConeSet(input_cones=(alt,)), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U[:h]), np.asarray(w_base.U[:h]), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U[h:]), np.asarray(w_alt.U[h:]), rtol=0, atol=2e-5
+    )
+    # The two geometries genuinely produce different controls.
+    assert float(np.max(np.abs(
+        np.asarray(got.U[h:]) - np.asarray(w_base.U[h:])
+    ))) > 1e-4
+    # Defaulted masks (no overrides) reproduce the static path.
+    cm_static = pad_hetero_cone_masks(cones, B, NX, NU)
+    got_static = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, cones=cones, cone_masks=cm_static,
+        **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_static.U), np.asarray(w_base.U), rtol=0, atol=2e-5
+    )
+
+
 def test_per_knot_bounds(setup):
     """Per-knot bound schedules (the reference's (N-1,nu)/(N,nx) arrays, one
     set per instance) run in the kernel and match the scan tier."""
