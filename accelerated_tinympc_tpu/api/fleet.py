@@ -291,16 +291,6 @@ class TinyMPCFleet:
 
             ce = s.check_termination
             if self.compaction_segment and ce > 0:
-                if self.cone_params is not None or self.cone_masks is not None:
-                    # Compaction re-packs instances between segments; the
-                    # lane-packed per-instance cone operands would need the
-                    # same gather (not implemented) — fail loudly rather
-                    # than silently solving with the static geometry.
-                    raise ValueError(
-                        "per-instance cone_params/cone_masks are not "
-                        "supported with compaction_segment; use the "
-                        "monolithic adaptive mode (compaction_segment=0)"
-                    )
                 from ..solver.cascade import hetero_cascade_solve
 
                 U, X, stats, carry = hetero_cascade_solve(
@@ -312,6 +302,8 @@ class TinyMPCFleet:
                     en_input_bound=s.en_input_bound,
                     en_state_bound=s.en_state_bound,
                     interpret=self.interpret, cones=self.cones,
+                    cone_params=self.cone_params,
+                    cone_masks=self.cone_masks,
                 )
                 self._carry = carry
                 self._last = (U, X)

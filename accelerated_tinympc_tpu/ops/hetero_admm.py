@@ -262,6 +262,23 @@ def pad_hetero_cone_masks(
     return jnp.concatenate(tiles, axis=0)
 
 
+def cone_rows_per_tile(cones, nx: int, nu: int) -> tuple[int, int]:
+    """Rows-per-tile of the two lane-packed per-instance cone operands:
+    ``(params_rows, masks_rows)`` — the strides needed to gather/re-pack
+    them (:func:`gather_hetero_rows`)."""
+    ci, cs = len(cones.input_cones), len(cones.state_cones)
+    SX, SU = _pad8(max(nx, 1)), _pad8(max(nu, 1))
+    return (ci + cs) * 8, 2 * SU * ci + 2 * SX * cs
+
+
+def gather_hetero_rows(p: jax.Array, rows: int, idx: jax.Array) -> jax.Array:
+    """Gather instances ``idx`` out of a lane-packed per-tile row operand
+    (``(NT*rows, L)`` — cone params/masks, or any :func:`_lane_pack_vec`
+    output) into a fresh lane packing; the cone-operand counterpart of
+    :func:`gather_hetero` for the compaction cascade."""
+    return _repack_rows(_unpack_rows(p, rows)[idx], rows)
+
+
 def gather_hetero(
     hp: HeteroProblem, carry: HeteroCarry, x0: jax.Array, idx: jax.Array,
 ) -> tuple[HeteroProblem, HeteroCarry, jax.Array]:

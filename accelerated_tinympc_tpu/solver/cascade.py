@@ -354,6 +354,14 @@ def _jit_hetero_gather(interpret):
 
 
 @functools.lru_cache(maxsize=2)
+def _jit_hetero_gather_rows(interpret):
+    from ..ops.hetero_admm import gather_hetero_rows
+
+    fn = gather_hetero_rows
+    return fn if interpret else jax.jit(fn, static_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=2)
 def _jit_hetero_finalize(interpret):
     """Drop the discard row and re-pack the carry for the full batch in one
     dispatch."""
@@ -387,6 +395,8 @@ def hetero_cascade_solve(
     min_bucket: int | None = None,
     interpret: bool = False,
     cones=None,
+    cone_params=None,
+    cone_masks=None,
     en_input_bound: bool = True,
     en_state_bound: bool = True,
 ):
@@ -408,11 +418,17 @@ def hetero_cascade_solve(
     on, so the cascade is **bit-exact** against one long adaptive call —
     schedules and iterates both (tests/test_hetero.py).
 
+    ``cone_params``/``cone_masks`` (the lane-packed per-instance cone
+    operands from :func:`..ops.hetero_admm.pad_hetero_cone_params` /
+    ``pad_hetero_cone_masks``) are gathered alongside the plant tensors at
+    each compaction (:func:`..ops.hetero_admm.gather_hetero_rows`), so
+    per-instance constraint geometry stays attached to its instance.
+
     Returns ``(U, X, stats, carry)`` with the full original batch order;
     ``carry`` is re-packed for the full batch (warm-start ready).
     """
     from ..ops.hetero_admm import (
-        LANES, HeteroCarry, _pad8, hetero_solve,
+        LANES, HeteroCarry, _pad8, cone_rows_per_tile, hetero_solve,
     )
 
     if check_termination <= 0:
@@ -436,16 +452,17 @@ def hetero_cascade_solve(
         min_bucket = LANES
     min_bucket = max(LANES, min_bucket)
 
-    def run(x, c, h, k):
+    def run(x, c, h, k, cp, cm):
         return hetero_solve(
             x, c, h, max_iter=k, check_termination=check_termination,
             abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             en_input_bound=en_input_bound, en_state_bound=en_state_bound,
             interpret=interpret, cones=cones,
+            cone_params=cp, cone_masks=cm,
         )
 
     if max_iter <= segment_iters:
-        res = run(x0, carry, hp, max_iter)
+        res = run(x0, carry, hp, max_iter, cone_params, cone_masks)
         return res.U, res.X, res.stats, res.carry
 
     active_idx = np.arange(B, dtype=np.int32)
@@ -453,14 +470,19 @@ def hetero_cascade_solve(
     done_iters = 0
     cur_seg = segment_iters
     gather = _jit_hetero_gather(interpret)
+    gather_rows = _jit_hetero_gather_rows(interpret)
     scatter = _jit_hetero_scatter(interpret)
+    cp_b, cm_b = cone_params, cone_masks
+    cp_rows = cm_rows = 0
+    if cones is not None and (cp_b is not None or cm_b is not None):
+        cp_rows, cm_rows = cone_rows_per_tile(cones, nx, nu)
     out = None
     dims = (nx, nu, N)
 
     while True:
         n_active = active_idx.size
         k = min(cur_seg, max_iter - done_iters)
-        res = run(x0_b, carry_b, hp_b, k)
+        res = run(x0_b, carry_b, hp_b, k, cp_b, cm_b)
         idx = np.full(res.stats.shape[0], B, np.int32)
         idx[:n_active] = active_idx
         if out is None:
@@ -491,9 +513,12 @@ def hetero_cascade_solve(
         local = np.concatenate([
             keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
         ])
-        hp_b, carry_b, x0_b = gather(
-            hp_b, res.carry, x0_b, jnp.asarray(local)
-        )
+        local_j = jnp.asarray(local)
+        hp_b, carry_b, x0_b = gather(hp_b, res.carry, x0_b, local_j)
+        if cp_b is not None:
+            cp_b = gather_rows(cp_b, cp_rows, local_j)
+        if cm_b is not None:
+            cm_b = gather_rows(cm_b, cm_rows, local_j)
 
     U, X, stats, packed = _jit_hetero_finalize(interpret)(out, B, dims)
     return U, X, stats, HeteroCarry(

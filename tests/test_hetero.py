@@ -443,6 +443,49 @@ def test_per_instance_cone_masks(setup):
     )
 
 
+def test_cascade_with_per_instance_cones(setup):
+    """Per-instance cone operands survive compaction: the cascade gathers
+    cone_params/cone_masks alongside the plant tensors at each re-pack
+    (gather_hetero_rows), staying BIT-exact vs one long adaptive call."""
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        pad_hetero_cone_masks,
+        pad_hetero_cone_params,
+    )
+    from accelerated_tinympc_tpu.solver.cascade import hetero_cascade_solve
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    prob_b, cache_b, _rhos, x0s = setup
+    hp = pad_hetero_problem(prob_b, cache_b)
+    base = Cone(ball=(0, 1), axis=2, mu=1.0, shift=2.0)
+    cones = ConeSet(input_cones=(base,))
+    rng = np.random.default_rng(7)
+    mu = (0.4 + 0.8 * rng.random(B)).astype(np.float32)
+    cp = pad_hetero_cone_params(cones, B, mu_u=mu[None, :])
+    h = B // 2
+    ball = np.zeros((B, NU), np.float32)
+    ball[:h, [0, 1]] = 1.0
+    ball[h:, [1, 2]] = 1.0
+    axis = np.full(B, 2, np.int64)
+    axis[h:] = 0
+    cm = pad_hetero_cone_masks(cones, B, NX, NU,
+                               ball_u=[ball], axis_u=[axis])
+    kw = dict(max_iter=200, check_termination=2,
+              abs_pri_tol=5e-3, abs_dua_tol=5e-3, interpret=True,
+              cones=cones, cone_params=cp, cone_masks=cm)
+    want = hetero_solve(x0s, HeteroCarry.zeros(hp), hp, **kw)
+    U, X, stats, _carry = hetero_cascade_solve(
+        x0s, HeteroCarry.zeros(hp), hp, segment_iters=10, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(stats[:, :2]),
+                                  np.asarray(want.stats[:, :2]))
+    np.testing.assert_array_equal(np.asarray(U), np.asarray(want.U))
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(want.X))
+    # Per-instance iteration counts must genuinely differ (compaction
+    # actually re-packed) and the cone geometry genuinely binds.
+    it = np.asarray(stats[:, 0], np.int64)
+    assert it.min() < it.max()
+
+
 def test_per_knot_bounds(setup):
     """Per-knot bound schedules (the reference's (N-1,nu)/(N,nx) arrays, one
     set per instance) run in the kernel and match the scan tier."""
