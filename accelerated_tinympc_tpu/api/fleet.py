@@ -53,6 +53,10 @@ class TinyMPCFleet:
     # Per-instance cone *structure* (hetero tier): lane-packed ball/axis
     # masks from ops.hetero_admm.pad_hetero_cone_masks.
     cone_masks: Any = None
+    # Per-instance cone overrides for the instance-ops tier (and the
+    # adaptive-rho path): (input_args, state_args) pytree from
+    # solver.cones.make_cone_args — built from the same user inputs.
+    cone_args: Any = None
     # hetero adaptive mode only: > 0 runs the compaction cascade with this
     # segment length (multiple of check_termination).
     compaction_segment: int = 0
@@ -91,7 +95,15 @@ class TinyMPCFleet:
         (broadcast a shared plant by stacking), ``rho`` scalar or ``(B,)``.
         Bounds are scalars or per-instance ``(B, k)`` arrays; enabled iff
         provided (the reference's nullptr-enable logic,
-        codegen.cpp:227-243)."""
+        codegen.cpp:227-243).
+
+        ``cones`` adds static SOC constraints; ``cone_mu``/``cone_shift``
+        (``(n_input_cones, B)``) override the parameters per instance and
+        ``cone_ball``/``cone_axis`` (lists of ``(B, nu)`` 0/1 membership /
+        ``(B,)`` axis indices per input cone) override the *geometry* —
+        both tiers: the hetero kernel runs its lane-packed masked
+        projection, the instance-ops tier the jnp masked projection
+        (:func:`..solver.cones.project_cone_masked`)."""
         if tier not in FLEET_TIERS:
             raise ValueError(f"tier must be one of {FLEET_TIERS}")
         A = jnp.asarray(A, jnp.float32)
@@ -151,34 +163,35 @@ class TinyMPCFleet:
         settings = (settings or Settings()).replace(
             en_input_bound=en_input, en_state_bound=en_state
         )
-        cone_params = None
-        if cones is not None and (cone_mu is not None
-                                  or cone_shift is not None):
-            if tier != "hetero":
-                raise ValueError(
-                    "per-instance cone parameters need the hetero tier"
-                )
-            from ..ops.hetero_admm import pad_hetero_cone_params
+        cone_params = cone_masks = cone_args = None
+        has_ci = cones is not None and (
+            cone_mu is not None or cone_shift is not None
+            or cone_ball is not None or cone_axis is not None
+        )
+        if has_ci:
+            from ..solver.cones import make_cone_args
 
-            cone_params = pad_hetero_cone_params(
-                cones, Bn, mu_u=cone_mu, shift_u=cone_shift,
+            cone_args = make_cone_args(
+                cones, Bn, nu, nx, mu_u=cone_mu, shift_u=cone_shift,
+                ball_u=cone_ball, axis_u=cone_axis,
             )
-        cone_masks = None
-        if cones is not None and (cone_ball is not None
-                                  or cone_axis is not None):
-            if tier != "hetero":
-                raise ValueError(
-                    "per-instance cone structure needs the hetero tier"
-                )
-            from ..ops.hetero_admm import pad_hetero_cone_masks
+        if has_ci and tier == "hetero":
+            if cone_mu is not None or cone_shift is not None:
+                from ..ops.hetero_admm import pad_hetero_cone_params
 
-            cone_masks = pad_hetero_cone_masks(
-                cones, Bn, nx, nu, ball_u=cone_ball, axis_u=cone_axis,
-            )
+                cone_params = pad_hetero_cone_params(
+                    cones, Bn, mu_u=cone_mu, shift_u=cone_shift,
+                )
+            if cone_ball is not None or cone_axis is not None:
+                from ..ops.hetero_admm import pad_hetero_cone_masks
+
+                cone_masks = pad_hetero_cone_masks(
+                    cones, Bn, nx, nu, ball_u=cone_ball, axis_u=cone_axis,
+                )
         self = cls(
             problem=problem, cache=cache, settings=settings, tier=tier,
             interpret=interpret, cones=cones, cone_params=cone_params,
-            cone_masks=cone_masks,
+            cone_masks=cone_masks, cone_args=cone_args,
             compaction_segment=compaction_segment,
         )
         self._build()
@@ -341,7 +354,7 @@ class TinyMPCFleet:
             static_argnames=("cones", "dims"),
         )(
             self._x0, self._carry, self._ops, s,
-            cones=self.cones, dims=(nx, nu),
+            cones=self.cones, dims=(nx, nu), cone_args=self.cone_args,
         )
         self._carry = st
         self._last = (
@@ -383,7 +396,7 @@ class TinyMPCFleet:
             lambda x, r: solve_adaptive_rho_batched(
                 x, self.problem, self.problem.A, self.problem.B,
                 self.problem.Q, self.problem.R, r, self.settings,
-                cones=self.cones, **kw,
+                cones=self.cones, cone_args=self.cone_args, **kw,
             )
         )(self._x0, jnp.asarray(self.cache.rho, jnp.float32).reshape(-1))
         self.cache = res.cache

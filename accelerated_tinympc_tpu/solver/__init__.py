@@ -21,7 +21,9 @@ from .cones import (  # noqa: F401
     ConeSet,
     cone_slack_update,
     cone_violation,
+    make_cone_args,
     project_cone,
+    project_cone_masked,
 )
 from .batched import init_state_batched, solve_batched, batch_stats  # noqa: F401
 from .condensed import (  # noqa: F401

@@ -156,32 +156,53 @@ def _bmv(v: jax.Array, M: jax.Array) -> jax.Array:
     return jnp.einsum("bi,bij->bj", v, M, precision=_HI)
 
 
+def _project_cones(Wk, cone_list, args):
+    """Apply each cone to per-knot vectors ``Wk (B, K, dim)``; ``args``
+    (optional) is the matching tuple of per-instance override tuples from
+    :func:`.cones.make_cone_args` — any non-None field switches that cone
+    to the masked (per-instance-geometry) projection."""
+    from .cones import project_cone, project_cone_masked
+
+    for ci, cone in enumerate(cone_list):
+        ov = None if args is None else args[ci]
+        if ov is None or all(e is None for e in ov):
+            Wk = project_cone(Wk, cone)
+        else:
+            mu_c, sh_c, bm, am = ov
+            Wk = project_cone_masked(
+                Wk, cone, ball_mask=bm, axis_mask=am, mu=mu_c, shift=sh_c
+            )
+    return Wk
+
+
 def _iteration(D, Y, G, Xb, Ub, ops: InstanceOps, cones=None,
-               dims=None):
+               dims=None, cone_args=None):
     """One folded condensed iteration, per-instance operators (same schedule
     as ops/fused_admm._iteration; reference: src/tinympc/admm.cpp:117-150).
     ``cones`` (static ConeSet) appends exact SOC projections after the box
-    clips — the flat slacks view per-knot via ``dims = (nx, nu)``."""
+    clips — the flat slacks view per-knot via ``dims = (nx, nu)``;
+    ``cone_args`` (traced, :func:`.cones.make_cone_args`) overrides cone
+    parameters/geometry per instance."""
     X = Xb + _bmv(D, ops.W_fd)
     U = Ub + _bmv(D, ops.W_gd)
     S = U + Y
     Znew = jnp.clip(S, ops.u_min, ops.u_max)
     if cones is not None and cones.input_cones:
-        from .cones import project_cone
-
         Zk = Znew.reshape(Znew.shape[0], -1, dims[1])
-        for cone in cones.input_cones:
-            Zk = project_cone(Zk, cone)
+        Zk = _project_cones(
+            Zk, cones.input_cones,
+            None if cone_args is None else cone_args[0],
+        )
         Znew = Zk.reshape(Znew.shape[0], -1)
     Yn = S - Znew
     T = X + G
     Vnew = jnp.clip(T, ops.x_min, ops.x_max)
     if cones is not None and cones.state_cones:
-        from .cones import project_cone
-
         Vk = Vnew.reshape(Vnew.shape[0], -1, dims[0])
-        for cone in cones.state_cones:
-            Vk = project_cone(Vk, cone)
+        Vk = _project_cones(
+            Vk, cones.state_cones,
+            None if cone_args is None else cone_args[1],
+        )
         Vnew = Vk.reshape(Vnew.shape[0], -1)
     Gn = T - Vnew
     Dn = _bmv(Vnew - Gn, ops.W_q) + _bmv(Znew - Yn, ops.W_r) + ops.const_d
@@ -196,6 +217,7 @@ def solve_instance_ops(
     *,
     cones=None,
     dims=None,
+    cone_args=None,
 ) -> OpsState:
     """Batched solve with one operator set per instance.
 
@@ -204,7 +226,8 @@ def solve_instance_ops(
     the slack save + backward pass — reference: src/tinympc/admm.cpp:135-144).
     ``check_termination == 0`` runs the deterministic fixed-iteration mode.
     ``cones``/``dims=(nx, nu)`` as in :func:`_iteration` (static; required
-    together).
+    together); ``cone_args`` (traced, :func:`.cones.make_cone_args`) adds
+    per-instance cone parameter/geometry overrides.
     """
     if cones is not None and dims is None:
         raise ValueError("cones on the instance-ops tier require dims")
@@ -220,7 +243,7 @@ def solve_instance_ops(
     if ce <= 0:
         def fbody(_, st: OpsState) -> OpsState:
             Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(
-                st.D, st.Y, st.G, Xb, Ub, ops, cones, dims
+                st.D, st.Y, st.G, Xb, Ub, ops, cones, dims, cone_args
             )
             return st._replace(D=Dn, Y=Yn, G=Gn, Z=Znew, V=Vnew, U=U, X=X,
                                iter=st.iter + 1)
@@ -234,7 +257,7 @@ def solve_instance_ops(
 
     def body(st: OpsState) -> OpsState:
         Dn, Yn, Gn, Znew, Vnew, U, X = _iteration(
-            st.D, st.Y, st.G, Xb, Ub, ops, cones, dims
+            st.D, st.Y, st.G, Xb, Ub, ops, cones, dims, cone_args
         )
         it = st.iter + 1
         checking = (it % ce) == 0
@@ -303,6 +326,7 @@ def solve_adaptive_rho_batched(
     trust: float = 2.0,
     fd_eps: float = 0.05,
     cones=None,
+    cone_args=None,
     riccati: str = "auto",
 ) -> AdaptiveRhoBatchedResult:
     """Per-instance OSQP-style rho adaptation, fully on device (jittable).
@@ -355,7 +379,9 @@ def solve_adaptive_rho_batched(
     batch-leading bounds/Xref. Termination inside chunks uses the
     ``settings`` tolerances with ``check_termination`` cadence.
     ``cones`` (static ConeSet) adds SOC projections to every chunk's slack
-    stage (adaptive-rho SOC MPC).
+    stage (adaptive-rho SOC MPC); ``cone_args``
+    (:func:`.cones.make_cone_args`) overrides cone parameters/geometry per
+    instance.
 
     ``riccati`` selects the cache builder inside refreshes: ``"kernel"``
     (the batched Pallas fixed point, :mod:`..ops.riccati_kernel` — ~5-9x
@@ -439,7 +465,8 @@ def solve_adaptive_rho_batched(
         solved_in = st.solved
         iter_in = st.iter
         nxt = solve_instance_ops(
-            x0, st, ops, chunk_settings, cones=cones, dims=(nx, nu)
+            x0, st, ops, chunk_settings, cones=cones, dims=(nx, nu),
+            cone_args=cone_args,
         )
         nxt = nxt._replace(
             iter=iter_in + nxt.iter,           # accumulate across rounds

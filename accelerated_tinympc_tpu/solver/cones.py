@@ -90,6 +90,96 @@ def project_cone(w: jax.Array, cone: Cone) -> jax.Array:
     return w
 
 
+def project_cone_masked(
+    w: jax.Array,
+    cone: Cone,
+    ball_mask: jax.Array | None = None,
+    axis_mask: jax.Array | None = None,
+    mu: jax.Array | None = None,
+    shift: jax.Array | None = None,
+) -> jax.Array:
+    """Exact projection of ``w (B, K, dim)`` with *per-instance* cone
+    geometry/parameters: ``ball_mask``/``axis_mask`` are ``(B, dim)`` 0/1
+    rows (None -> the static ``cone.ball``/``cone.axis`` indices),
+    ``mu``/``shift`` are ``(B,)`` (None -> the static scalars). The row
+    gather/scatter of :func:`project_cone` is replaced by mask-weighted
+    sums — the jnp counterpart of the hetero kernel's masked path
+    (ops/hetero_admm._project_soc_seg_masked); ``ball`` and ``axis`` lanes
+    must be disjoint per instance."""
+    dt = w.dtype
+    dim = w.shape[-1]
+    if ball_mask is None:
+        bm = jnp.zeros((1, dim), dt).at[0, jnp.asarray(cone.ball)].set(1.0)
+    else:
+        bm = jnp.asarray(ball_mask, dt)
+    if axis_mask is None:
+        am = jnp.zeros((1, dim), dt).at[0, cone.axis].set(1.0)
+    else:
+        am = jnp.asarray(axis_mask, dt)
+    mu_ = (float(cone.mu) if mu is None
+           else jnp.asarray(mu, dt).reshape(-1, 1))
+    sh_ = (float(cone.shift) if shift is None
+           else jnp.asarray(shift, dt).reshape(-1, 1))
+    bmE, amE = bm[:, None, :], am[:, None, :]           # (B|1, 1, dim)
+    a2 = jnp.sum((w * bmE) ** 2, axis=-1)               # (B, K)
+    a = jnp.sqrt(a2)
+    s = jnp.sum(w * amE, axis=-1) + sh_                 # (B, K)
+    inside = a <= mu_ * s
+    polar = mu_ * a <= -s
+    c = (mu_ * a + s) / (mu_ * mu_ + 1.0)
+    safe_a = jnp.where(a2 == 0.0, 1.0, a)
+    scale = jnp.where(inside, 1.0, mu_ * c / safe_a)
+    scale = jnp.where(polar, 0.0, scale)
+    s_new = jnp.where(inside, s, jnp.where(polar, 0.0, c)) - sh_
+    return (w * (1.0 - bmE - amE)
+            + w * scale[..., None] * bmE
+            + amE * s_new[..., None])
+
+
+def make_cone_args(
+    cones: ConeSet,
+    batch: int,
+    nu: int,
+    nx: int,
+    *,
+    mu_u=None, shift_u=None, ball_u=None, axis_u=None,
+    mu_x=None, shift_x=None, ball_x=None, axis_x=None,
+    dtype=jnp.float32,
+):
+    """Per-instance cone overrides for the instance-ops (einsum) tier —
+    the jnp counterpart of the hetero kernel's lane-packed
+    ``pad_hetero_cone_params``/``pad_hetero_cone_masks`` operands, built
+    from the same inputs: ``mu_u``/``shift_u`` are ``(n_input_cones, B)``
+    rows (or None for static scalars), ``ball_u[c]`` a ``(B, nu)`` 0/1
+    membership array, ``axis_u[c]`` a ``(B,)`` int axis index (ditto
+    ``*_x`` on ``nx``). Returns ``(input_args, state_args)``: one
+    ``(mu, shift, ball_mask, axis_mask)`` tuple per cone with None for
+    defaulted fields — a traced pytree for
+    :func:`..solver.batched_ops.solve_instance_ops`'s ``cone_args``."""
+    import numpy as np
+
+    def build(cone_list, dim, mu, shift, ball, axis):
+        out = []
+        for c in range(len(cone_list)):
+            mu_c = None if mu is None else jnp.asarray(mu[c], dtype)
+            sh_c = None if shift is None else jnp.asarray(shift[c], dtype)
+            bm = None
+            if ball is not None and ball[c] is not None:
+                bm = jnp.asarray(ball[c], dtype)
+            am = None
+            if axis is not None and axis[c] is not None:
+                a = np.zeros((batch, dim), np.float32)
+                a[np.arange(batch), np.asarray(axis[c], np.int64)] = 1.0
+                am = jnp.asarray(a, dtype)
+            out.append((mu_c, sh_c, bm, am))
+        return tuple(out)
+
+    return (
+        build(cones.input_cones, nu, mu_u, shift_u, ball_u, axis_u),
+        build(cones.state_cones, nx, mu_x, shift_x, ball_x, axis_x),
+    )
+
+
 def cone_slack_update(cones: ConeSet):
     """Build an ``update_slack`` replacement applying box bounds (if enabled)
     then each cone in ``cones`` sequentially. Pass as

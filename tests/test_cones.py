@@ -487,3 +487,50 @@ def test_api_cones_with_compaction():
         np.asarray(mono.get_u()), np.asarray(casc.get_u()),
         rtol=0, atol=5e-6,
     )
+
+
+def test_project_cone_masked_matches_static():
+    """project_cone_masked with masks/params encoding a cone's static
+    values reproduces project_cone exactly (same closed form, mask-weighted
+    sums add exact zeros); per-instance overrides match per-instance static
+    projections at those values."""
+    from accelerated_tinympc_tpu.solver.cones import project_cone_masked
+
+    rng = np.random.default_rng(0)
+    B, K, dim = 12, 5, 4
+    w = jnp.asarray(rng.standard_normal((B, K, dim)) * 2.0, jnp.float32)
+    cone = Cone(ball=(0, 1), axis=2, mu=0.7, shift=1.5)
+
+    # All-default (static) masks.
+    got = project_cone_masked(w, cone)
+    want = project_cone(w, cone)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+    # Explicit masks encoding the static geometry.
+    bm = np.zeros((B, dim), np.float32); bm[:, [0, 1]] = 1.0
+    am = np.zeros((B, dim), np.float32); am[:, 2] = 1.0
+    got2 = project_cone_masked(
+        w, cone, ball_mask=jnp.asarray(bm), axis_mask=jnp.asarray(am),
+        mu=jnp.full((B,), 0.7, jnp.float32),
+        shift=jnp.full((B,), 1.5, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+    # Heterogeneous geometry: half the batch uses a different ball/axis/mu;
+    # each half matches a static projection at its own cone.
+    h = B // 2
+    alt = Cone(ball=(1, 3), axis=0, mu=1.2, shift=1.5)
+    bm[h:] = 0.0; bm[h:, [1, 3]] = 1.0
+    am[h:] = 0.0; am[h:, 0] = 1.0
+    mu = np.full((B,), 0.7, np.float32); mu[h:] = 1.2
+    got3 = project_cone_masked(
+        w, cone, ball_mask=jnp.asarray(bm), axis_mask=jnp.asarray(am),
+        mu=jnp.asarray(mu), shift=jnp.full((B,), 1.5, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(got3[:h]), np.asarray(want[:h]),
+                               rtol=0, atol=1e-6)
+    want_alt = project_cone(w[h:], alt)
+    np.testing.assert_allclose(np.asarray(got3[h:]), np.asarray(want_alt),
+                               rtol=0, atol=1e-6)

@@ -214,3 +214,51 @@ def test_fleet_set_bounds(plants):
     assert solved.mean() > 0.5
     # Consensus controls respect the tightened box (ADMM tolerance scale).
     assert np.abs(u_box[solved]).max() <= cap * 1.1 + 1e-3
+
+
+def test_fleet_per_instance_cones_tiers_agree(plants):
+    """Per-instance cone mu + ball/axis geometry through the fleet surface:
+    the hetero kernel's lane-packed masked projection and the instance-ops
+    tier's jnp masked projection (project_cone_masked) follow identical
+    schedules and agree per instance."""
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    A, Bm, Q, R, x0s = plants
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0,
+                                      shift=2.0),))
+    rng = np.random.default_rng(11)
+    mu = (0.5 + 0.7 * rng.random(B)).astype(np.float32)
+    h = B // 2
+    ball = np.zeros((B, NU), np.float32)
+    ball[:h, [0, 1]] = 1.0
+    ball[h:, [1, 2]] = 1.0
+    axis = np.full(B, 2, np.int64)
+    axis[h:] = 0
+    sets = atm.Settings(max_iter=150, check_termination=2,
+                        abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+    fleets = {}
+    for tier in ("hetero", "instance_ops"):
+        f = atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, tier=tier,
+            interpret=True, cones=cones, cone_mu=mu[None, :],
+            cone_ball=[ball], cone_axis=[axis],
+        )
+        f.set_x0(x0s)
+        fleets[tier] = (f, f.solve())
+    fh, ih = fleets["hetero"]
+    fo, io = fleets["instance_ops"]
+    np.testing.assert_array_equal(ih["iterations"], io["iterations"])
+    np.testing.assert_array_equal(ih["solved"], io["solved"])
+    np.testing.assert_allclose(
+        np.asarray(fh.get_u()), np.asarray(fo.get_u()), rtol=0, atol=5e-5
+    )
+    # The geometry genuinely binds: dropping the overrides changes results.
+    f0 = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, tier="instance_ops",
+        interpret=True, cones=cones,
+    )
+    f0.set_x0(x0s)
+    f0.solve()
+    assert float(np.max(np.abs(
+        np.asarray(fo.get_u()) - np.asarray(f0.get_u())
+    ))) > 1e-4
