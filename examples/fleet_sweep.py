@@ -8,8 +8,14 @@ per-instance early termination, optional SOC thrust cones, optional
 early-termination compaction, warm-started re-solves across a short
 receding-horizon loop.
 
+``--cones`` additionally constrains each plant's first three inputs to a
+thrust cone with *per-instance* geometry: every lander draws its own tilt
+limit mu, and half the fleet has its thrust axis on a different input
+coordinate (per-instance ball/axis masks — heterogeneous constraint
+structure, not just parameters).
+
 Run: python examples/fleet_sweep.py [--fleet 512] [--ticks 5]
-     [--compaction 25] [--interpret]
+     [--compaction 25] [--cones] [--interpret]
 """
 
 import argparse
@@ -34,8 +40,15 @@ def main() -> None:
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--compaction", type=int, default=0,
                     help="cascade segment length (0 = one adaptive call)")
+    ap.add_argument("--cones", action="store_true",
+                    help="per-instance thrust-cone geometry (mu + axis)")
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env JAX_PLATFORMS is "
+                         "ignored here; backend init is lazy so this works)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     B, N = args.fleet, args.horizon
     nx, nu = 8, 3
@@ -52,6 +65,24 @@ def main() -> None:
     Q = stack(lambda p: p.Q)
     R = stack(lambda p: p.R)
 
+    cone_kw = {}
+    if args.cones:
+        from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+        rngc = np.random.default_rng(42)
+        mu = (0.6 + 0.8 * rngc.random(B)).astype(np.float32)
+        h = B // 2
+        ball = np.zeros((B, nu), np.float32)
+        ball[:h, [0, 1]] = 1.0     # thrust axis on u[2]...
+        ball[h:, [1, 2]] = 1.0     # ...or on u[0] for the other half
+        axis = np.full(B, 2, np.int64)
+        axis[h:] = 0
+        cone_kw = dict(
+            cones=ConeSet(input_cones=(
+                Cone(ball=(0, 1), axis=2, mu=1.0, shift=2.0),
+            )),
+            cone_mu=mu[None, :], cone_ball=[ball], cone_axis=[axis],
+        )
     fleet = atm.TinyMPCFleet.setup(
         A, Bm, Q, R, rho=1.0, horizon=N,
         u_min=-2.0, u_max=2.0,
@@ -59,6 +90,7 @@ def main() -> None:
                               abs_pri_tol=5e-3, abs_dua_tol=5e-3),
         compaction_segment=args.compaction,
         interpret=args.interpret,
+        **cone_kw,
     )
     rng = np.random.default_rng(0)
     x = rng.standard_normal((B, nx)).astype(np.float32) * 0.5
