@@ -193,6 +193,7 @@ def fleet_mpc_rollout(
     interpret: bool = False,
     cones=None,
     cone_params=None,
+    cone_masks=None,
 ):
     """Receding-horizon rollout for a heterogeneous fleet, fully on device:
     ``n_ticks`` of (dual reset -> hetero kernel solve -> apply u0 ->
@@ -218,7 +219,7 @@ def fleet_mpc_rollout(
         res = hetero_solve(
             x, cy.reset_duals(), hp, max_iter=max_iter,
             check_termination=0, interpret=interpret,
-            cones=cones, cone_params=cone_params,
+            cones=cones, cone_params=cone_params, cone_masks=cone_masks,
         )
         u0 = res.U[:, 0, :]
         x_next = (
