@@ -164,15 +164,20 @@ class TinyMPCFleet:
             en_input_bound=en_input, en_state_bound=en_state
         )
         cone_params = cone_masks = cone_args = None
-        has_ci = cones is not None and (
+        has_ci = (
             cone_mu is not None or cone_shift is not None
             or cone_ball is not None or cone_axis is not None
         )
+        if has_ci and cones is None:
+            raise ValueError(
+                "cone_mu/cone_shift/cone_ball/cone_axis override a base "
+                "ConeSet — pass cones= as well"
+            )
         if has_ci:
             from ..solver.cones import make_cone_args
 
             cone_args = make_cone_args(
-                cones, Bn, nu, nx, mu_u=cone_mu, shift_u=cone_shift,
+                cones, Bn, nx, nu, mu_u=cone_mu, shift_u=cone_shift,
                 ball_u=cone_ball, axis_u=cone_axis,
             )
         if has_ci and tier == "hetero":

@@ -229,12 +229,19 @@ def pad_hetero_cone_masks(
     ``(NT * MR, L)`` operand (per cone: ball-mask rows then axis-one-hot
     rows at the cone's sublane width), input cones first. When a cone's
     masks encode its static indices the kernel's masked projection matches
-    the static one bitwise (ascending ``ball``)."""
+    the static one bitwise (ascending ``ball``).
+
+    Validated at pack time (the masked projection's arithmetic silently
+    corrupts otherwise): axis indices must lie in ``[0, dim)`` (one-hotting
+    a pad sublane would break the zero-pad layout invariant) and each
+    instance's effective ball and axis lanes must be disjoint — the trap is
+    overriding only ``axis`` while the *static* ball still covers the new
+    axis coordinate."""
     nt = -(-batch // LANES)
     SX, SU = _pad8(max(nx, 1)), _pad8(max(nu, 1))
     blocks = []   # list of (rows_per_tile, (nt*rows, L)) lane-packed blocks
 
-    def push(cone_list, dim, S, ball, axis):
+    def push(cone_list, dim, S, ball, axis, kind):
         for c, cone in enumerate(cone_list):
             bm = np.zeros((batch, S), np.float32)
             if ball is None or ball[c] is None:
@@ -245,21 +252,34 @@ def pad_hetero_cone_masks(
             if axis is None or axis[c] is None:
                 am[:, int(cone.axis)] = 1.0
             else:
-                am[np.arange(batch), np.asarray(axis[c], np.int64)] = 1.0
+                ax = np.asarray(axis[c], np.int64)
+                if ax.min() < 0 or ax.max() >= dim:
+                    raise ValueError(
+                        f"{kind} cone {c}: axis indices must be in "
+                        f"[0, {dim}), got [{ax.min()}, {ax.max()}]"
+                    )
+                am[np.arange(batch), ax] = 1.0
+            bad = np.nonzero((bm * am).sum(axis=1) > 0)[0]
+            if bad.size:
+                raise ValueError(
+                    f"{kind} cone {c}: ball and axis lanes overlap for "
+                    f"instance(s) {bad[:8].tolist()}{'...' if bad.size > 8 else ''} "
+                    "— when overriding only axis (or only ball), the other "
+                    "defaults to the cone's static indices; pass both"
+                )
             rows = jnp.asarray(
                 np.concatenate([bm, am], axis=1), dtype
             )  # (B, 2*S)
             blocks.append((2 * S, _lane_pack_vec(rows, 2 * S, nt)))
 
-    push(tuple(cones.input_cones), nu, SU, ball_u, axis_u)
-    push(tuple(cones.state_cones), nx, SX, ball_x, axis_x)
-    # Per-tile interleave with variable block heights: concatenate each
-    # tile's slice of every block in order.
-    tiles = []
-    for t in range(nt):
-        for rows, blk in blocks:
-            tiles.append(blk[t * rows:(t + 1) * rows])
-    return jnp.concatenate(tiles, axis=0)
+    push(tuple(cones.input_cones), nu, SU, ball_u, axis_u, "input")
+    push(tuple(cones.state_cones), nx, SX, ball_x, axis_x, "state")
+    # Per-tile interleave with variable block heights: reshape each block
+    # tile-major and concatenate along the row axis (n_blocks arrays, not
+    # nt*n_blocks eager slices — relay chatter, see CLAUDE.md).
+    mr = sum(rows for rows, _ in blocks)
+    parts = [blk.reshape(nt, rows, LANES) for rows, blk in blocks]
+    return jnp.concatenate(parts, axis=1).reshape(nt * mr, LANES)
 
 
 def cone_rows_per_tile(cones, nx: int, nu: int) -> tuple[int, int]:

@@ -139,8 +139,8 @@ def project_cone_masked(
 def make_cone_args(
     cones: ConeSet,
     batch: int,
-    nu: int,
     nx: int,
+    nu: int,
     *,
     mu_u=None, shift_u=None, ball_u=None, axis_u=None,
     mu_x=None, shift_x=None, ball_x=None, axis_x=None,
@@ -149,34 +149,63 @@ def make_cone_args(
     """Per-instance cone overrides for the instance-ops (einsum) tier —
     the jnp counterpart of the hetero kernel's lane-packed
     ``pad_hetero_cone_params``/``pad_hetero_cone_masks`` operands, built
-    from the same inputs: ``mu_u``/``shift_u`` are ``(n_input_cones, B)``
+    from the same inputs (and the same ``(cones, batch, nx, nu)``
+    argument order): ``mu_u``/``shift_u`` are ``(n_input_cones, B)``
     rows (or None for static scalars), ``ball_u[c]`` a ``(B, nu)`` 0/1
     membership array, ``axis_u[c]`` a ``(B,)`` int axis index (ditto
     ``*_x`` on ``nx``). Returns ``(input_args, state_args)``: one
     ``(mu, shift, ball_mask, axis_mask)`` tuple per cone with None for
     defaulted fields — a traced pytree for
-    :func:`..solver.batched_ops.solve_instance_ops`'s ``cone_args``."""
+    :func:`..solver.batched_ops.solve_instance_ops`'s ``cone_args``.
+
+    Validated at pack time like ``pad_hetero_cone_masks``: axis indices
+    must lie in ``[0, dim)`` and each instance's *effective* ball and axis
+    lanes (overridden or static) must be disjoint — the masked projection's
+    arithmetic silently corrupts on overlap."""
     import numpy as np
 
-    def build(cone_list, dim, mu, shift, ball, axis):
+    def build(cone_list, dim, mu, shift, ball, axis, kind):
         out = []
-        for c in range(len(cone_list)):
+        for c, cone in enumerate(cone_list):
             mu_c = None if mu is None else jnp.asarray(mu[c], dtype)
             sh_c = None if shift is None else jnp.asarray(shift[c], dtype)
+            bm_np = np.zeros((batch, dim), np.float32)
             bm = None
             if ball is not None and ball[c] is not None:
-                bm = jnp.asarray(ball[c], dtype)
+                bm_np[:, :] = np.asarray(ball[c], np.float32)
+                bm = jnp.asarray(bm_np, dtype)
+            else:
+                bm_np[:, list(cone.ball)] = 1.0
+            am_np = np.zeros((batch, dim), np.float32)
             am = None
             if axis is not None and axis[c] is not None:
-                a = np.zeros((batch, dim), np.float32)
-                a[np.arange(batch), np.asarray(axis[c], np.int64)] = 1.0
-                am = jnp.asarray(a, dtype)
+                ax = np.asarray(axis[c], np.int64)
+                if ax.min() < 0 or ax.max() >= dim:
+                    raise ValueError(
+                        f"{kind} cone {c}: axis indices must be in "
+                        f"[0, {dim}), got [{ax.min()}, {ax.max()}]"
+                    )
+                am_np[np.arange(batch), ax] = 1.0
+                am = jnp.asarray(am_np, dtype)
+            else:
+                am_np[:, int(cone.axis)] = 1.0
+            bad = np.nonzero((bm_np * am_np).sum(axis=1) > 0)[0]
+            if bad.size:
+                raise ValueError(
+                    f"{kind} cone {c}: ball and axis lanes overlap for "
+                    f"instance(s) {bad[:8].tolist()}"
+                    f"{'...' if bad.size > 8 else ''} — when overriding "
+                    "only axis (or only ball), the other defaults to the "
+                    "cone's static indices; pass both"
+                )
             out.append((mu_c, sh_c, bm, am))
         return tuple(out)
 
     return (
-        build(cones.input_cones, nu, mu_u, shift_u, ball_u, axis_u),
-        build(cones.state_cones, nx, mu_x, shift_x, ball_x, axis_x),
+        build(cones.input_cones, nu, mu_u, shift_u, ball_u, axis_u,
+              "input"),
+        build(cones.state_cones, nx, mu_x, shift_x, ball_x, axis_x,
+              "state"),
     )
 
 

@@ -534,3 +534,47 @@ def test_project_cone_masked_matches_static():
     want_alt = project_cone(w[h:], alt)
     np.testing.assert_allclose(np.asarray(got3[h:]), np.asarray(want_alt),
                                rtol=0, atol=1e-6)
+
+
+def test_cone_override_validation():
+    """Pack-time validation of per-instance cone overrides: out-of-range
+    axis indices and ball/axis lane overlap (incl. the only-axis-overridden
+    trap where the static ball covers the new axis) raise; orphan overrides
+    without a base ConeSet raise at the fleet surface."""
+    import pytest
+
+    import accelerated_tinympc_tpu as atm
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        pad_hetero_cone_masks,
+    )
+    from accelerated_tinympc_tpu.solver.cones import make_cone_args
+
+    B, nx, nu = 6, 12, 4
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=0.5),))
+    axis_oob = np.full(B, nu, np.int64)          # one past the end
+    axis_overlap = np.zeros(B, np.int64)         # inside the static ball
+    for fn in (
+        lambda **kw: pad_hetero_cone_masks(cones, B, nx, nu, **kw),
+        lambda **kw: make_cone_args(cones, B, nx, nu, **kw),
+    ):
+        with pytest.raises(ValueError, match="axis indices"):
+            fn(axis_u=[axis_oob])
+        with pytest.raises(ValueError, match="overlap"):
+            fn(axis_u=[axis_overlap])
+    # Disjoint override of both passes.
+    ball = np.zeros((B, nu), np.float32)
+    ball[:, [1, 2]] = 1.0
+    pad_hetero_cone_masks(cones, B, nx, nu, ball_u=[ball],
+                          axis_u=[axis_overlap])
+    make_cone_args(cones, B, nx, nu, ball_u=[ball], axis_u=[axis_overlap])
+    # Fleet: overrides without cones= is an error, not a silent drop.
+    rng = np.random.default_rng(0)
+    A = np.eye(4, dtype=np.float32)[None].repeat(B, 0)
+    Bm = rng.standard_normal((B, 4, 2)).astype(np.float32)
+    Q = np.ones((B, 4), np.float32)
+    R = np.ones((B, 2), np.float32)
+    with pytest.raises(ValueError, match="pass cones"):
+        atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=1.0, horizon=5,
+            cone_axis=[np.zeros(B, np.int64)], host_precompute=True,
+        )
