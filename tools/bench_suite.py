@@ -168,6 +168,30 @@ def main() -> None:
     best, _ = best_time(lambda _x: hf().U, 0, reps=3)
     emit("hetero_solves_per_sec", round(Bh / best), "solves/s", batch=Bh)
 
+    # Hetero + per-instance cone geometry (masked VPU projection): prices
+    # the cone_masks operand against the plain hetero rate above.
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        pad_hetero_cone_masks,
+    )
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    csoc = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=0.8,
+                                     shift=2.0),))
+    ball_m = np.zeros((Bh, 4), np.float32)
+    ball_m[: Bh // 2, [0, 1]] = 1.0
+    ball_m[Bh // 2:, [1, 3]] = 1.0
+    axis_m = np.full(Bh, 2, np.int64)
+    axis_m[Bh // 2:] = 0
+    cmk = pad_hetero_cone_masks(csoc, Bh, 12, 4,
+                                ball_u=[ball_m], axis_u=[axis_m])
+    hfm = lambda: hetero_solve(
+        hx0, HeteroCarry.zeros(hp), hp, max_iter=100, cones=csoc,
+        cone_masks=cmk,
+    )
+    best, _ = best_time(lambda _x: hfm().U, 0, reps=3)
+    emit("hetero_masked_cone_solves_per_sec", round(Bh / best), "solves/s",
+         batch=Bh)
+
     # Batched Pallas Riccati precompute at the flagship shape.
     Br = 4096
     Ah = jnp.tile(jnp.stack([jnp.asarray(p.A) for p in probs]),
