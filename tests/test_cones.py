@@ -578,3 +578,43 @@ def test_cone_override_validation():
             A, Bm, Q, R, rho=1.0, horizon=5,
             cone_axis=[np.zeros(B, np.int64)], host_precompute=True,
         )
+
+
+def test_project_cone_masked_properties():
+    """Property check over random per-instance geometries: the masked
+    projection lands in the (per-instance) cone, is idempotent, and leaves
+    non-cone coordinates untouched."""
+    from accelerated_tinympc_tpu.solver.cones import project_cone_masked
+
+    rng = np.random.default_rng(5)
+    B, K, dim = 64, 4, 6
+    w = jnp.asarray(rng.standard_normal((B, K, dim)) * 3.0, jnp.float32)
+    cone = Cone(ball=(0, 1), axis=2, mu=0.6, shift=0.5)
+    # Random disjoint geometry per instance: pick an axis, then 2 ball
+    # coords from the rest.
+    axes = rng.integers(0, dim, B)
+    bm = np.zeros((B, dim), np.float32)
+    am = np.zeros((B, dim), np.float32)
+    for b in range(B):
+        am[b, axes[b]] = 1.0
+        others = [j for j in range(dim) if j != axes[b]]
+        bm[b, rng.choice(others, 2, replace=False)] = 1.0
+    mu = (0.3 + rng.random(B)).astype(np.float32)
+    shift = (rng.random(B) - 0.3).astype(np.float32)
+    kw = dict(ball_mask=jnp.asarray(bm), axis_mask=jnp.asarray(am),
+              mu=jnp.asarray(mu), shift=jnp.asarray(shift))
+    p1 = project_cone_masked(w, cone, **kw)
+    p2 = project_cone_masked(p1, cone, **kw)
+    # Idempotent.
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=0, atol=2e-6)
+    # Feasible: ||p[ball]|| <= mu (p[axis] + shift) + tol, per instance.
+    p = np.asarray(p1)
+    a = np.sqrt(((p * bm[:, None, :]) ** 2).sum(-1))
+    s = (p * am[:, None, :]).sum(-1) + shift[:, None]
+    assert np.all(a <= mu[:, None] * s + 1e-5)
+    # Untouched coordinates pass through exactly.
+    other = 1.0 - bm - am
+    np.testing.assert_array_equal(
+        np.asarray(w) * other[:, None, :], p * other[:, None, :]
+    )
