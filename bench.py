@@ -13,13 +13,37 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
+def _arm_init_watchdog(timeout_s: float = 300.0) -> "threading.Event":
+    """The TPU relay occasionally wedges a process *before its first device
+    op* (CLAUDE.md) — jax.devices() then blocks forever. Rather than hang
+    the driver, die loudly: if backend init hasn't completed within
+    ``timeout_s``, print a diagnostic and hard-exit(2)."""
+    ok = threading.Event()
+
+    def watch():
+        if not ok.wait(timeout_s):
+            print(
+                f"bench.py: backend init did not complete within "
+                f"{timeout_s:.0f}s — TPU relay wedged/unreachable; aborting "
+                "(no stale or fabricated number is emitted)",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return ok
+
+
 def main() -> None:
+    init_ok = _arm_init_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +57,9 @@ def main() -> None:
     )
 
     on_cpu = jax.devices()[0].platform == "cpu"
+    # Also require a real device op to complete, not just enumeration.
+    jax.jit(lambda a: (a @ a.T).sum())(jnp.ones((8, 128))).block_until_ready()
+    init_ok.set()
     max_iter = 100
     reps = 2 if on_cpu else 5
 
