@@ -236,3 +236,91 @@ def test_coned_tiers_agree(nx, nu, N):
         np.asarray(ist.U).reshape(B, N - 1, nu), u_scan,
         rtol=0, atol=tol, err_msg="instance_ops",
     )
+
+
+@pytest.mark.parametrize("nx,nu,N", [s for s in SHAPES if s[0] >= 3])
+def test_masked_cone_tiers_agree(nx, nu, N):
+    """Per-instance cone geometry fuzz: random (ball, axis, mu, shift) per
+    instance on the state vector; the hetero kernel's lane-masked
+    projection and the instance-ops tier's jnp masked projection must both
+    match a per-instance scan run with the equivalent *static* cone."""
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        HeteroCarry, hetero_solve, pad_hetero_cone_masks,
+        pad_hetero_cone_params, pad_hetero_problem,
+    )
+    from accelerated_tinympc_tpu.solver.batched_ops import (
+        OpsState, build_instance_ops, solve_instance_ops,
+    )
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update, make_cone_args,
+    )
+
+    problem, rho = random_lti_problem(seed=nx * 5 + nu, nx=nx, nu=nu,
+                                      horizon=N)
+    cache = riccati_cache(
+        np.asarray(problem.A), np.asarray(problem.B),
+        np.asarray(problem.Q), np.asarray(problem.R), rho,
+    )
+    rng = np.random.default_rng(nx * 17 + N)
+    x0s = jnp.asarray(rng.standard_normal((B, nx)) * 0.3, jnp.float32)
+    settings = atm.Settings(max_iter=ITERS, check_termination=0)
+
+    balls, axes = [], []
+    for _ in range(B):
+        ax = int(rng.integers(0, nx))
+        others = [j for j in range(nx) if j != ax]
+        bl = tuple(sorted(rng.choice(others, 2, replace=False).tolist()))
+        axes.append(ax)
+        balls.append(bl)
+    mus = (0.6 + rng.random(B)).astype(np.float32)
+    shifts = (1.0 + rng.random(B)).astype(np.float32)
+    base = Cone(ball=balls[0], axis=axes[0], mu=1.0, shift=1.0)
+    cones = ConeSet(state_cones=(base,))
+    ball_arr = np.zeros((B, nx), np.float32)
+    for b in range(B):
+        ball_arr[b, list(balls[b])] = 1.0
+    axis_arr = np.asarray(axes, np.int64)
+
+    # Per-instance scan reference at the equivalent static cone.
+    u_ref = []
+    for b in range(B):
+        cset = ConeSet(state_cones=(Cone(
+            ball=balls[b], axis=axes[b], mu=float(mus[b]),
+            shift=float(shifts[b]),
+        ),))
+        st1 = init_state_batched(1, nx, nu, N)
+        st1 = st1.replace(x=st1.x.at[:, 0, :].set(x0s[b:b + 1]))
+        u_ref.append(np.asarray(jax.jit(lambda s, _c=cset: solve_batched(
+            s, problem, cache, settings, project=cone_slack_update(_c)
+        ))(st1).u)[0])
+    u_ref = np.stack(u_ref)
+    tol = 2e-4 * max(1.0, np.abs(u_ref).max())
+
+    bcast = lambda t: jax.tree.map(
+        lambda a: jnp.broadcast_to(
+            jnp.asarray(a), (B,) + jnp.asarray(a).shape
+        ), t
+    )
+    hp = pad_hetero_problem(bcast(problem), bcast(cache))
+    cm = pad_hetero_cone_masks(cones, B, nx, nu, ball_x=[ball_arr],
+                               axis_x=[axis_arr])
+    cp = pad_hetero_cone_params(cones, B, mu_x=mus[None], shift_x=shifts[None])
+    hres = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp, max_iter=ITERS, interpret=True,
+        cones=cones, cone_params=cp, cone_masks=cm,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hres.U), u_ref, rtol=0, atol=3 * tol, err_msg="hetero"
+    )
+
+    ca = make_cone_args(cones, B, nx, nu, mu_x=mus[None], shift_x=shifts[None],
+                        ball_x=[ball_arr], axis_x=[axis_arr])
+    iops = build_instance_ops(bcast(problem), bcast(cache))
+    ist = solve_instance_ops(
+        x0s, OpsState.zeros(B, N * nx, (N - 1) * nu), iops, settings,
+        cones=cones, dims=(nx, nu), cone_args=ca,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ist.U).reshape(B, N - 1, nu), u_ref,
+        rtol=0, atol=tol, err_msg="instance_ops",
+    )
