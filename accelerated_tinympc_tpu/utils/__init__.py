@@ -6,5 +6,11 @@ from .serialization import (  # noqa: F401
     save_problem_cache,
     save_pytree,
 )
-from .profiling import solver_cost, time_fn, trace  # noqa: F401
+from .profiling import (  # noqa: F401
+    hetero_cost,
+    solver_cost,
+    stream_cost,
+    time_fn,
+    trace,
+)
 from .debugging import debug_nans, finite_state, health_report  # noqa: F401

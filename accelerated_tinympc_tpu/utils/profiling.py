@@ -75,3 +75,57 @@ def solver_cost(
         "flops_padded": float(flops_padded),
         "hbm_bytes_per_solve": float(state_bytes),
     }
+
+
+def hetero_cost(
+    nx: int, nu: int, horizon: int, iters: int, *, sublane_pad: int = 8
+) -> dict[str, float]:
+    """Analytic cost of one heterogeneous-tier solve per instance
+    (ops/hetero_admm.py: knots on sublanes, instances on lanes — every
+    matvec is SX/SU full-width VPU multiply-adds per `_dotb`, no MXU).
+
+    ``vpu_flops`` counts the padded per-lane FMAs the kernel actually
+    issues per instance: per knot the forward sweep runs K (SX->SU),
+    A (SX->SX), B (SU->SX) and the backward sweep Bt (SX->SU),
+    Quu (SU->SU), M (SX->SX), Kt (SU->SX) matvecs. Roofline: measured
+    time ~= vpu_flops * batch / peak_vpu — the kernel is VPU-bound by
+    design (the MXU sits idle)."""
+    def pad(n: int) -> int:
+        return ((n + sublane_pad - 1) // sublane_pad) * sublane_pad
+
+    SX, SU = pad(nx), pad(nu)
+    m = horizon - 1
+    per_knot = 2 * (2 * SX * SX + 4 * SX * SU + SU * SU)
+    vpu_flops = iters * m * per_knot
+    useful = iters * m * 2 * (2 * nx * nx + 4 * nx * nu + nu * nu)
+    return {
+        "vpu_flops": float(vpu_flops),
+        "vpu_flops_useful": float(useful),
+        "vmem_resident_bytes": float(
+            4 * (3 * SX * SX + 4 * SX * SU + SU * SU) * 128
+        ),
+    }
+
+
+def stream_cost(
+    nx: int, nu: int, horizon: int, iters: int, *, sublane_pad: int = 8
+) -> dict[str, float]:
+    """Analytic HBM traffic of one streaming-tier solve per instance
+    (ops/stream_admm.py — bandwidth-bound by design; the compute is the
+    hetero tier's).
+
+    Per iteration the streamed set (module docstring) is: forward reads
+    ``d, y, g`` and writes ``y, g, z, v``; backward reads
+    ``y, z, g, v, qc`` and writes ``d`` — 7 input-space and 6 state-space
+    whole arrays. Roofline: measured time ~= hbm_bytes_per_solve * batch
+    / peak_hbm_bandwidth."""
+    def pad(n: int) -> int:
+        return ((n + sublane_pad - 1) // sublane_pad) * sublane_pad
+
+    SX, SU = pad(nx), pad(nu)
+    m = horizon - 1
+    per_iter = 4 * (7 * m * SU + 6 * horizon * SX)
+    return {
+        "hbm_bytes_per_iter": float(per_iter),
+        "hbm_bytes_per_solve": float(per_iter * iters),
+    }

@@ -137,3 +137,25 @@ class TestProfilerTrace:
         files = list(tmp_path.rglob("*"))
         assert any("trace" in str(p) or p.suffix in (".pb", ".gz", ".json")
                    for p in files), files
+
+
+def test_cost_models():
+    """Analytic roofline cost models for all three kernel families have the
+    right scaling shape (padding monotone, useful <= padded, per-iter
+    linearity)."""
+    from accelerated_tinympc_tpu.utils.profiling import (
+        hetero_cost, solver_cost, stream_cost,
+    )
+
+    c = solver_cost(12, 4, 10, 100)
+    assert c["flops"] <= c["flops_padded"]
+    h = hetero_cost(12, 4, 10, 100)
+    assert h["vpu_flops_useful"] <= h["vpu_flops"]
+    # nx=12 pads to 16 sublanes: padded/useful ratio in a sane band.
+    assert 1.0 < h["vpu_flops"] / h["vpu_flops_useful"] < 4.0
+    s1 = stream_cost(12, 4, 256, 1)
+    s2 = stream_cost(12, 4, 256, 10)
+    assert abs(s2["hbm_bytes_per_solve"] - 10 * s1["hbm_bytes_per_solve"]) < 1
+    # Streaming traffic grows linearly with horizon.
+    assert stream_cost(12, 4, 512, 1)["hbm_bytes_per_iter"] > \
+        1.9 * s1["hbm_bytes_per_iter"]
