@@ -80,13 +80,17 @@ def _jit_fused(max_iter, check_termination, batch_tile, interpret,
     # Tolerances are *traced* operands of the kernel (SMEM), so they stay out
     # of the cache key — changing tolerances never recompiles. cone_ops is a
     # pytree operand (its static cone counts key the jit cache internally).
-    def fn(x0, carry, pp, pri_tol, dua_tol, cone_ops=None):
+    def fn(x0, carry, pp, pri_tol, dua_tol, cone_ops=None,
+           cone_mu_u=None, cone_shift_u=None,
+           cone_mu_x=None, cone_shift_x=None):
         return fused_solve(
             x0, carry, pp, max_iter=max_iter,
             check_termination=check_termination,
             abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
             batch_tile=batch_tile, interpret=interpret, algo=algo,
             cone_ops=cone_ops,
+            cone_mu_u=cone_mu_u, cone_shift_u=cone_shift_u,
+            cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
         )
 
     # The interpreter path rejects jit-of-pallas on CPU test runs; eager is
@@ -118,6 +122,13 @@ class TinyMPC:
     # Second-order-cone constraints (solver/cones.py) — scan and condensed
     # tiers (the fused kernel bakes box-projection structure; see from_parts).
     cones: Any = None
+    # Per-instance cone mu/shift overrides — fused tier, batched: (nc, B)
+    # arrays over the input/state cones (constraint-parameter sweeps at
+    # fused-kernel speed; see ops/fused_admm.fused_solve cone_mu_u).
+    cone_mu: Any = None
+    cone_shift: Any = None
+    cone_mu_x: Any = None
+    cone_shift_x: Any = None
     # Fused tier, adaptive mode: > 0 enables the early-termination compaction
     # cascade (solver/cascade.py) with this segment length (must be a
     # multiple of check_termination). 0 = one monolithic adaptive call.
@@ -152,6 +163,10 @@ class TinyMPC:
         interpret: bool = False,
         dtype: Any = jnp.float32,
         cones: Any = None,
+        cone_mu=None,
+        cone_shift=None,
+        cone_mu_x=None,
+        cone_shift_x=None,
         compaction_segment: int = 0,
     ) -> "TinyMPC":
         """Construct + precompute. Bounds default to ±inf (disabled in
@@ -193,6 +208,8 @@ class TinyMPC:
         return cls.from_parts(
             problem, cache, settings=settings, batch=batch, tier=tier,
             interpret=interpret, cones=cones,
+            cone_mu=cone_mu, cone_shift=cone_shift,
+            cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
             compaction_segment=compaction_segment,
         )
 
@@ -208,10 +225,30 @@ class TinyMPC:
         interpret: bool = False,
         algo: str = "f32",
         cones: Any = None,
+        cone_mu=None,
+        cone_shift=None,
+        cone_mu_x=None,
+        cone_shift_x=None,
         compaction_segment: int = 0,
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
+        has_cp = any(a is not None for a in
+                     (cone_mu, cone_shift, cone_mu_x, cone_shift_x))
+        if has_cp:
+            if cones is None:
+                raise ValueError("per-instance cone parameters override a "
+                                 "base ConeSet — pass cones= as well")
+            if tier != "fused" or batch is None:
+                raise ValueError("per-instance cone parameters need the "
+                                 "batched fused tier (tier='fused', batch=B)")
+            if compaction_segment:
+                raise ValueError(
+                    "per-instance cone parameters are not supported with "
+                    "compaction_segment on the fused tier (the cascade "
+                    "re-packs instances); use compaction_segment=0 or the "
+                    "TinyMPCFleet hetero tier"
+                )
         self = cls(
             problem=problem,
             cache=cache,
@@ -221,6 +258,8 @@ class TinyMPC:
             interpret=interpret,
             algo=algo,
             cones=cones,
+            cone_mu=cone_mu, cone_shift=cone_shift,
+            cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
             compaction_segment=compaction_segment,
         )
         self._reset_state()
@@ -426,6 +465,8 @@ class TinyMPC:
                 jnp.float32(self.settings.abs_pri_tol),
                 jnp.float32(self.settings.abs_dua_tol),
                 self._cone_ops,
+                self.cone_mu, self.cone_shift,
+                self.cone_mu_x, self.cone_shift_x,
             )
         self._fused_carry = res.carry
         self._fused_result = res

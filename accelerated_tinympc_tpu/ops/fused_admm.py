@@ -323,7 +323,8 @@ def pad_cones(pp: PaddedProblem, cones) -> FusedConeOps:
     return FusedConeOps(nc_u=nc_u, nc_x=nc_x, **out)
 
 
-def _cone_apply(w, gather_ref, scatter_ref, vec_ref, nc: int, width: int):
+def _cone_apply(w, gather_ref, scatter_ref, vec_ref, nc: int, width: int,
+                pvec_ref=None):
     """Apply ``nc`` stacked cone projections to slack rows ``w`` in-kernel.
 
     Exact closed-form SOC projection (see solver/cones.py:project_cone) in
@@ -331,14 +332,24 @@ def _cone_apply(w, gather_ref, scatter_ref, vec_ref, nc: int, width: int):
     lanes through the gather matmul, the three projection cases resolve via
     exact 0/1-mask arithmetic (Mosaic cannot lower select_n/keepdims here —
     see _kernel_adaptive), and the boundary-case scale returns to the ball
-    lanes through the scatter matmul."""
+    lanes through the scatter matmul.
+
+    ``pvec_ref`` (optional) holds *per-instance* mu/shift as batch-tiled
+    ``(bt, nc*2*width)`` lane blocks ([mu block, shift block] per cone,
+    every lane of an instance's stride carrying its value) — same
+    elementwise broadcasts as the static ``(1, width)`` rows, so enabling
+    it changes nothing when the values match the static scalars."""
     for c in range(nc):
         Gm = gather_ref[c * width:(c + 1) * width, :]
         Sm = scatter_ref[c * width:(c + 1) * width, :]
         m_ax = vec_ref[c * 8 + 0:c * 8 + 1, :]
         m_ball = vec_ref[c * 8 + 1:c * 8 + 2, :]
-        shift = vec_ref[c * 8 + 2:c * 8 + 3, :]
-        mu = vec_ref[c * 8 + 3:c * 8 + 4, :]
+        if pvec_ref is not None:
+            mu = pvec_ref[:, (2 * c) * width:(2 * c + 1) * width]
+            shift = pvec_ref[:, (2 * c + 1) * width:(2 * c + 2) * width]
+        else:
+            shift = vec_ref[c * 8 + 2:c * 8 + 3, :]
+            mu = vec_ref[c * 8 + 3:c * 8 + 4, :]
         wb = w * m_ball
         a2 = jnp.dot(
             wb * wb, Gm,
@@ -583,23 +594,36 @@ def _stats_onehot(i: int, g: int) -> jax.Array:
     return oh if g == 1 else jnp.concatenate([oh] * g, axis=1)
 
 
-def _cone_fns(rest, nc_u: int, nc_x: int, g: int, Dug: int, Dxp: int):
+def _cone_fns(rest, nc_u: int, nc_x: int, g: int, Dug: int, Dxp: int,
+              has_pu: bool = False, has_px: bool = False):
     """Split the optional cone operand refs off ``rest`` and close
-    :func:`_cone_apply` over them. Returns (cone_u, cone_x, outs)."""
+    :func:`_cone_apply` over them. Returns (cone_u, cone_x, outs).
+    ``has_pu``/``has_px`` pull one extra batch-tiled per-instance
+    mu/shift operand per group (see ``_cone_apply``'s ``pvec_ref``)."""
     i = 0
     cone_u = cone_x = None
     if nc_u:
+        pu = None
+        j = i + 3
+        if has_pu:
+            pu = rest[j]
+            j += 1
         cone_u = functools.partial(
-            _cone_apply, gather_ref=rest[0], scatter_ref=rest[1],
-            vec_ref=rest[2], nc=nc_u, width=Dug,
+            _cone_apply, gather_ref=rest[i], scatter_ref=rest[i + 1],
+            vec_ref=rest[i + 2], nc=nc_u, width=Dug, pvec_ref=pu,
         )
-        i = 3
+        i = j
     if nc_x:
+        px = None
+        j = i + 3
+        if has_px:
+            px = rest[j]
+            j += 1
         cone_x = functools.partial(
             _cone_apply, gather_ref=rest[i], scatter_ref=rest[i + 1],
-            vec_ref=rest[i + 2], nc=nc_x, width=g * Dxp,
+            vec_ref=rest[i + 2], nc=nc_x, width=g * Dxp, pvec_ref=px,
         )
-        i += 3
+        i = j
     return cone_u, cone_x, rest[i:]
 
 
@@ -611,6 +635,7 @@ def _kernel_fixed(
     *rest,
     max_iter: int, g: int, interpret: bool,
     algo: str = "f32", polish: int = 8, nc_u: int = 0, nc_x: int = 0,
+    has_pu: bool = False, has_px: bool = False,
 ):
     """Fixed-iteration fused solve (deterministic tier; reference with
     termination checks disabled). Residual stats lanes are still filled from
@@ -626,7 +651,8 @@ def _kernel_fixed(
     )
     Dug = D0_ref.shape[-1]
     Dxp = G0_ref.shape[-1] // g
-    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp)
+    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp,
+                                     has_pu=has_pu, has_px=has_px)
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out = outs
     iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
     Xb = dot(x0_ref[:], w_fx_ref[:])
@@ -688,6 +714,7 @@ def _kernel_adaptive(
     *rest,
     max_iter: int, check_every: int, warmup: int, g: int, interpret: bool,
     algo: str = "f32", nc_u: int = 0, nc_x: int = 0,
+    has_pu: bool = False, has_px: bool = False,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
 
@@ -720,7 +747,8 @@ def _kernel_adaptive(
     )
     Dug = D0_ref.shape[-1]
     Dxp = G0_ref.shape[-1] // g
-    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp)
+    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp,
+                                     has_pu=has_pu, has_px=has_px)
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out = outs
     iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
     Xb = dot(x0_ref[:], w_fx_ref[:])
@@ -912,6 +940,10 @@ def fused_solve(
     pterm_c: jax.Array | None = None,
     algo: str = "f32",
     cone_ops: FusedConeOps | None = None,
+    cone_mu_u: jax.Array | None = None,
+    cone_shift_u: jax.Array | None = None,
+    cone_mu_x: jax.Array | None = None,
+    cone_shift_x: jax.Array | None = None,
 ) -> FusedResult:
     """Run the fused whole-solve kernel over a batch.
 
@@ -924,6 +956,16 @@ def fused_solve(
     and would pin their tile at ``max_iter`` in adaptive mode — pad the
     batch to a tile multiple yourself (with feasible x0 copies) if you use
     negative shifts.
+
+    ``cone_mu_u``/``cone_shift_u`` (``(n_input_cones, B)``; likewise
+    ``*_x`` for state cones) override the cones' scalar parameters *per
+    instance* — constraint-parameter sweeps (e.g. per-lander tilt limits)
+    at fused-kernel speed over one shared plant; per-instance *geometry*
+    (ball/axis) needs the hetero tier. Values are packed to batch-tiled
+    lane blocks streamed with the carries; where they equal the static
+    scalars the arithmetic is value-identical to the static path. Requires
+    ``cone_ops``. Padding instances get mu = shift = 0 (the projection
+    fixes their zero iterates, harmless).
 
     ``x0`` is ``(B, nx)`` (un-padded); carries are flat-padded per instance
     (:class:`FusedCarry`); batches that are not tile multiples are padded
@@ -982,6 +1024,11 @@ def fused_solve(
 
     nc_u = cone_ops.nc_u if cone_ops is not None else 0
     nc_x = cone_ops.nc_x if cone_ops is not None else 0
+    has_pu = cone_mu_u is not None or cone_shift_u is not None
+    has_px = cone_mu_x is not None or cone_shift_x is not None
+    if (has_pu and not nc_u) or (has_px and not nc_x):
+        raise ValueError("per-instance cone parameters without the "
+                         "matching cones in cone_ops")
     cone_args: tuple = ()
     if nc_u:
         cone_args += (cone_ops.cu_gather, cone_ops.cu_scatter,
@@ -1008,6 +1055,11 @@ def fused_solve(
     # without this term the adaptive+state-cone configuration OOMs VMEM at
     # the default tile (observed as a Mosaic compile crash).
     per_row += 4 * 10 * (nc_u * Dug + nc_x * gDxp)
+    # Per-instance cone mu/shift streams (double-buffered input blocks).
+    per_row += 4 * 2 * (
+        (nc_u * 2 * Dug if has_pu else 0)
+        + (nc_x * 2 * gDxp if has_px else 0)
+    )
     budget = 12 * 1024 * 1024 - w_bytes
     rows_cap = max(8, (budget // per_row) // 8 * 8)
     rows_want = max(8, (-(-min(batch_tile, max(B, 1)) // g) + 7) // 8 * 8)
@@ -1029,6 +1081,42 @@ def fused_solve(
     x0p = x0.reshape(R, g * nx)
     if nxg != g * nx:
         x0p = jnp.pad(x0p, ((0, 0), (0, nxg - g * nx)))
+
+    def _pack_pvec(mu_arr, shift_arr, vec, nc, stride, width):
+        """(nc, B) per-instance mu/shift -> (R, nc*2*width): per cone a mu
+        block then a shift block, every lane of an instance's ``stride``
+        carrying its value. A defaulted entry (None) broadcasts the static
+        row baked in ``vec`` (mu at row c*8+3, shift at c*8+2) — the
+        non-axis lanes of the shift row are zero, which the projection
+        masks off identically. Padding instances get zero (the projection
+        fixes their zero iterates)."""
+        cols = []
+        for c in range(nc):
+            for arr, row in ((mu_arr, vec[c * 8 + 3:c * 8 + 4, :]),
+                             (shift_arr, vec[c * 8 + 2:c * 8 + 3, :])):
+                if arr is None:
+                    cols.append(jnp.broadcast_to(row, (R, width)))
+                    continue
+                v = jnp.asarray(arr[c], jnp.float32)
+                if B_pad != B:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((B_pad - B,), jnp.float32)]
+                    )
+                blk = jnp.repeat(
+                    v.reshape(R, g), stride, axis=1
+                )  # (R, g*stride)
+                if width != g * stride:
+                    blk = jnp.pad(blk, ((0, 0), (0, width - g * stride)))
+                cols.append(blk)
+        return jnp.concatenate(cols, axis=1)
+
+    pvec_u = pvec_x = None
+    if has_pu:
+        pvec_u = _pack_pvec(cone_mu_u, cone_shift_u, cone_ops.cu_vec,
+                            nc_u, Du, Dug)
+    if has_px:
+        pvec_x = _pack_pvec(cone_mu_x, cone_shift_x, cone_ops.cx_vec,
+                            nc_x, Dxp, gDxp)
     Dp = _pack_du(carry.D, g, Du, Dug)
     Yp = _pack_du(carry.Y, g, Du, Dug)
     Zp = _pack_du(carry.Z, g, Du, Dug)
@@ -1079,7 +1167,26 @@ def fused_solve(
     vec_args = (const_d, pp.u_min, pp.u_max, pp.x_min, pp.x_max, pp.seg)
     w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r)
     state_args = (x0p, Dp, Yp, Gp, Zp, Vp)
-    cone_specs = [const_spec(a.shape) for a in cone_args]
+    # Interleave the per-instance mu/shift streams after each group's
+    # const operands (matching _cone_fns' unpack order); they tile over
+    # the batch like the carries.
+    cone_args = ()
+    cone_specs = []
+    if nc_u:
+        cone_args += (cone_ops.cu_gather, cone_ops.cu_scatter,
+                      cone_ops.cu_vec)
+        cone_specs += [const_spec(a.shape) for a in cone_args[-3:]]
+        if has_pu:
+            cone_args += (pvec_u,)
+            cone_specs += [batch_spec(nc_u * 2 * Dug)]
+    if nc_x:
+        cone_args += (cone_ops.cx_gather, cone_ops.cx_scatter,
+                      cone_ops.cx_vec)
+        cone_specs += [const_spec(a.shape) for a in cone_args[-3:]]
+        if has_px:
+            cone_args += (pvec_x,)
+            cone_specs += [batch_spec(nc_x * 2 * gDxp)]
+    cone_args = tuple(cone_args)
 
     # FLOPs: 4 in-loop packed matmuls per iteration per row plus the two
     # hoisted x0 contractions (counted per iteration as an upper bound).
@@ -1101,7 +1208,7 @@ def fused_solve(
     if check_termination <= 0:
         kernel = functools.partial(
             _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret,
-            algo=algo, nc_u=nc_u, nc_x=nc_x,
+            algo=algo, nc_u=nc_u, nc_x=nc_x, has_pu=has_pu, has_px=has_px,
         )
         scalar_args = (pp.rho,)
         scalar_specs = [smem_spec]
@@ -1110,7 +1217,7 @@ def fused_solve(
             _kernel_adaptive, max_iter=max_iter,
             check_every=check_termination,
             warmup=min(warmup_iters, max_iter - 1), g=g, interpret=interpret,
-            algo=algo, nc_u=nc_u, nc_x=nc_x,
+            algo=algo, nc_u=nc_u, nc_x=nc_x, has_pu=has_pu, has_px=has_px,
         )
         tols = jnp.stack([
             jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),

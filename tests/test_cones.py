@@ -214,6 +214,57 @@ def test_api_cones():
     )
 
 
+def test_api_per_instance_cone_params():
+    """TinyMPC(cone_mu=...) — a per-instance tilt-limit sweep through the
+    batched fused tier matches per-instance scan runs at each static mu;
+    invalid configurations raise."""
+    import pytest
+
+    problem, cache = _landing_setup()
+    base = Cone(ball=(0, 1), axis=2, mu=1.0)
+    cones = ConeSet(input_cones=(base,))
+    B = 6
+    mus = np.linspace(0.4, 1.2, B).astype(np.float32)
+    settings = atm.Settings(max_iter=200, check_termination=2,
+                            abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+                            en_input_bound=False, en_state_bound=False)
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(
+        np.asarray([3.0, -2.0, 4.0, -1.0, 1.0, -1.5])[None]
+        + rng.standard_normal((B, 6)) * 0.4, jnp.float32,
+    )
+    mpc = atm.TinyMPC.from_parts(
+        problem, cache, settings=settings, tier="fused", batch=B,
+        interpret=True, cones=cones, cone_mu=mus[None],
+    )
+    mpc.set_x0(x0s)
+    info = mpc.solve()
+    for b in range(B):
+        cset = ConeSet(input_cones=(base._replace(mu=float(mus[b])),))
+        one = atm.TinyMPC.from_parts(
+            problem, cache, settings=settings, cones=cset
+        )
+        one.set_x0(x0s[b])
+        oi = one.solve()
+        assert int(info["iterations"][b]) == int(oi["iterations"]), b
+        np.testing.assert_allclose(
+            np.asarray(mpc.get_u())[b], np.asarray(one.get_u()),
+            rtol=0, atol=5e-5, err_msg=f"instance {b}",
+        )
+    with pytest.raises(ValueError, match="pass cones"):
+        atm.TinyMPC.from_parts(problem, cache, tier="fused", batch=B,
+                               cone_mu=mus[None])
+    with pytest.raises(ValueError, match="batched fused tier"):
+        atm.TinyMPC.from_parts(problem, cache, cones=cones,
+                               cone_mu=mus[None])
+    with pytest.raises(ValueError, match="compaction"):
+        atm.TinyMPC.from_parts(
+            problem, cache, tier="fused", batch=B, cones=cones,
+            cone_mu=mus[None], compaction_segment=10,
+            settings=settings,
+        )
+
+
 def test_condensed_tier_cones():
     """The condensed (MXU-operator) tier supports cones: same solution as
     the scan tier, reachable through TinyMPC(tier="condensed", cones=...)."""
@@ -383,6 +434,64 @@ class TestFusedCones:
             np.asarray(want.u.reshape(6, -1)),
             rtol=0, atol=2e-5,
         )
+
+    def test_per_instance_params(self):
+        """Per-instance cone mu/shift in the fused kernel
+        (fused_solve(cone_mu_u=...)): arrays encoding the static scalars
+        reproduce the static path; a per-instance mu sweep matches scan
+        runs at each instance's static mu; adaptive schedules stay exact."""
+        problem, cache = _landing_setup()
+        base = Cone(ball=(0, 1), axis=2, mu=1.0, shift=0.5)
+        cones = ConeSet(input_cones=(base,))
+        x0s = self._x0s()
+        B = x0s.shape[0]
+        kw = dict(max_iter=40, check_termination=0)
+
+        _, plain = self._fused(problem, cache, cones, x0s, **kw)
+        _, enc = self._fused(
+            problem, cache, cones, x0s,
+            cone_mu_u=np.full((1, B), 1.0, np.float32),
+            cone_shift_u=np.full((1, B), 0.5, np.float32), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(enc.U), np.asarray(plain.U), rtol=0, atol=1e-6
+        )
+
+        mus = np.linspace(0.4, 1.2, B).astype(np.float32)
+        _, got = self._fused(
+            problem, cache, cones, x0s, cone_mu_u=mus[None], **kw
+        )
+        settings = atm.Settings(max_iter=40, check_termination=0)
+        for b in range(B):
+            cset = ConeSet(input_cones=(base._replace(mu=float(mus[b])),))
+            want = self._scan(problem, cache, cset, x0s[b:b + 1], settings)
+            np.testing.assert_allclose(
+                np.asarray(got.U[b, :42]),
+                np.asarray(want.u.reshape(1, -1)[0]),
+                rtol=0, atol=2e-5, err_msg=f"instance {b}",
+            )
+        # The sweep genuinely binds (tightest vs loosest differ).
+        assert float(np.max(np.abs(
+            np.asarray(got.U[0, :42]) - np.asarray(plain.U[0, :42])
+        ))) > 1e-4
+
+        # Adaptive mode: schedule parity per instance vs the scan tier.
+        sets_a = atm.Settings(max_iter=200, check_termination=2,
+                              abs_pri_tol=5e-3, abs_dua_tol=5e-3)
+        _, ga = self._fused(
+            problem, cache, cones, x0s, cone_mu_u=mus[None],
+            max_iter=200, check_termination=2,
+            abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        )
+        for b in range(B):
+            cset = ConeSet(input_cones=(base._replace(mu=float(mus[b])),))
+            want = self._scan(problem, cache, cset, x0s[b:b + 1], sets_a)
+            assert int(np.asarray(ga.stats[b, 0])) == int(want.iter[0]), b
+            np.testing.assert_allclose(
+                np.asarray(ga.U[b, :42]),
+                np.asarray(want.u.reshape(1, -1)[0]),
+                rtol=0, atol=2e-5, err_msg=f"instance {b}",
+            )
 
 
 def test_fused_rollout_with_cones():
