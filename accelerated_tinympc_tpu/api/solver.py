@@ -242,13 +242,6 @@ class TinyMPC:
             if tier != "fused" or batch is None:
                 raise ValueError("per-instance cone parameters need the "
                                  "batched fused tier (tier='fused', batch=B)")
-            if compaction_segment:
-                raise ValueError(
-                    "per-instance cone parameters are not supported with "
-                    "compaction_segment on the fused tier (the cascade "
-                    "re-packs instances); use compaction_segment=0 or the "
-                    "TinyMPCFleet hetero tier"
-                )
         self = cls(
             problem=problem,
             cache=cache,
@@ -453,6 +446,8 @@ class TinyMPC:
                 batch_tile=min(DEFAULT_BATCH_TILE, x0.shape[0]),
                 interpret=self.interpret,
                 cone_ops=self._cone_ops,
+                cone_mu_u=self.cone_mu, cone_shift_u=self.cone_shift,
+                cone_mu_x=self.cone_mu_x, cone_shift_x=self.cone_shift_x,
                 algo=self.algo,
             )
         else:

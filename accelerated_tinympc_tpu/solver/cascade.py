@@ -67,7 +67,9 @@ def _next_pow2(n: int) -> int:
 def _jit_segment(seg_iters, check_every, batch_tile, warmup, interpret, algo):
     """One compiled cascade segment per (bucket shape enters via tracing)."""
 
-    def fn(x0, carry, pp, pri_tol, dua_tol, xref_q, pterm_c, cone_ops):
+    def fn(x0, carry, pp, pri_tol, dua_tol, xref_q, pterm_c, cone_ops,
+           cone_mu_u=None, cone_shift_u=None,
+           cone_mu_x=None, cone_shift_x=None):
         return fused_solve(
             x0, carry, pp, max_iter=seg_iters,
             check_termination=check_every,
@@ -75,6 +77,8 @@ def _jit_segment(seg_iters, check_every, batch_tile, warmup, interpret, algo):
             batch_tile=batch_tile, warmup_iters=warmup,
             interpret=interpret, xref_q=xref_q, pterm_c=pterm_c, algo=algo,
             cone_ops=cone_ops,
+            cone_mu_u=cone_mu_u, cone_shift_u=cone_shift_u,
+            cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
         )
 
     # The Pallas interpreter rejects jit-of-pallas on CPU; eager is fine
@@ -89,6 +93,17 @@ def _jit_compact(interpret):
 
     def fn(x0_b, carry, loc):
         return x0_b[loc], jax.tree.map(lambda a: a[loc], carry)
+
+    return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_compact_cols(interpret):
+    """Gather surviving instances out of per-instance column operands
+    ((nc, B_local) cone parameter rows) alongside :func:`_jit_compact`."""
+
+    def fn(arr, loc):
+        return arr[:, loc]
 
     return fn if interpret else jax.jit(fn)
 
@@ -157,6 +172,10 @@ def cascade_solve(
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
     cone_ops=None,
+    cone_mu_u=None,
+    cone_shift_u=None,
+    cone_mu_x=None,
+    cone_shift_x=None,
     algo: str = "f32",
 ) -> FusedResult:
     """Adaptive fused solve with between-segment batch compaction.
@@ -215,6 +234,8 @@ def cascade_solve(
             batch_tile=batch_tile, warmup_iters=warmup_iters,
             interpret=interpret, xref_q=xref_q, pterm_c=pterm_c,
             cone_ops=cone_ops, algo=algo,
+            cone_mu_u=cone_mu_u, cone_shift_u=cone_shift_u,
+            cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
         )
 
     pri = jnp.float32(abs_pri_tol)
@@ -232,9 +253,14 @@ def cascade_solve(
     # telescope across overwrites).
     active_idx = np.arange(B, dtype=np.int32)
     x0_b, carry_b = x0, carry
+    asf32 = lambda a: (None if a is None
+                       else jnp.asarray(a, jnp.float32))
+    cmu_u, csh_u = asf32(cone_mu_u), asf32(cone_shift_u)
+    cmu_x, csh_x = asf32(cone_mu_x), asf32(cone_shift_x)
     done_iters = 0
     cur_seg = segment_iters
     compact = _jit_compact(interpret)
+    compact_cols = _jit_compact_cols(interpret)
     scatter = _jit_scatter(interpret)
     out = None
 
@@ -245,7 +271,8 @@ def cascade_solve(
             k, check_termination, batch_tile,
             warmup_iters if done_iters == 0 else 0, interpret, algo,
         )
-        res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c, cone_ops)
+        res = seg(x0_b, carry_b, pp, pri, dua, xref_q, pterm_c, cone_ops,
+                  cmu_u, csh_u, cmu_x, csh_x)
         idx = np.full(res.stats.shape[0], B, np.int32)
         idx[:n_active] = active_idx
         if out is None:
@@ -276,7 +303,12 @@ def cascade_solve(
         local = np.concatenate([
             keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
         ])
-        x0_b, carry_b = compact(x0_b, res.carry, jnp.asarray(local))
+        local_j = jnp.asarray(local)
+        x0_b, carry_b = compact(x0_b, res.carry, local_j)
+        cmu_u, csh_u, cmu_x, csh_x = (
+            None if a is None else compact_cols(a, local_j)
+            for a in (cmu_u, csh_u, cmu_x, csh_x)
+        )
 
     # Drop the discard row; outputs are already in original batch order.
     out = _jit_finalize(interpret)(out, B)

@@ -257,12 +257,20 @@ def test_api_per_instance_cone_params():
     with pytest.raises(ValueError, match="batched fused tier"):
         atm.TinyMPC.from_parts(problem, cache, cones=cones,
                                cone_mu=mus[None])
-    with pytest.raises(ValueError, match="compaction"):
-        atm.TinyMPC.from_parts(
-            problem, cache, tier="fused", batch=B, cones=cones,
-            cone_mu=mus[None], compaction_segment=10,
-            settings=settings,
-        )
+    # Compaction composes: the cascade gathers the per-instance cone
+    # params with the survivors — iteration-exact vs the monolithic call.
+    casc = atm.TinyMPC.from_parts(
+        problem, cache, tier="fused", batch=B, cones=cones,
+        cone_mu=mus[None], compaction_segment=10, interpret=True,
+        settings=settings,
+    )
+    casc.set_x0(x0s)
+    ci = casc.solve()
+    np.testing.assert_array_equal(ci["iterations"], info["iterations"])
+    np.testing.assert_allclose(
+        np.asarray(casc.get_u()), np.asarray(mpc.get_u()),
+        rtol=0, atol=5e-5,
+    )
 
 
 def test_condensed_tier_cones():
