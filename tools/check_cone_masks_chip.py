@@ -37,15 +37,17 @@ def main():
     nx, nu = prob.A.shape[0], prob.B.shape[1]
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(
-        0.1 * rng.standard_normal((B, nx)), jnp.float32
+        0.3 * rng.standard_normal((B, nx)), jnp.float32
     )
     prob_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), prob)
     cache_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
                            cache)
     hp = pad_hetero_problem(prob_b, cache_b)
 
-    base = Cone(ball=(0, 1), axis=2, mu=0.8, shift=2.0)
-    alt = Cone(ball=(1, 2), axis=0, mu=0.8, shift=2.0)
+    # Tight geometry (small mu/shift) so the projection actively clips and
+    # the base-vs-alt sensitivity check below is meaningful.
+    base = Cone(ball=(0, 1), axis=2, mu=0.25, shift=0.1)
+    alt = Cone(ball=(1, 2), axis=0, mu=0.25, shift=0.1)
     cones = ConeSet(input_cones=(base,))
     h = B // 2
     ball = np.zeros((B, nu), np.float32)
