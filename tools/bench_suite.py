@@ -8,8 +8,10 @@ real-time budgets, and on-device MPC rollout rates.
 Run on the TPU: python tools/bench_suite.py
 """
 
+import argparse
 import json
 import pathlib
+import subprocess
 import sys
 import time
 
@@ -17,13 +19,56 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
+REPO = pathlib.Path(__file__).parent.parent
+REFERENCE = pathlib.Path("/root/reference")
+
 
 def emit(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}),
           flush=True)
 
 
+def reference_cpu() -> None:
+    """Build and time the unmodified reference solver on this host's CPU.
+
+    The measured denominator for every "Nx the reference" headline
+    (BASELINE.md "Measured reference baseline"). Links
+    /root/reference/src/tinympc/admm.cpp (reference: admm.cpp:111 tiny_solve)
+    into tools/golden/bench_reference.cpp and runs the hovering loop in fixed
+    100-iteration and reference-default modes, double precision as shipped
+    (reference: glob_opts.hpp:3).
+    """
+    exe = pathlib.Path("/tmp/bench_reference_suite")
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17",
+        f"-I{REFERENCE}/include/Eigen", f"-I{REFERENCE}/src",
+        f"-I{REFERENCE}/examples",
+        str(REPO / "tools/golden/bench_reference.cpp"),
+        f"{REFERENCE}/src/tinympc/admm.cpp", "-o", str(exe),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    for mode, iters in (("fixed", 100), ("adapt", 100)):
+        out = subprocess.run(
+            [str(exe), mode, str(iters), "70", "15"],
+            check=True, capture_output=True, text=True,
+        )
+        rec = json.loads(out.stdout)
+        emit(f"reference_cpu_{mode}_solves_per_sec",
+             round(rec["solves_per_s"]), "solves/s",
+             precision="double", host="1 CPU core",
+             mean_iters=rec["iters_per_solve"])
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default=None,
+                    help="run only this metric group (reference_cpu | device)")
+    opts = ap.parse_args()
+
+    if opts.metric in (None, "reference_cpu"):
+        reference_cpu()
+        if opts.metric == "reference_cpu":
+            return
     import jax
     import jax.numpy as jnp
 
