@@ -87,6 +87,144 @@ class TestCheckpointResume:
         )
 
 
+class TestCheckpointValidation:
+    """Deployment-grade serialization: a corrupt, truncated, or mismatched
+    checkpoint fails loudly with the offending field named (the counterpart
+    of the reference's compile-time workspace/dims consistency,
+    codegen.cpp:131-160 + 322-479)."""
+
+    def _state(self):
+        return atm.set_x0(atm.init_state(12, 4, 10), jnp.ones(12))
+
+    def test_roundtrip_preserves_structure(self, tmp_path):
+        st = self._state()
+        p = tmp_path / "st.npz"
+        save_pytree(p, st)
+        st2 = load_like(p, atm.init_state(12, 4, 10))
+        assert type(st2) is type(st)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            st, st2,
+        )
+
+    def test_manifest_readable(self, tmp_path):
+        from accelerated_tinympc_tpu.utils.serialization import read_manifest
+
+        p = tmp_path / "st.npz"
+        save_pytree(p, self._state())
+        m = read_manifest(p)
+        assert m["format_version"] >= 2
+        assert any("x" in ent["name"] for ent in m["leaves"])
+        assert all(ent["dtype"] == "float32" or "int" in ent["dtype"]
+                   for ent in m["leaves"])
+
+    def test_wrong_dims_template_fails(self, tmp_path):
+        p = tmp_path / "st.npz"
+        save_pytree(p, self._state())
+        with pytest.raises(ValueError, match="shape"):
+            load_like(p, atm.init_state(8, 2, 5))
+
+    def test_wrong_type_fails(self, tmp_path):
+        problem, cache, _ = quadrotor_hovering_setup()
+        p = tmp_path / "pc.npz"
+        save_pytree(p, cache)
+        with pytest.raises(ValueError):
+            load_like(p, atm.init_state(12, 4, 10))
+
+    def test_truncated_file_fails(self, tmp_path):
+        st = self._state()
+        p = tmp_path / "st.npz"
+        save_pytree(p, st)
+        # Rewrite the npz dropping one leaf but keeping the manifest.
+        d = dict(np.load(p))
+        keys = [k for k in d if k.startswith("leaf_")]
+        del d[keys[-1]]
+        np.savez(p, **d)
+        with pytest.raises(ValueError, match="missing|truncated"):
+            load_like(p, atm.init_state(12, 4, 10))
+
+    def test_no_manifest_fails(self, tmp_path):
+        p = tmp_path / "raw.npz"
+        np.savez(p, leaf_0=np.zeros(3))
+        with pytest.raises(ValueError, match="manifest"):
+            load_like(p, atm.init_state(12, 4, 10))
+
+    def test_problem_cache_dim_check(self, tmp_path):
+        from accelerated_tinympc_tpu.utils import (
+            load_problem_cache, save_problem_cache,
+        )
+
+        problem, cache, _ = quadrotor_hovering_setup()
+        p = tmp_path / "pc.npz"
+        save_problem_cache(p, problem, cache, atm.Settings())
+        p2, c2, s2 = load_problem_cache(p)  # clean load still works
+        assert p2.A.shape == (12, 12) and s2 is not None
+        # Corrupt: Kinf with the wrong dims for these dynamics.
+        d = dict(np.load(p))
+        del d["__manifest__"]
+        d["cache_Kinf"] = np.zeros((3, 7), np.float32)
+        np.savez(p, **d)
+        with pytest.raises(ValueError, match="Kinf"):
+            load_problem_cache(p)
+        # Corrupt: field missing entirely.
+        del d["cache_Pinf"]
+        np.savez(p, **d)
+        with pytest.raises(ValueError, match="Pinf"):
+            load_problem_cache(p)
+
+
+class TestCrossProcessResume:
+    """A checkpoint written by a separate OS process resumes bit-compatibly
+    in this one (SURVEY.md §5 checkpoint/resume — the reference's analogue
+    is codegen freezing state for another machine, codegen.cpp:322-479)."""
+
+    def test_subprocess_checkpoint_resumes(self, tmp_path):
+        import subprocess
+        import sys
+
+        ck = tmp_path / "ck.npz"
+        repo_root = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+        script = f"""
+import sys
+sys.path.insert(0, {repo_root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.api import mpc_rollout
+from accelerated_tinympc_tpu.models import quadrotor_hovering_setup
+from accelerated_tinympc_tpu.utils import save_pytree
+problem, cache, x0 = quadrotor_hovering_setup()
+settings = atm.Settings(max_iter=15, check_termination=0)
+st10, x10, _ = jax.jit(
+    lambda x: mpc_rollout(problem, cache, settings, x, 10)
+)(jnp.asarray(x0, jnp.float32))
+save_pytree({str(ck)!r}, (st10, x10))
+"""
+        subprocess.run([sys.executable, "-c", script], check=True,
+                       capture_output=True, text=True, timeout=600)
+
+        from accelerated_tinympc_tpu.api import mpc_rollout
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        settings = atm.Settings(max_iter=15, check_termination=0)
+        x0j = jnp.asarray(x0, jnp.float32)
+        _, xf_full, _ = jax.jit(
+            lambda x: mpc_rollout(problem, cache, settings, x, 20)
+        )(x0j)
+        template = (atm.init_state(12, 4, 10), x0j)
+        st_loaded, x_loaded = load_like(ck, template)
+        _, xf_resumed, _ = jax.jit(
+            lambda s, x: mpc_rollout(
+                problem, cache, settings, jnp.asarray(x), 10, state=s
+            )
+        )(jax.tree.map(jnp.asarray, st_loaded), x_loaded)
+        np.testing.assert_allclose(
+            np.asarray(xf_resumed), np.asarray(xf_full), rtol=0, atol=1e-6
+        )
+
+
 class TestFaultDetection:
     """Divergence surfaces as per-instance non-finite flags (SURVEY.md §5
     failure-detection row): an unstable plant with bounds disabled blows up
