@@ -12,6 +12,7 @@ from .batched_ops import (  # noqa: F401
     build_instance_ops,
     build_instance_ops_from_plants,
     solve_adaptive_rho_batched,
+    solve_adaptive_rho_chunked,
     solve_instance_ops,
 )
 from .assoc_scan import solve_assoc  # noqa: F401

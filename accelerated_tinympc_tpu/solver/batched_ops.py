@@ -564,3 +564,84 @@ def solve_adaptive_rho_batched(
     return AdaptiveRhoBatchedResult(
         state=st, rho=rho, cache=caches, rounds=rounds, total_iter=st.iter
     )
+
+
+def solve_adaptive_rho_chunked(
+    x0: jax.Array,
+    problem: Problem,
+    A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho0: jax.Array,
+    settings: Settings,
+    *,
+    batch_chunk: int = 4096,
+    cone_args=None,
+    **kwargs: Any,
+) -> AdaptiveRhoBatchedResult:
+    """Host-chunked dispatch of :func:`solve_adaptive_rho_batched` for
+    batches beyond a single dispatch's practical ceiling.
+
+    The einsum tier materializes O(Du*Dx) condensed operators per instance
+    (~13 kB at nx=12/nu=4/N=10, x3 transient sets inside a refresh round),
+    so one giant dispatch both exceeds the remote-compile payload ceiling
+    observed above B=4096 on the relay backend (BASELINE.md) and wastes HBM.
+    This wrapper splits the batch into ``batch_chunk``-sized dispatches (the
+    tail chunk padded by repeating instance 0, results dropped) and
+    concatenates per-instance results.
+
+    Semantics: instances adapt independently, instances solved in an earlier
+    round are frozen verbatim (see ``round_body``), and an unconverged
+    instance keeps its own chunk's round loop alive exactly as long as it
+    would the full batch's — so chunking is **bit-exact against any other
+    dispatch of the same chunk shape** (tested), and matches the one-call
+    full-batch result to f32 reassociation tolerance (XLA's lowering of the
+    batched contractions depends on the batch dimension, so residuals — and
+    hence adapted rho values on rescued instances — can drift at the last
+    ulp across dispatch shapes). Only the scalar ``rounds`` diagnostic is
+    chunk-local; it is returned as the max over chunks.
+
+    Not jittable (it is the dispatch split itself); each chunk compiles once
+    and reuses the executable. ``cone_args`` / batch-leading ``problem``
+    leaves / per-instance plants are sliced per chunk automatically.
+    """
+    batch = x0.shape[0]
+    if batch <= batch_chunk:
+        return solve_adaptive_rho_batched(
+            x0, problem, A, B, Q, R, rho0, settings,
+            cone_args=cone_args, **kwargs,
+        )
+
+    def take(tree, idx):
+        return jax.tree.map(
+            lambda v: v[idx]
+            if (hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == batch)
+            else v,
+            tree,
+        )
+
+    run = jax.jit(
+        lambda x0c, probc, Ac, Bc, Qc, Rc, rhoc, cac:
+        solve_adaptive_rho_batched(
+            x0c, probc, Ac, Bc, Qc, Rc, rhoc, settings,
+            cone_args=cac, **kwargs,
+        )
+    )
+    parts = []
+    for lo in range(0, batch, batch_chunk):
+        idx = jnp.arange(lo, lo + batch_chunk)
+        idx = jnp.where(idx < batch, idx, 0)   # tail pad: repeat instance 0
+        parts.append(run(
+            x0[idx], take(problem, idx), take(A, idx), take(B, idx),
+            take(Q, idx), take(R, idx), rho0[idx], take(cone_args, idx),
+        ))
+
+    def cat(trees):
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:batch], *trees
+        )
+
+    return AdaptiveRhoBatchedResult(
+        state=cat([p.state for p in parts]),
+        rho=cat([p.rho for p in parts]),
+        cache=cat([p.cache for p in parts]),
+        rounds=jnp.max(jnp.stack([p.rounds for p in parts])),
+        total_iter=cat([p.total_iter for p in parts]),
+    )

@@ -241,3 +241,61 @@ def test_instance_ops_cones(plants):
         )
     )(x0s, rho0)
     assert bool(jnp.all(res.state.solved)), np.asarray(res.total_iter)
+
+
+def test_adaptive_rho_chunked(plants):
+    """solve_adaptive_rho_chunked (VERDICT r2 #5: the >4096 dispatch-payload
+    cliff): bit-exact vs per-chunk dispatches of the same shape (incl. a
+    non-divisible padded tail), and matches the one-call full-batch result
+    to f32 reassociation tolerance."""
+    from accelerated_tinympc_tpu.solver import solve_adaptive_rho_chunked
+
+    problems, caches, prob_b, cache_b, x0s = plants
+    A = jnp.stack([p.A for p in problems])
+    Bm = jnp.stack([p.B for p in problems])
+    Q = jnp.stack([p.Q for p in problems])
+    R = jnp.stack([p.R for p in problems])
+    rho0 = jnp.asarray([1.0, 1.0, 1e-3, 1e-3, 1e3, 1e3], jnp.float32)
+    settings = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                            check_termination=1)
+    kw = dict(chunk=25, max_rounds=40)
+
+    # Bit-exactness vs manual same-shape dispatches (batch_chunk=3 divides).
+    part3 = solve_adaptive_rho_chunked(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings, batch_chunk=3, **kw,
+    )
+    run3 = jax.jit(
+        lambda x, pb, a, bm, q, r, rh: solve_adaptive_rho_batched(
+            x, pb, a, bm, q, r, rh, settings, **kw)
+    )
+    tk = lambda t, s: jax.tree.map(lambda v: v[s], t)
+    for s in (slice(0, 3), slice(3, 6)):
+        want = run3(x0s[s], tk(prob_b, s), A[s], Bm[s], Q[s], R[s], rho0[s])
+        np.testing.assert_array_equal(np.asarray(part3.rho[s]),
+                                      np.asarray(want.rho))
+        np.testing.assert_array_equal(np.asarray(part3.state.U[s]),
+                                      np.asarray(want.state.U))
+        np.testing.assert_array_equal(np.asarray(part3.total_iter[s]),
+                                      np.asarray(want.total_iter))
+
+    # Full-batch cross-check (different dispatch shape => f32 tolerance).
+    full = jax.jit(
+        lambda x, r: solve_adaptive_rho_batched(
+            x, prob_b, A, Bm, Q, R, r, settings, **kw)
+    )(x0s, rho0)
+    for bc in (3, 4):   # 4 exercises the padded tail (6 = 4 + 2pad)
+        part = solve_adaptive_rho_chunked(
+            x0s, prob_b, A, Bm, Q, R, rho0, settings,
+            batch_chunk=bc, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(part.state.solved),
+                                      np.asarray(full.state.solved))
+        np.testing.assert_allclose(np.asarray(part.rho),
+                                   np.asarray(full.rho), rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(part.state.U),
+                                   np.asarray(full.state.U),
+                                   rtol=0, atol=5e-3)
+        # Untouched (well-scaled) instances are unaffected by batch shape
+        # at the schedule level.
+        np.testing.assert_array_equal(np.asarray(part.total_iter[:2]),
+                                      np.asarray(full.total_iter[:2]))
