@@ -60,13 +60,55 @@ class TestHoveringAdaptive:
         (_, u0, _), want = run
         np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=U_TOL)
 
-    def test_iteration_counts_match(self, run):
-        # f32 vs f64 residuals can flip an occasional borderline termination
-        # check; demand exact agreement on >= 90% of ticks and off-by-few else.
+    def test_iteration_counts_track_f32(self, run):
+        # The f32 tier documents its drift envelope: f32-vs-double residuals
+        # can flip an occasional borderline termination check. The EXACT
+        # schedule-parity guarantee lives in TestAdaptiveScheduleExactF64
+        # below (matched precision).
         (_, _, iters), want = run
         agree = np.mean(iters == want["iters"])
         assert agree >= 0.9, (iters.tolist(), want["iters"].tolist())
         assert np.max(np.abs(iters - want["iters"])) <= 5
+
+
+class TestAdaptiveScheduleExactF64:
+    """At matched precision (x64 scan tier vs the double reference binary),
+    the adaptive termination schedule agrees EXACTLY on every tick — the
+    residual checks (reference: src/tinympc/admm.cpp:91-109) and early-exit
+    semantics leave no room for disagreement once the 1e-7-level f32 iterate
+    drift is removed. Retires the f32 tier's 10% knife-edge allowance as the
+    best available schedule-parity bound (VERDICT r2 #6)."""
+
+    def test_hovering_iteration_counts_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        with jax.enable_x64(True):
+            problem, cache, x0 = quadrotor_hovering_setup(dtype=jnp.float64)
+            settings = atm.Settings(max_iter=100, check_termination=1)
+            _, u0, iters = run_mpc_loop(
+                problem, cache, settings, x0, steps=70, dtype=jnp.float64
+            )
+        want = load_traj_csv("hovering_adaptive", 12, 4)
+        np.testing.assert_array_equal(iters, want["iters"])
+        np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=1e-9)
+
+    def test_tracking_iteration_counts_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        with jax.enable_x64(True):
+            problem, cache, x0, Xref_total = quadrotor_tracking_setup(
+                dtype=jnp.float64
+            )
+            settings = atm.Settings(max_iter=100, check_termination=1)
+            _, u0, iters = run_mpc_loop(
+                problem, cache, settings, x0, steps=290,
+                Xref_total=Xref_total, dtype=jnp.float64,
+            )
+        want = load_traj_csv("tracking_adaptive", 12, 4)
+        np.testing.assert_array_equal(iters, want["iters"])
+        np.testing.assert_allclose(u0, want["u0"], rtol=0, atol=1e-9)
 
 
 class TestFirstSolveWorkspace:
