@@ -350,3 +350,68 @@ def test_generated_adaptive_rho(tmp_path):
     lib.set_x0(x0.copy(), 0)
     flag = lib.call_tiny_solve_adaptive(25, 1500, 5.0, 1.5, 1e-2, 1e3, 0)
     assert flag == 0, "adaptive rescue failed in the generated binary"
+
+
+def test_c_callable_codegen(tmp_path):
+    """The C-ABI tiny_codegen shim (native/src/tiny_codegen_c.cpp; reference
+    signature codegen.hpp:10-15): a C++ main mirroring the reference's
+    codegen_cartpole.cpp drives generation end-to-end, and the emitted
+    project is identical to one generated by the Python entry with the same
+    arguments (the shim is a faithful marshalling layer, not a fork)."""
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    exe = tmp_path / "codegen_cartpole_host"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17",
+         str(repo / "native/examples/codegen_cartpole_host.cpp"),
+         str(repo / "native/src/tiny_codegen_c.cpp"), "-o", str(exe)],
+        check=True, capture_output=True,
+    )
+    out_c = tmp_path / "from_c"
+    res = subprocess.run(
+        [str(exe), str(repo), str(out_c)],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "TINYMPC_PYTHON": sys.executable},
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    assert "HOORAY" in res.stdout
+
+    # Same generation driven from Python (reference data/settings of
+    # codegen_cartpole.cpp:17-38,50-60; col-major A transposed to row-major).
+    A = np.array([
+        [1.0, 0.0, 0.0, 0.0],
+        [0.01, 1.0, 0.0, 0.0],
+        [2.2330083403300767e-5, 0.004466210576510177,
+         1.0002605176397052, 0.05210579005928538],
+        [7.443037974683548e-8, 2.2330083403300767e-5,
+         0.01000086835443038, 1.0002605176397052],
+        # .copy(): C-order like the CLI path — BLAS picks layout-dependent
+        # dgemm paths, and an F-order view drifts the Riccati at 1e-13.
+    ]).T.copy()
+    B = np.array([7.468368562730335e-5, 0.014936765390161838,
+                  3.79763323185387e-5, 0.007595596218554721]).reshape(4, 1)
+    out_py = tmp_path / "from_py"
+    tiny_codegen(
+        A, B, np.array([10.0, 1.0, 10.0, 1.0]), np.array([1.0]),
+        rho=0.1, horizon=10, output_dir=out_py,
+        x_min=-5.0, x_max=5.0, u_min=-5.0, u_max=5.0,
+        settings=atm.Settings(abs_pri_tol=1e-3, abs_dua_tol=1e-3,
+                              max_iter=100, check_termination=1),
+        gen_wrapper=True, augment_Q=True, scalar_type="float",
+    )
+    files_c = sorted(p.relative_to(out_c) for p in out_c.rglob("*")
+                     if p.is_file())
+    files_py = sorted(p.relative_to(out_py) for p in out_py.rglob("*")
+                      if p.is_file())
+    assert files_c == files_py and files_c
+    for rel in files_c:
+        assert (out_c / rel).read_bytes() == (out_py / rel).read_bytes(), rel
+
+    # And the C-generated project actually builds and runs.
+    binary = build_project(out_c)
+    run = subprocess.run(
+        [str(binary), "0", "0", "0.1", "0", "30"],
+        capture_output=True, text=True, check=True,
+    )
+    assert len(run.stdout.strip().splitlines()) == 30
