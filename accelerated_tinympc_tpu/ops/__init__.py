@@ -27,3 +27,11 @@ from .stream_admm import (  # noqa: F401
     pad_stream_problem,
     stream_solve,
 )
+from .hstream_admm import (  # noqa: F401
+    HStreamProblem,
+    gather_hstream,
+    hstream_carry_zeros,
+    hstream_solve,
+    pad_hstream_from_plants,
+    pad_hstream_problem,
+)

@@ -1,0 +1,611 @@
+"""Heterogeneous streaming Pallas kernel: per-instance plants at long horizons.
+
+Fills the one empty cell in the kernel-family matrix: :mod:`.hetero_admm`
+holds every knot in VMEM (distinct plants, short horizons) and
+:mod:`.stream_admm` streams long horizons for one shared plant (MXU matmuls
+shared across lanes). Fleets of *distinct* plants over long horizons get
+neither. This kernel combines the two designs:
+
+* **Plants resident, knots streamed.** The per-lane plant/cache tensors are
+  tiny (~1.8 KB/instance — A, B, Kinf, Quu_inv, AmBKt and friends in the
+  hetero tier's transposed-3D ``(r_in, r_out, LANES)`` packing) and load into
+  VMEM once per batch tile; the O(N) iterate arrays live in HBM in the
+  streaming tier's ``(NT, N, S, LANES)`` layout and flow through the same
+  double-buffered async-DMA phase machinery as :mod:`.stream_admm` (which
+  see for the traffic table — identical here, plus nothing: the plant adds
+  no per-iteration traffic).
+* **Sweeps on the VPU.** With a different matrix in every lane there is
+  nothing for the MXU's systolic array to share, so the two horizon
+  recurrences of each iteration (reference: src/tinympc/admm.cpp:27-37
+  forward rollout, :15-22 backward gradient recursion) advance knot by knot
+  as per-lane matvecs (:func:`.hetero_admm._dotb` full-width FMA trees),
+  fused with the slack projection (admm.cpp:45-61), dual ascent (:67-71)
+  and linear-cost refresh (:77-85) exactly as in both parents.
+* **Per-instance rho** rides as resident ``(S, LANES)`` rows (each lane its
+  own penalty — the hetero tier's convention), used by the dual-residual
+  stats and the r/q rebuilds.
+
+The reference anchors: the sequential horizon recurrences admm.cpp:17,29
+crossed with one-problem-per-process tiny_wrapper.hpp:6 — this kernel runs
+a *fleet* of those processes per chip at horizons the VMEM-resident tier
+cannot hold.
+
+Fixed-iteration mode only (like the streaming parent); early termination at
+segment granularity is :func:`..solver.cascade.hstream_cascade_solve`.
+Bounds are per-instance but time-uniform (resident ``(S, LANES)`` rows —
+per-knot bounds would stream two extra arrays per iteration; the hetero
+tier covers per-knot bounds at VMEM-resident horizons).
+
+Mosaic discipline (CLAUDE.md): batch on lanes, no lane-1 vectors, residual
+accumulators full ``(S, LANES)`` reduced once at the end, scalar masks as
+0/1 float multiplies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import Cache, Problem
+from .hetero_admm import (
+    LANES,
+    _dotb,
+    _lane_pack_mat,
+    _lane_pack_vec,
+    _pad8,
+    _project_soc_seg,
+    _repack_mat3,
+    _repack_rows,
+    _unpack_mat3,
+    _unpack_rows,
+)
+from .stream_admm import (
+    StreamCarry,
+    StreamResult,
+    _pack,
+    _unpack,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+# Max sublanes per streamed VMEM block (see the cap comment in
+# hstream_solve; tools/tpu_check_hstream.py probes above it on chip).
+KB_SUBLANE_CAP = 256
+
+# Buffer/channel ids — same pools as the streaming parent.
+_SU_D_IN, _SU_Y_IN, _SU_Y_OUT, _SU_Z_OUT, _SU_D_OUT, _SU_Z_IN = range(6)
+_SU_U_OUT = _SU_D_OUT
+_SX_G_IN, _SX_G_OUT, _SX_V_OUT, _SX_QC_IN, _SX_V_IN = range(5)
+_SX_X_OUT = _SX_QC_IN
+_IN_D, _IN_Y, _IN_G, _IN_Z, _IN_V, _IN_QC = range(6)
+_OUT_Y, _OUT_G, _OUT_Z, _OUT_V, _OUT_D, _OUT_U, _OUT_X = range(7)
+
+
+@struct.dataclass
+class HStreamProblem:
+    """Kernel-ready operands: plants lane-packed (hetero layout), per-knot
+    reference costs in the streaming layout. ``dims = (nx, nu, N)``."""
+
+    A3: jax.Array        # (NT*SX, SX, L)
+    B3: jax.Array        # (NT*SU, SX, L)
+    K3: jax.Array        # (NT*SX, SU, L)
+    Kt3: jax.Array       # (NT*SU, SX, L)
+    Quu3: jax.Array      # (NT*SU, SU, L)
+    Bt3: jax.Array       # (NT*SX, SU, L)
+    M3: jax.Array        # (NT*SX, SX, L)
+    u_min: jax.Array     # (NT*SU, L)  per-instance, time-uniform
+    u_max: jax.Array
+    x_min: jax.Array     # (NT*SX, L)
+    x_max: jax.Array
+    qc: jax.Array        # (NT, N, SX, L)  -(Q o Xref_i), streamed
+    pterm: jax.Array     # (NT*SX, L)      -Pinf^T Xref_{N-1}
+    rho_u: jax.Array     # (NT*SU, L)
+    rho_x: jax.Array     # (NT*SX, L)
+    dims: tuple = struct.field(pytree_node=False)  # (nx, nu, N)
+    batch: int = struct.field(pytree_node=False)
+
+    @property
+    def SX(self) -> int:
+        return self.A3.shape[1]
+
+    @property
+    def SU(self) -> int:
+        return self.Quu3.shape[1]
+
+    @property
+    def tiles(self) -> int:
+        return self.qc.shape[0]
+
+
+def _uniform_bound(b: jax.Array, knots: int, k: int, name: str) -> jax.Array:
+    """Accept ``(B, k)`` or time-uniform ``(B, knots, k)``; return (B, k)."""
+    b = jnp.asarray(b)
+    if b.ndim == 2:
+        return b
+    if b.ndim != 3:
+        raise ValueError(f"{name}: expected (B, {k}) or (B, {knots}, {k})")
+    if not isinstance(b, jax.core.Tracer):
+        bh = np.asarray(b)
+        if not np.all(bh == bh[:, :1]):
+            raise ValueError(
+                f"hstream tier needs time-uniform {name} (per-knot values "
+                "given; use the hetero tier at VMEM-resident horizons)"
+            )
+    return b[:, 0]
+
+
+def pad_hstream_problem(
+    problem: Problem, cache: Cache, dtype: Any = jnp.float32
+) -> HStreamProblem:
+    """Lane-pack batch-leading ``Problem``/``Cache`` pytrees (every leaf with
+    a leading batch axis) into hetero-streaming operands. Jittable (the
+    time-uniform bound validation only runs on concrete inputs)."""
+    Bn = problem.A.shape[0]
+    nx = problem.A.shape[-1]
+    nu = problem.B.shape[-1]
+    N = problem.Xref.shape[-2]
+    SX, SU = _pad8(nx), _pad8(nu)
+    nt = -(-Bn // LANES)
+    f = lambda a: jnp.asarray(a, dtype)
+
+    qc = -(f(problem.Xref) * f(problem.Q)[:, None, :])          # (B, N, nx)
+    pterm = -jnp.einsum(
+        "bi,bij->bj", f(problem.Xref[:, -1]), f(cache.Pinf), precision=_HI,
+    )
+    rho = f(cache.rho).reshape(Bn)[:, None]
+
+    def pkb(b, k, S, name):
+        return _lane_pack_vec(f(_uniform_bound(b, N, k, name)), S, nt)
+
+    return HStreamProblem(
+        A3=_lane_pack_mat(f(problem.A), SX, SX, nt),
+        B3=_lane_pack_mat(f(problem.B), SU, SX, nt),
+        K3=_lane_pack_mat(f(cache.Kinf), SX, SU, nt),
+        Kt3=_lane_pack_mat(jnp.swapaxes(f(cache.Kinf), -1, -2), SU, SX, nt),
+        Quu3=_lane_pack_mat(f(cache.Quu_inv), SU, SU, nt),
+        Bt3=_lane_pack_mat(jnp.swapaxes(f(problem.B), -1, -2), SX, SU, nt),
+        M3=_lane_pack_mat(f(cache.AmBKt), SX, SX, nt),
+        u_min=pkb(problem.u_min, nu, SU, "u_min"),
+        u_max=pkb(problem.u_max, nu, SU, "u_max"),
+        x_min=pkb(problem.x_min, nx, SX, "x_min"),
+        x_max=pkb(problem.x_max, nx, SX, "x_max"),
+        qc=_pack(qc, Bn, SX),
+        pterm=_lane_pack_vec(pterm, SX, nt),
+        rho_u=_lane_pack_vec(jnp.broadcast_to(rho, (Bn, nu)), SU, nt),
+        rho_x=_lane_pack_vec(jnp.broadcast_to(rho, (Bn, nx)), SX, nt),
+        dims=(nx, nu, N),
+        batch=Bn,
+    )
+
+
+def pad_hstream_from_plants(
+    A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho: jax.Array,
+    problem: Problem, dtype: Any = jnp.float32, riccati: str = "auto",
+) -> tuple[HStreamProblem, Cache]:
+    """On-device build from raw plants: batched Riccati caches (reference
+    math: src/tinympc/codegen.cpp:268-292) + lane packing. Jittable."""
+    nx = A.shape[-1]
+    use_kernel = riccati == "kernel" or (
+        riccati == "auto" and nx <= 16 and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from .riccati_kernel import riccati_cache_kernel
+
+        caches = riccati_cache_kernel(A, B, Q, R, rho)
+    else:
+        from ..precompute import riccati_cache_jax
+
+        caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
+    prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
+    return pad_hstream_problem(prob_b, caches, dtype), caches
+
+
+def hstream_carry_zeros(
+    batch: int, hsp: HStreamProblem, dtype=jnp.float32
+) -> StreamCarry:
+    """Cold-start carry in the streaming ``(NT, N, S, LANES)`` layout."""
+    return StreamCarry.zeros(batch, hsp, dtype)
+
+
+def gather_hstream(
+    hsp: HStreamProblem, carry: StreamCarry, x0: jax.Array, idx: jax.Array,
+) -> tuple[HStreamProblem, StreamCarry, jax.Array]:
+    """Gather instances ``idx`` into a fresh (smaller) packing — the
+    compaction primitive for :func:`..solver.cascade.hstream_cascade_solve`.
+    ``idx`` length must be a multiple of LANES. Jittable."""
+    SX, SU = hsp.SX, hsp.SU
+
+    def g_rows(p, S):
+        return _repack_rows(_unpack_rows(p, S)[idx], S)
+
+    def g_mat(p, R_in):
+        return _repack_mat3(_unpack_mat3(p, R_in)[idx])
+
+    def g4(p):
+        nt, N, S, L = p.shape
+        flat = p.transpose(0, 3, 1, 2).reshape(nt * L, N, S)[idx]
+        nt2 = idx.shape[0] // LANES
+        return flat.reshape(nt2, LANES, N, S).transpose(0, 2, 3, 1)
+
+    hsp2 = HStreamProblem(
+        A3=g_mat(hsp.A3, SX), B3=g_mat(hsp.B3, SU), K3=g_mat(hsp.K3, SX),
+        Kt3=g_mat(hsp.Kt3, SU), Quu3=g_mat(hsp.Quu3, SU),
+        Bt3=g_mat(hsp.Bt3, SX), M3=g_mat(hsp.M3, SX),
+        u_min=g_rows(hsp.u_min, SU), u_max=g_rows(hsp.u_max, SU),
+        x_min=g_rows(hsp.x_min, SX), x_max=g_rows(hsp.x_max, SX),
+        qc=g4(hsp.qc), pterm=g_rows(hsp.pterm, SX),
+        rho_u=g_rows(hsp.rho_u, SU), rho_x=g_rows(hsp.rho_x, SX),
+        dims=hsp.dims, batch=int(idx.shape[0]),
+    )
+    carry2 = jax.tree.map(g4, carry)
+    return hsp2, carry2, x0[idx]
+
+
+def _kernel(
+    x0_ref,
+    a3, b3, k3, kt3, quu3, bt3, m3,
+    umin_ref, umax_ref, xmin_ref, xmax_ref,
+    pterm_ref, rhou_ref, rhox_ref,
+    qc_ref, d_in, y_in, g_in, z_in, v_in,
+    d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
+    su_buf, sx_buf, sems_in, sems_out,
+    *, max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (),
+):
+    """One batch tile's full fixed-iteration solve: the streaming parent's
+    phase machinery (see stream_admm._kernel) with the hetero parent's
+    per-lane VPU recurrences and resident per-instance operands."""
+    del d_in, y_in, g_in, z_in, v_in
+    t = pl.program_id(0)
+    NBL = N // Kb
+    f32 = jnp.float32
+    A3v, B3v, K3v = a3[:], b3[:], k3[:]
+    Kt3v, Quu3v, Bt3v, M3v = kt3[:], quu3[:], bt3[:], m3[:]
+    rho_u = rhou_ref[:]      # (SU, L) per-instance penalties
+    rho_x = rhox_ref[:]      # (SX, L)
+
+    def dma_su(buf, ch, hbm, b, s, out: bool):
+        sem = (sems_out if out else sems_in).at[ch, s]
+        blk = hbm.at[t, pl.ds(b * Kb, Kb)]
+        v = su_buf.at[buf, s]
+        return pltpu.make_async_copy(*((v, blk) if out else (blk, v)), sem)
+
+    def dma_sx(buf, ch, hbm, b, s, out: bool):
+        sem = (sems_out if out else sems_in).at[ch, s]
+        blk = hbm.at[t, pl.ds(b * Kb, Kb)]
+        v = sx_buf.at[buf, s]
+        return pltpu.make_async_copy(*((v, blk) if out else (blk, v)), sem)
+
+    def phase(ins, outs, compute, carry0, reverse: bool):
+        def blk_of(j):
+            return NBL - 1 - j if reverse else j
+
+        def start_in(j, s):
+            for pool, buf, ch, hbm in ins:
+                pool(buf, ch, hbm, blk_of(j), s, out=False).start()
+
+        def wait_in(j, s):
+            for pool, buf, ch, hbm in ins:
+                pool(buf, ch, hbm, blk_of(j), s, out=False).wait()
+
+        def start_out(j, s):
+            for pool, buf, ch, hbm in outs:
+                pool(buf, ch, hbm, blk_of(j), s, out=True).start()
+
+        def wait_out(j, s):
+            for pool, buf, ch, hbm in outs:
+                pool(buf, ch, hbm, blk_of(j), s, out=True).wait()
+
+        start_in(0, 0)
+
+        def body(j, carry):
+            s = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < NBL)
+            def _():
+                start_in(j + 1, 1 - s)
+
+            wait_in(j, s)
+
+            @pl.when(j >= 2)
+            def _():
+                wait_out(j - 2, s)
+
+            carry = compute(blk_of(j), s, carry)
+            start_out(j, s)
+            return carry
+
+        carry = jax.lax.fori_loop(0, NBL, body, carry0)
+        for j in (NBL - 2, NBL - 1):
+            if j >= 0:
+                wait_out(j, j % 2)
+        return carry
+
+    def clip_u(a):
+        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+        for cone in ucones:
+            a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
+        return a
+
+    def clip_x(a):
+        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+        for cone in xcones:
+            a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
+        return a
+
+    fwd_ins = [
+        (dma_su, _SU_D_IN, _IN_D, d_hbm),
+        (dma_su, _SU_Y_IN, _IN_Y, y_hbm),
+        (dma_sx, _SX_G_IN, _IN_G, g_hbm),
+    ]
+    fwd_outs = [
+        (dma_su, _SU_Y_OUT, _OUT_Y, y_hbm),
+        (dma_sx, _SX_G_OUT, _OUT_G, g_hbm),
+        (dma_su, _SU_Z_OUT, _OUT_Z, z_hbm),
+        (dma_sx, _SX_V_OUT, _OUT_V, v_hbm),
+    ]
+
+    def make_fwd(final: bool):
+        """Forward rollout (admm.cpp:27-37) fused with slack projection
+        (:45-61), dual ascent (:67-71) and slack save (:141-142); per-lane
+        plant matvecs instead of the parent's shared-plant matmuls.
+
+        Block-level IO: each streamed array is read/written as ONE
+        ``(Kb, S, L)`` ref access per block, with the per-knot loop running
+        on values (per-knot dynamic-slot ref ops measured ~15x whole-kernel
+        on chip — Mosaic serializes them; hetero-kernel-style value code
+        vectorizes)."""
+
+        def compute(b, s, carry):
+            if final:
+                x, ax, av, au, az = carry
+            else:
+                x = carry
+            d_blk = su_buf[_SU_D_IN, s]
+            yin_blk = su_buf[_SU_Y_IN, s]
+            gin_blk = sx_buf[_SX_G_IN, s]
+            if final:
+                zin_blk = su_buf[_SU_Z_IN, s]
+                vin_blk = sx_buf[_SX_V_IN, s]
+            ys, zs, gs, vs, us, xs = [], [], [], [], [], []
+            for i in range(Kb):
+                gi = b * Kb + i
+                w = (gi < N - 1).astype(f32)
+                u_i = -_dotb(K3v, x) - d_blk[i]
+                su = u_i + yin_blk[i]
+                zn = clip_u(su)
+                ys.append((su - zn) * w)
+                zs.append(zn * w)
+                tx = x + gin_blk[i]
+                vn = clip_x(tx)
+                gs.append(tx - vn)
+                vs.append(vn)
+                if final:
+                    us.append(u_i * w)
+                    xs.append(x)
+                    ax = jnp.maximum(ax, jnp.abs(x - vn))
+                    av = jnp.maximum(av, jnp.abs(vin_blk[i] - vn))
+                    au = jnp.maximum(au, jnp.abs(u_i - zn) * w)
+                    az = jnp.maximum(az, jnp.abs(zin_blk[i] - zn * w))
+                x = _dotb(A3v, x) + _dotb(B3v, u_i)
+            su_buf[_SU_Y_OUT, s] = jnp.stack(ys)
+            su_buf[_SU_Z_OUT, s] = jnp.stack(zs)
+            sx_buf[_SX_G_OUT, s] = jnp.stack(gs)
+            sx_buf[_SX_V_OUT, s] = jnp.stack(vs)
+            if final:
+                su_buf[_SU_U_OUT, s] = jnp.stack(us)
+                sx_buf[_SX_X_OUT, s] = jnp.stack(xs)
+                return x, ax, av, au, az
+            return x
+
+        return compute
+
+    def bwd_compute(b, s, p):
+        """Backward gradient recursion (admm.cpp:15-22, coeff_d2p dropped as
+        there) with r/q rebuilt from the streamed post-dual-update iterates
+        (admm.cpp:80-82) and the terminal costate refresh (:83-84) on the
+        first processed block; per-instance rho rows. Block-level IO as in
+        make_fwd."""
+        yin_blk = su_buf[_SU_Y_IN, s]
+        zin_blk = su_buf[_SU_Z_IN, s]
+        gin_blk = sx_buf[_SX_G_IN, s]
+        vin_blk = sx_buf[_SX_V_IN, s]
+        qc_blk = sx_buf[_SX_QC_IN, s]
+        is_last_block = (b == NBL - 1).astype(f32)
+        p_term = pterm_ref[:] - rho_x * (vin_blk[Kb - 1] - gin_blk[Kb - 1])
+        p = is_last_block * p_term + (1.0 - is_last_block) * p
+        ds = [None] * Kb
+        for i in reversed(range(Kb)):
+            gi = b * Kb + i
+            w = (gi < N - 1).astype(f32)
+            r_i = -rho_u * (zin_blk[i] - yin_blk[i])
+            q_i = qc_blk[i] - rho_x * (vin_blk[i] - gin_blk[i])
+            ds[i] = _dotb(Quu3v, _dotb(Bt3v, p) + r_i) * w
+            p_new = q_i + _dotb(M3v, p) - _dotb(Kt3v, r_i)
+            p = w * p_new + (1.0 - w) * p
+        su_buf[_SU_D_OUT, s] = jnp.stack(ds)
+        return p
+
+    bwd_ins = [
+        (dma_su, _SU_Y_IN, _IN_Y, y_hbm),
+        (dma_su, _SU_Z_IN, _IN_Z, z_hbm),
+        (dma_sx, _SX_G_IN, _IN_G, g_hbm),
+        (dma_sx, _SX_V_IN, _IN_V, v_hbm),
+        (dma_sx, _SX_QC_IN, _IN_QC, qc_ref),
+    ]
+    bwd_outs = [(dma_su, _SU_D_OUT, _OUT_D, d_hbm)]
+
+    x0 = x0_ref[:]
+    zx = x0 * 0.0
+
+    def iter_body(_, k):
+        phase(fwd_ins, fwd_outs, make_fwd(final=False), x0, reverse=False)
+        phase(bwd_ins, bwd_outs, bwd_compute, zx, reverse=True)
+        return k
+
+    jax.lax.fori_loop(0, max_iter - 1, iter_body, 0)
+
+    fin_ins = fwd_ins + [
+        (dma_su, _SU_Z_IN, _IN_Z, z_hbm),
+        (dma_sx, _SX_V_IN, _IN_V, v_hbm),
+    ]
+    fin_outs = fwd_outs + [
+        (dma_su, _SU_U_OUT, _OUT_U, U_hbm),
+        (dma_sx, _SX_X_OUT, _OUT_X, X_hbm),
+    ]
+    zu = su_buf[_SU_D_IN, 0, 0] * 0.0
+    _x, ax, av, au, az = phase(
+        fin_ins, fin_outs, make_fwd(final=True),
+        (x0, zx, zx, zu, zu), reverse=False,
+    )
+    phase(bwd_ins, bwd_outs, bwd_compute, zx, reverse=True)
+
+    # Final-iteration residuals (admm.cpp:95-98), per-instance rho scaling.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    rho1 = rho_x[0:1, :]
+    p_s = jnp.max(ax, axis=0, keepdims=True)
+    d_s = rho1 * jnp.max(av, axis=0, keepdims=True)
+    p_u = jnp.max(au, axis=0, keepdims=True)
+    d_u = rho1 * jnp.max(az, axis=0, keepdims=True)
+    stats_ref[0] = (
+        (lane == 0).astype(f32) * float(max_iter)
+        + (lane == 2) * p_s + (lane == 3) * d_s
+        + (lane == 4) * p_u + (lane == 5) * d_u
+    ).astype(f32)
+
+
+def hstream_solve(
+    x0: jax.Array,
+    carry: StreamCarry,
+    hsp: HStreamProblem,
+    *,
+    max_iter: int = 100,
+    knot_block: int = 32,
+    en_state_bound: bool = True,
+    en_input_bound: bool = True,
+    interpret: bool = False,
+    cones=None,
+) -> StreamResult:
+    """Fixed-iteration heterogeneous-plant solve at streaming horizons.
+
+    ``x0 (B, nx)``; ``carry`` the packed warm-start iterates
+    (:class:`..ops.stream_admm.StreamCarry`, same layout). Per-instance
+    semantics match :func:`..solver.admm.solve` stage for stage (reference:
+    src/tinympc/admm.cpp:111-152) in fixed-iteration mode. ``cones`` is a
+    static ConeSet shared across the batch (the same in-kernel VPU
+    projection as both parent kernels)."""
+    nx, nu, N = hsp.dims
+    SX, SU = hsp.SX, hsp.SU
+    B = x0.shape[0]
+    NT = carry.d.shape[0]
+    if NT * LANES < B:
+        raise ValueError(f"carry holds {NT * LANES} instances < batch {B}")
+    if NT != hsp.tiles:
+        raise ValueError(
+            f"carry tiles ({NT}) != problem tiles ({hsp.tiles})"
+        )
+    # Cap the block so one streamed buffer stays <= KB_SUBLANE_CAP sublanes
+    # (Kb * max(SX, SU) <= 256). Above that, interpret-mode runs of this
+    # kernel show a small knot-block-dependent result drift once the
+    # iteration fori_loop wraps the phases (isolated empirically: exact to
+    # 1e-15 below the cap and at max_iter=1 above it; the shared-plant
+    # parent kernel with identical DMA machinery is immune, so per-lane
+    # operand count x giant unrolled graphs is implicated, not the phase
+    # logic). tools/tpu_check_hstream.py re-checks block invariance on the
+    # real chip (monkeypatch KB_SUBLANE_CAP to probe above it). Blocks this
+    # size already amortize DMA latency fine.
+    Kb = max(1, min(knot_block, N, KB_SUBLANE_CAP // max(SX, SU)))
+    while N % Kb:
+        Kb -= 1
+
+    x0p = _lane_pack_vec(jnp.asarray(x0, hsp.A3.dtype), SX, NT)
+
+    grid = (NT,)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, LANES), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec3(r_in, r_out):
+        return pl.BlockSpec((r_in, r_out, LANES), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec(SX),                                    # x0
+        spec3(SX, SX), spec3(SU, SX), spec3(SX, SU), spec3(SU, SX),
+        spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
+        spec(SU), spec(SU), spec(SX), spec(SX),      # bounds
+        spec(SX), spec(SU), spec(SX),                # pterm, rho_u, rho_x
+    ] + [any_spec] * 6                               # qc, d, y, g, z, v
+    out_specs = [any_spec] * 7 + [
+        pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    cdtype = carry.d.dtype
+    out_shape = [
+        jax.ShapeDtypeStruct(carry.d.shape, carry.d.dtype),
+        jax.ShapeDtypeStruct(carry.y.shape, carry.y.dtype),
+        jax.ShapeDtypeStruct(carry.g.shape, carry.g.dtype),
+        jax.ShapeDtypeStruct(carry.z.shape, carry.z.dtype),
+        jax.ShapeDtypeStruct(carry.v.shape, carry.v.dtype),
+        jax.ShapeDtypeStruct((NT, N, SU, LANES), cdtype),       # U
+        jax.ShapeDtypeStruct((NT, N, SX, LANES), cdtype),       # X
+        jax.ShapeDtypeStruct((NT, 8, LANES), jnp.float32),      # stats
+    ]
+    scratch = [
+        pltpu.VMEM((6, 2, Kb, SU, LANES), cdtype),
+        pltpu.VMEM((5, 2, Kb, SX, LANES), cdtype),
+        pltpu.SemaphoreType.DMA((6, 2)),
+        pltpu.SemaphoreType.DMA((7, 2)),
+    ]
+    kernel = functools.partial(
+        _kernel, max_iter=max_iter, Kb=Kb, N=N,
+        en_ib=en_input_bound, en_sb=en_state_bound,
+        ucones=tuple(cones.input_cones) if cones is not None else (),
+        xcones=tuple(cones.state_cones) if cones is not None else (),
+    )
+    su_b, sx_b = N * SU * LANES * 4, N * SX * LANES * 4
+    per_iter = NT * (4 * su_b + 2 * sx_b + 3 * sx_b + 2 * su_b)
+    # Per-lane VPU matvec flops per knot (2x SX^2 for A/AmBKt, 4x SX*SU for
+    # K/B/Bt/Kt, SU^2 for Quu_inv), utils/profiling.hstream_cost mirrors.
+    flops_knot = 2 * (2 * SX * SX + 4 * SX * SU + SU * SU)
+    cost = pl.CostEstimate(
+        flops=N * LANES * NT * max_iter * flops_knot,
+        bytes_accessed=per_iter * max_iter,
+        transcendentals=0,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases={16: 0, 17: 1, 18: 2, 19: 3, 20: 4},
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(
+        x0p,
+        hsp.A3, hsp.B3, hsp.K3, hsp.Kt3, hsp.Quu3, hsp.Bt3, hsp.M3,
+        hsp.u_min, hsp.u_max, hsp.x_min, hsp.x_max,
+        hsp.pterm, hsp.rho_u, hsp.rho_x,
+        hsp.qc, carry.d, carry.y, carry.g, carry.z, carry.v,
+    )
+    d, y, g, z, v, Up, Xp, stats_p = outs
+    return StreamResult(
+        U=_unpack(Up, B, nu)[:, : N - 1],
+        X=_unpack(Xp, B, nx),
+        carry=StreamCarry(d=d, y=y, g=g, z=z, v=v),
+        stats=stats_p.transpose(0, 2, 1).reshape(NT * LANES, 8)[:B],
+    )

@@ -259,7 +259,7 @@ def _kernel(
     NBL = N // Kb
     f32 = jnp.float32
     dot = functools.partial(
-        jnp.dot, preferred_element_type=f32, precision=_HI
+        jnp.dot, preferred_element_type=A_ref.dtype, precision=_HI
     )
     rho = rho_ref[0, 0]
     A, Bm, K = A_ref[:], B_ref[:], K_ref[:]
@@ -461,9 +461,9 @@ def _kernel(
     d_u = rho * jnp.max(az, axis=0, keepdims=True)
     stats_ref[0] = (
         (lane == 0).astype(f32) * float(max_iter)
-        + (lane == 2).astype(f32) * p_s + (lane == 3).astype(f32) * d_s
-        + (lane == 4).astype(f32) * p_u + (lane == 5).astype(f32) * d_u
-    )
+        + (lane == 2) * p_s + (lane == 3) * d_s
+        + (lane == 4) * p_u + (lane == 5) * d_u
+    ).astype(f32)
 
 
 def _pack(a: jax.Array, B: int, S: int) -> jax.Array:
@@ -531,19 +531,20 @@ def stream_solve(
         vmem((SX, LANES), cmap2), vmem((SX, LANES), cmap2),     # x bounds
     ] + [any_spec] * 5                                          # d y g z v
     out_specs = [any_spec] * 7 + [vmem((1, 8, LANES), lambda i: (i, 0, 0))]
+    cdtype = carry.d.dtype
     out_shape = [
         jax.ShapeDtypeStruct(carry.d.shape, carry.d.dtype),
         jax.ShapeDtypeStruct(carry.y.shape, carry.y.dtype),
         jax.ShapeDtypeStruct(carry.g.shape, carry.g.dtype),
         jax.ShapeDtypeStruct(carry.z.shape, carry.z.dtype),
         jax.ShapeDtypeStruct(carry.v.shape, carry.v.dtype),
-        jax.ShapeDtypeStruct((NT, N, SU, LANES), jnp.float32),  # U
-        jax.ShapeDtypeStruct((NT, N, SX, LANES), jnp.float32),  # X
+        jax.ShapeDtypeStruct((NT, N, SU, LANES), cdtype),       # U
+        jax.ShapeDtypeStruct((NT, N, SX, LANES), cdtype),       # X
         jax.ShapeDtypeStruct((NT, 8, LANES), jnp.float32),      # stats
     ]
     scratch = [
-        pltpu.VMEM((6, 2, Kb, SU, LANES), jnp.float32),
-        pltpu.VMEM((5, 2, Kb, SX, LANES), jnp.float32),
+        pltpu.VMEM((6, 2, Kb, SU, LANES), cdtype),
+        pltpu.VMEM((5, 2, Kb, SX, LANES), cdtype),
         pltpu.SemaphoreType.DMA((6, 2)),
         pltpu.SemaphoreType.DMA((7, 2)),
     ]

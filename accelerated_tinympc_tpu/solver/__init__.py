@@ -16,7 +16,12 @@ from .batched_ops import (  # noqa: F401
     solve_instance_ops,
 )
 from .assoc_scan import solve_assoc  # noqa: F401
-from .cascade import cascade_solve  # noqa: F401
+from .cascade import (  # noqa: F401
+    cascade_solve,
+    hetero_cascade_solve,
+    hstream_cascade_solve,
+    stream_cascade_solve,
+)
 from .cones import (  # noqa: F401
     Cone,
     ConeSet,

@@ -772,3 +772,127 @@ def stream_cascade_solve(
     return U, X, stats, StreamCarry(
         d=packed[0], y=packed[1], g=packed[2], z=packed[3], v=packed[4],
     )
+
+
+# --------------------------------------------------------------- hstream ----
+
+@functools.lru_cache(maxsize=64)
+def _jit_hstream_segment(k, knot_block, en_ib, en_sb, interpret, cones):
+    from ..ops.hstream_admm import hstream_solve
+
+    def fn(x, c, hsp):
+        return hstream_solve(
+            x, c, hsp, max_iter=k, knot_block=knot_block,
+            en_input_bound=en_ib, en_state_bound=en_sb,
+            interpret=interpret, cones=cones,
+        )
+
+    return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_hstream_gather(interpret):
+    from ..ops.hstream_admm import gather_hstream
+
+    def fn(hsp, carry, x0, loc):
+        return gather_hstream(hsp, carry, x0, loc)
+
+    return fn if interpret else jax.jit(fn)
+
+
+def hstream_cascade_solve(
+    x0: jax.Array,
+    carry,
+    hsp,
+    *,
+    max_iter: int = 100,
+    segment_iters: int = 25,
+    segment_growth: float = 4.0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    knot_block: int = 16,
+    min_bucket: int | None = None,
+    interpret: bool = False,
+    cones=None,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+):
+    """Segment-level early termination for the heterogeneous streaming tier
+    (per-instance plants at long horizons): :func:`stream_cascade_solve`'s
+    dispatch-level cascade (which see for semantics — fixed segments, the
+    scan tier's convergence predicate at segment ends, reference
+    admm.cpp:99-105) with the survivors' *plant tensors* re-packed alongside
+    carries and x0 at each compaction (:func:`..ops.hstream_admm.gather_hstream`),
+    as in :func:`hetero_cascade_solve`. Default ``segment_growth=4`` for the
+    same reason as there: compactions re-pack plants, so fewer, longer late
+    segments win.
+
+    Returns ``(U, X, stats, carry)`` in original batch order; stats lane 0 =
+    iterations (segment-granular), lane 1 = solved flag, 2-5 = residuals at
+    the exit segment's final iteration.
+    """
+    from ..ops.hetero_admm import LANES
+    from ..ops.stream_admm import StreamCarry
+
+    if max_iter < 1 or segment_iters < 1:
+        raise ValueError("max_iter and segment_iters must be >= 1")
+    if segment_growth < 1.0:
+        raise ValueError("segment_growth must be >= 1.0")
+    B = x0.shape[0]
+    if min_bucket is None:
+        min_bucket = LANES
+    min_bucket = max(LANES, min_bucket)
+    pri = jnp.float32(abs_pri_tol)
+    dua = jnp.float32(abs_dua_tol)
+
+    def run(x, c, hp, k):
+        return _jit_hstream_segment(
+            k, knot_block, en_input_bound, en_state_bound, interpret, cones
+        )(x, c, hp)
+
+    active_idx = np.arange(B, dtype=np.int32)
+    x0_b, carry_b, hsp_b = x0, carry, hsp
+    done_iters = 0
+    cur_seg = segment_iters
+    gather = _jit_hstream_gather(interpret)
+    step = _jit_stream_step(interpret)
+    out = None
+
+    while True:
+        n_active = active_idx.size
+        k = min(cur_seg, max_iter - done_iters)
+        res = run(x0_b, carry_b, hsp_b, k)
+        done_iters += k
+        idx = np.full(res.stats.shape[0], B, np.int32)
+        idx[:n_active] = active_idx
+        if out is None:
+            out, solved_col = _jit_stream_init(interpret)(
+                res, jnp.asarray(idx), B, jnp.float32(done_iters), pri, dua
+            )
+        else:
+            out, solved_col = step(
+                out, res, jnp.asarray(idx), jnp.float32(done_iters), pri, dua
+            )
+        if done_iters >= max_iter:
+            break
+        solved = np.asarray(jax.device_get(solved_col))[:n_active]
+        keep = np.nonzero(~solved)[0]
+        if keep.size == 0:
+            break
+        cur_seg = int(cur_seg * segment_growth)
+        active_idx = active_idx[keep]
+        bucket = min(
+            -(-B // LANES) * LANES,
+            max(min_bucket, _next_pow2(-(-keep.size // LANES)) * LANES),
+        )
+        local = np.concatenate([
+            keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
+        ])
+        hsp_b, carry_b, x0_b = gather(
+            hsp_b, res.carry, x0_b, jnp.asarray(local)
+        )
+
+    U, X, stats, packed = _jit_stream_finalize(interpret)(out, B)
+    return U, X, stats, StreamCarry(
+        d=packed[0], y=packed[1], g=packed[2], z=packed[3], v=packed[4],
+    )
