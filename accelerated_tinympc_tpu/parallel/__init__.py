@@ -8,6 +8,7 @@ from .mesh import (  # noqa: F401
     shard_batch,
     sharded_fused_solve,
     sharded_hetero_solve,
+    sharded_hstream_solve,
     sharded_stream_solve,
     sharded_solve,
     summarize_stats,

@@ -276,6 +276,65 @@ def sharded_hetero_solve(
     return jax.jit(mapped)
 
 
+def sharded_hstream_solve(
+    mesh: Mesh,
+    *,
+    max_iter: int = 100,
+    knot_block: int = 16,
+    en_input_bound: bool = True,
+    en_state_bound: bool = True,
+    interpret: bool = False,
+    cones=None,
+):
+    """Heterogeneous streaming kernel per shard: per-instance plants at long
+    horizons (ops/hstream_admm.py), batch + plants sharded over the mesh on
+    the lane-tile axis, solve communication-free, residual stats psum'd.
+
+    Returns a jitted ``(x0s, carry, hsp) -> (StreamResult, stats)``. ``x0s``,
+    every carry leaf (``(NT, N, S, L)``), and every ``hsp`` array leaf shard
+    on their leading axis (the global tile count must divide by the mesh
+    size: pad the batch to a multiple of ``128 * n_devices``).
+    """
+    from ..ops.hstream_admm import hstream_solve
+
+    nd = mesh.devices.size
+
+    def shard_fn(x0s, carry, hsp):
+        hsp = hsp.replace(batch=hsp.batch // nd)
+        res = hstream_solve(
+            x0s, carry, hsp, max_iter=max_iter, knot_block=knot_block,
+            en_input_bound=en_input_bound, en_state_bound=en_state_bound,
+            interpret=interpret, cones=cones,
+        )
+        n_local = jnp.asarray(res.stats.shape[0], jnp.float32)
+        stats = {
+            "n_total": jax.lax.psum(n_local, BATCH_AXIS),
+            "primal_residual_state_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 2]), BATCH_AXIS
+            ),
+            "dual_residual_state_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 3]), BATCH_AXIS
+            ),
+            "primal_residual_input_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 4]), BATCH_AXIS
+            ),
+            "dual_residual_input_max": jax.lax.pmax(
+                jnp.max(res.stats[:, 5]), BATCH_AXIS
+            ),
+        }
+        return res, stats
+
+    batch_spec = P(BATCH_AXIS)
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec, batch_spec),
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_stream_solve(
     mesh: Mesh,
     *,

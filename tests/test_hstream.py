@@ -301,3 +301,42 @@ def test_hstream_cascade(setup):
     ok = (stats[:, 2] < 5e-3) & (stats[:, 4] < 5e-3) \
         & (stats[:, 3] < 5e-3) & (stats[:, 5] < 5e-3)
     np.testing.assert_array_equal(solved, ok)
+
+
+def test_sharded_hstream_solve(setup):
+    """Hetero-streaming kernel per shard over an 8-device mesh: batch AND
+    plants shard on the lane-tile axis; sharded == unsharded per-instance
+    numerics; residual stats psum'd."""
+    from accelerated_tinympc_tpu.ops.hetero_admm import LANES
+    from accelerated_tinympc_tpu.parallel import (
+        make_batch_mesh, shard_batch, sharded_hstream_solve,
+    )
+
+    nd = 8
+    Bn = LANES * nd
+    prob_s, cache_s = _make_fleet(n=32, batch=8)
+    reps = Bn // 8
+    tile = lambda t: jax.tree.map(
+        lambda a: jnp.tile(jnp.asarray(a),
+                           (reps,) + (1,) * (jnp.asarray(a).ndim - 1)),
+        t,
+    )
+    prob_b, cache_b = tile(prob_s), tile(cache_s)
+    hsp = pad_hstream_problem(prob_b, cache_b)
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.standard_normal((Bn, NX)) * 0.5, jnp.float32)
+    carry = hstream_carry_zeros(Bn, hsp)
+    want = hstream_solve(x0s, carry, hsp, max_iter=6, knot_block=16,
+                         interpret=True)
+
+    mesh = make_batch_mesh(nd)
+    solve = sharded_hstream_solve(mesh, max_iter=6, knot_block=16,
+                                  interpret=True)
+    got, stats = solve(
+        shard_batch(x0s, mesh), shard_batch(carry, mesh),
+        shard_batch(hsp, mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-6
+    )
+    assert float(stats["n_total"]) == Bn
