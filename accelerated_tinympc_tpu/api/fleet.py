@@ -89,6 +89,7 @@ class TinyMPCFleet:
         cone_axis=None,
         compaction_segment: int = 0,
         host_precompute: bool = False,
+        polish: bool = True,
     ) -> "TinyMPCFleet":
         """Construct from per-instance plants: ``A (B, nx, nx)``,
         ``B (B, nx, nu)``, ``Q (B, nx)`` / ``R (B, nu)`` raw cost diagonals
@@ -96,6 +97,12 @@ class TinyMPCFleet:
         Bounds are scalars or per-instance ``(B, k)`` arrays; enabled iff
         provided (the reference's nullptr-enable logic,
         codegen.cpp:227-243).
+
+        ``polish=True`` (default) runs the f64 fixed-point refinement on
+        the device-built caches (see precompute.riccati_polish_f64) so
+        fleet controls match f64-cache-driven controls within the 1e-4
+        parity bar; pass False to keep the raw f32 kernel caches (setup
+        latency over precision).
 
         ``cones`` adds static SOC constraints; ``cone_mu``/``cone_shift``
         (``(n_input_cones, B)``) override the parameters per instance and
@@ -160,6 +167,16 @@ class TinyMPCFleet:
             from ..precompute import riccati_cache_jax
 
             cache = jax.jit(jax.vmap(riccati_cache_jax))(A, Bm, Q, R, rho_b)
+        if polish and not host_precompute:
+            # f64 refinement to the true fixed point (tol 1e-9): device
+            # f32 builds land ~4e-5 off and drive controls ~7e-4 from the
+            # f64 gold standard — above the 1e-4 parity bar. The polished
+            # caches are the correctly-rounded f32 values of the true fixed
+            # point (precompute.riccati_polish_f64; BASELINE.md fleet
+            # precision note).
+            from ..precompute import riccati_polish_f64
+
+            cache = riccati_polish_f64(cache, A, Bm, Q, R, rho_b)
         settings = (settings or Settings()).replace(
             en_input_bound=en_input, en_state_bound=en_state
         )

@@ -404,6 +404,37 @@ def pad_hetero_problem(
     )
 
 
+def repack_hetero_caches(
+    hp: HeteroProblem, cache: Cache, Xref: jax.Array,
+) -> HeteroProblem:
+    """Re-pack only the cache-dependent kernel operands (K3, Kt3, Quu3, M3,
+    pterm, rho_u, rho_x) after a per-instance cache/rho refresh — the
+    adaptive-rho loop's repack (plants/bounds/qc unchanged, ~40% of a full
+    :func:`pad_hetero_problem`). ``cache`` batch-leading; ``Xref (B, N, nx)``
+    for the pterm rebuild. Jittable; deterministic, so instances whose cache
+    bits didn't change get identical operand bits."""
+    nx, nu, N = hp.dims
+    Bn = hp.batch
+    nt = hp.tiles
+    dtype = hp.A3.dtype
+    f = lambda a: jnp.asarray(a, dtype)
+    Kinf = f(cache.Kinf)
+    rho = f(cache.rho).reshape(Bn)[:, None]
+    pterm = -jnp.einsum(
+        "bi,bij->bj", f(Xref[:, -1]), f(cache.Pinf),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return hp.replace(
+        K3=_lane_pack_mat(Kinf, hp.SX, hp.SU, nt),
+        Kt3=_lane_pack_mat(jnp.swapaxes(Kinf, -1, -2), hp.SU, hp.SX, nt),
+        Quu3=_lane_pack_mat(f(cache.Quu_inv), hp.SU, hp.SU, nt),
+        M3=_lane_pack_mat(f(cache.AmBKt), hp.SX, hp.SX, nt),
+        pterm=_lane_pack_vec(pterm, hp.SX, nt),
+        rho_u=_lane_pack_vec(jnp.broadcast_to(rho, (Bn, nu)), hp.SU, nt),
+        rho_x=_lane_pack_vec(jnp.broadcast_to(rho, (Bn, nx)), hp.SX, nt),
+    )
+
+
 def pad_hetero_from_plants(
     A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho: jax.Array,
     problem: Problem, dtype: Any = jnp.float32, riccati: str = "auto",

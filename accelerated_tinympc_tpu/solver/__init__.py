@@ -5,6 +5,10 @@ lives in ops/fused_admm.py."""
 from . import admm  # noqa: F401
 from .admm import admm_iteration, solve  # noqa: F401
 from .adaptive_rho import AdaptiveRhoResult, solve_adaptive_rho  # noqa: F401
+from .adaptive_hetero import (  # noqa: F401
+    AdaptiveHeteroResult,
+    solve_adaptive_rho_hetero,
+)
 from .batched_ops import (  # noqa: F401
     AdaptiveRhoBatchedResult,
     InstanceOps,

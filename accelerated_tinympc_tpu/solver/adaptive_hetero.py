@@ -2,28 +2,30 @@
 
 :func:`.batched_ops.solve_adaptive_rho_batched` runs its iteration chunks on
 the per-instance-operator einsum tier — HBM-bound through ~45 KB of condensed
-operators per instance per iteration, ~100x slower than the plain adaptive
-hetero kernel (BASELINE.md). But a per-instance rho is *just a per-instance
-cache*, which is exactly :mod:`..ops.hetero_admm`'s layout: this module runs
-the same OSQP-style stall-guarded adaptation (reference rho-in-the-cache
-anchor: src/tinympc/codegen.cpp:254-292 bakes rho into Q1/R1 and the Riccati
-cache; the adaptation re-runs that bake per instance on device) with the
-iteration chunks on the hetero Pallas kernel and the cache refresh on the
-batched Pallas Riccati kernel (:mod:`..ops.riccati_kernel`).
+operators per instance per iteration. A per-instance rho is *just a
+per-instance cache*, which is exactly :mod:`..ops.hetero_admm`'s layout:
+this module runs the same OSQP-style stall-guarded adaptation (reference
+rho-in-the-cache anchor: src/tinympc/codegen.cpp:254-292 bakes rho into
+Q1/R1 and the Riccati cache; the adaptation re-runs that bake per instance
+on device) with the iteration chunks on the hetero Pallas kernel, the cache
+refresh on the batched Pallas Riccati kernel (:mod:`..ops.riccati_kernel`),
+and the operand repack limited to the cache-dependent fields
+(:func:`..ops.hetero_admm.repack_hetero_caches`).
 
-Round structure mirrors ``solve_adaptive_rho_batched`` exactly (chunked
-iterations with per-instance early-termination freezing, stall x imbalance
-guard, sqrt(pri/dua) rescale, dual rescale by rho_old/rho_new, warm-started
-refresh, instances solved in an earlier round frozen verbatim), so the
-adaptation schedules match the einsum tier's decision-for-decision (pinned in
-tests/test_adaptive_hetero.py); iterates agree to kernel-vs-einsum f32
-tolerance.
+**One dispatch.** The whole round loop lives in a single ``lax.while_loop``
+(both Pallas kernels trace fine inside it): on this deployment's relay
+backend every host dispatch costs ~30 ms — more than a round's actual
+compute — so host-orchestrated rounds can never beat the einsum tier's
+fused loop regardless of kernel speed (measured: 40 orchestrated rounds =
+1.6 s vs the einsum tier's 1.2 s at B=4096, both dominated by per-dispatch
+overhead; the fused form removes it).
 
-Host-orchestrated rounds (one jitted solve + one jitted decide/refresh per
-round, like the compaction cascades): adaptation needs the convergence set on
-the host anyway to stop early, and rounds are few (converged instances cost
-one re-dispatch each round — see ``solve_adaptive_rho_cascade``'s compaction
-variant for reclaiming even that).
+Round structure mirrors ``solve_adaptive_rho_batched`` decision-for-decision
+(chunked iterations with per-instance early-termination freezing, stall x
+imbalance guard, sqrt(pri/dua) rescale, dual rescale by rho_old/rho_new,
+warm-started refresh gated on any-changed, instances solved in an earlier
+round frozen verbatim) — pinned in tests/test_adaptive_hetero.py; iterates
+agree to kernel-vs-einsum f32 tolerance.
 """
 
 from __future__ import annotations
@@ -33,7 +35,6 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..types import Cache, Problem, Settings
 
@@ -47,7 +48,7 @@ class AdaptiveHeteroResult(NamedTuple):
     cache: Cache            # batch-leading caches at the final rho
     solved: jax.Array       # (B,) bool
     total_iter: jax.Array   # (B,) int32
-    rounds: int
+    rounds: jax.Array       # () int32
     carry: Any              # lane-packed HeteroCarry (warm-start ready)
 
 
@@ -56,71 +57,121 @@ def _expand_row(row: jax.Array, reps: int) -> jax.Array:
     return jnp.repeat(row, reps, axis=0)
 
 
-@functools.lru_cache(maxsize=8)
-def _jit_round(chunk, check_every, pri_tol, dua_tol, en_ib, en_sb,
-               interpret, cones, has_cp, has_cm):
-    from ..ops.hetero_admm import hetero_solve
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "max_rounds", "adapt_factor", "stall_factor", "rho_min",
+        "rho_max", "riccati", "interpret", "cones", "settings",
+    ),
+)
+def solve_adaptive_rho_hetero(
+    x0: jax.Array,
+    problem: Problem,
+    A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho0: jax.Array,
+    settings: Settings,
+    *,
+    chunk: int = 25,
+    max_rounds: int = 40,
+    adapt_factor: float = 5.0,
+    stall_factor: float = 1.5,
+    rho_min: float = 1e-2,
+    rho_max: float = 1e3,
+    riccati: str = "auto",
+    interpret: bool = False,
+    cones=None,
+    cone_params: jax.Array | None = None,
+    cone_masks: jax.Array | None = None,
+) -> AdaptiveHeteroResult:
+    """OSQP-style per-instance rho adaptation, fully fused (see module
+    docstring). Arguments mirror
+    :func:`.batched_ops.solve_adaptive_rho_batched` (``A/B/Q/R (B, ...)``
+    per-instance plants, ``rho0 (B,)``, ``problem`` batch-leading
+    bounds/Xref); ``cones`` + hetero-layout ``cone_params``/``cone_masks``
+    add the kernel's in-VMEM SOC projections. Jittable end to end."""
+    from ..ops.hetero_admm import (
+        HeteroCarry, _lane_pack_vec, hetero_solve, pad_hetero_problem,
+        repack_hetero_caches,
+    )
 
-    def fn(x0, carry, hp, cp, cm):
+    batch = x0.shape[0]
+    nx, nu = A.shape[-1], B.shape[-1]
+    N = problem.Xref.shape[-2]
+    m = N - 1
+    nt = -(-batch // LANES)
+    check_every = max(1, settings.check_termination)
+    use_kernel = riccati == "kernel" or (
+        riccati == "auto" and nx <= 16 and jax.default_backend() == "tpu"
+    )
+
+    def build_caches(rho, warm=None):
+        if use_kernel:
+            from ..ops.riccati_kernel import riccati_cache_kernel
+
+            return riccati_cache_kernel(
+                A, B, Q, R, rho,
+                P0=warm.Pinf if warm is not None else None,
+                K0=warm.Kinf if warm is not None else None,
+                interpret=interpret,
+            )
+        from ..precompute import riccati_cache_jax
+
+        if warm is None:
+            return jax.vmap(riccati_cache_jax)(A, B, Q, R, rho)
+        return jax.vmap(
+            lambda a, b, q, r, p, P0, K0: riccati_cache_jax(
+                a, b, q, r, p, P0=P0, K0=K0
+            )
+        )(A, B, Q, R, rho, warm.Pinf, warm.Kinf)
+
+    prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
+    rho0 = jnp.asarray(rho0, jnp.float32)
+    caches0 = build_caches(rho0)
+    hp0 = pad_hetero_problem(prob_b, caches0)
+    SU, SX = hp0.SU, hp0.SX
+
+    def run_chunk(carry, hp):
         return hetero_solve(
             x0, carry, hp, max_iter=chunk, check_termination=check_every,
-            abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
-            en_input_bound=en_ib, en_state_bound=en_sb,
+            abs_pri_tol=settings.abs_pri_tol,
+            abs_dua_tol=settings.abs_dua_tol,
+            en_input_bound=settings.en_input_bound,
+            en_state_bound=settings.en_state_bound,
             interpret=interpret, cones=cones,
-            cone_params=cp if has_cp else None,
-            cone_masks=cm if has_cm else None,
+            cone_params=cone_params, cone_masks=cone_masks,
         )
 
-    return fn if interpret else jax.jit(fn)
+    def pick_rows(mask_f32, S):
+        return _expand_row(_lane_pack_vec(mask_f32[:, None], 1, nt), S)
 
+    def sel(msk, a, b):
+        return a * msk + b * (1.0 - msk)
 
-@functools.lru_cache(maxsize=8)
-def _jit_decide(adapt_factor, stall_factor, rho_min, rho_max, riccati_kernel,
-                interpret):
-    """One dispatch per round: freeze solved instances into the running
-    result, apply the stall x imbalance guard, rescale rho + duals, refresh
-    caches (warm) where rho changed, re-pack the kernel problem."""
-    from ..ops.hetero_admm import _lane_pack_vec, pad_hetero_problem
-
-    def fn(res, prob_b, caches, rho, prev_max, solved_in, iter_in,
-           acc, nt, dims):
-        nx, nu, N = dims
-        m = N - 1
+    def body(st):
+        (rnd, hp, carry, caches, rho, prev_max, solved_in, iters, acc) = st
+        res = run_chunk(carry, hp)
         stats = res.stats
         solved_now = stats[:, 1] > 0.5
         pri = jnp.maximum(stats[:, 2], stats[:, 4])
         dua = jnp.maximum(stats[:, 3], stats[:, 5])
 
-        # Freeze instances solved in an *earlier* round verbatim (the
+        # Instances solved in an earlier round stay frozen verbatim (the
         # kernel re-solves them from the warm carry; discard that).
-        def pick_rows(S):
-            mrow = _lane_pack_vec(
-                solved_in.astype(jnp.float32)[:, None], 1, nt
-            )
-            return _expand_row(mrow, S)
-
-        def sel(msk, a, b):
-            return a * msk + b * (1.0 - msk)
-
-        mu = pick_rows(m * (caches.Kinf.shape[-2] and 0) + 0)  # placeholder
-        del mu
-        carry = res.carry
-        SU = carry.d.shape[0] // (nt * m)
-        SX = carry.g.shape[0] // (nt * N)
-        mu_u = pick_rows(m * SU)
-        mu_x = pick_rows(N * SX)
-        carry = carry.replace(
-            d=sel(mu_u, acc["d"], carry.d), y=sel(mu_u, acc["y"], carry.y),
-            g=sel(mu_x, acc["g"], carry.g), z=sel(mu_u, acc["z"], carry.z),
-            v=sel(mu_x, acc["v"], carry.v),
+        sin = solved_in.astype(jnp.float32)
+        mu_u = pick_rows(sin, m * SU)
+        mu_x = pick_rows(sin, N * SX)
+        carry = res.carry.replace(
+            d=sel(mu_u, acc["d"], res.carry.d),
+            y=sel(mu_u, acc["y"], res.carry.y),
+            g=sel(mu_x, acc["g"], res.carry.g),
+            z=sel(mu_u, acc["z"], res.carry.z),
+            v=sel(mu_x, acc["v"], res.carry.v),
         )
         U = jnp.where(solved_in[:, None, None], acc["U"], res.U)
         X = jnp.where(solved_in[:, None, None], acc["X"], res.X)
         r_pri = jnp.where(solved_in, acc["pri"], pri)
         r_dua = jnp.where(solved_in, acc["dua"], dua)
         iters = jnp.where(
-            solved_in, iter_in,
-            iter_in + stats[:, 0].astype(jnp.int32),
+            solved_in, iters, iters + stats[:, 0].astype(jnp.int32)
         )
         solved = solved_in | solved_now
 
@@ -138,139 +189,62 @@ def _jit_decide(adapt_factor, stall_factor, rho_min, rho_max, riccati_kernel,
         changed = new_rho != rho
         prev_max = jnp.where(changed, jnp.inf, max_res)
 
-        # Dual rescale by rho_old/rho_new (lane-packed carry layout).
+        # Dual rescale by rho_old/rho_new (lane-packed layout).
         scale = jnp.where(changed, rho / new_rho, jnp.ones_like(rho))
-        srow = _lane_pack_vec(scale[:, None], 1, nt)
         carry = carry.replace(
-            y=carry.y * _expand_row(srow, m * SU),
-            g=carry.g * _expand_row(srow, N * SX),
+            y=carry.y * pick_rows(scale, m * SU),
+            g=carry.g * pick_rows(scale, N * SX),
         )
 
-        # Warm cache refresh where rho changed; unchanged instances keep
-        # their cache bits (masked select), so the re-pack reproduces their
-        # operands verbatim.
-        if riccati_kernel:
-            from ..ops.riccati_kernel import riccati_cache_kernel
-
-            new_caches = riccati_cache_kernel(
-                prob_b.A, prob_b.B, prob_b.Q, prob_b.R, new_rho,
-                P0=caches.Pinf, K0=caches.Kinf,
+        # Warm cache refresh + cache-only repack, skipped bit-stably when no
+        # instance's rho changed this round.
+        def refresh():
+            new_caches = build_caches(new_rho, warm=caches)
+            kept = jax.tree.map(
+                lambda n, o: jnp.where(
+                    changed.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                new_caches, caches,
             )
-        else:
-            from ..precompute import riccati_cache_jax
+            return repack_hetero_caches(hp, kept, prob_b.Xref), kept
 
-            new_caches = jax.vmap(
-                lambda a, b, q, r, p, P0, K0: riccati_cache_jax(
-                    a, b, q, r, p, P0=P0, K0=K0
-                )
-            )(prob_b.A, prob_b.B, prob_b.Q, prob_b.R, new_rho,
-              caches.Pinf, caches.Kinf)
-        caches = jax.tree.map(
-            lambda n, o: jnp.where(
-                changed.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
-            ),
-            new_caches, caches,
+        hp2, caches2 = jax.lax.cond(
+            jnp.any(changed), refresh, lambda: (hp, caches)
         )
-        hp = pad_hetero_problem(prob_b, caches)
         acc = {
             "d": carry.d, "y": carry.y, "g": carry.g, "z": carry.z,
             "v": carry.v, "U": U, "X": X, "pri": r_pri, "dua": r_dua,
         }
-        return (hp, carry, caches, new_rho, prev_max, solved, iters, acc)
+        return (rnd + 1, hp2, carry, caches2, new_rho, prev_max, solved,
+                iters, acc)
 
-    if interpret:
-        return fn
-    return jax.jit(fn, static_argnames=("nt", "dims"))
+    def cond(st):
+        rnd, solved = st[0], st[6]
+        return jnp.logical_and(rnd < max_rounds, jnp.any(~solved))
 
-
-def solve_adaptive_rho_hetero(
-    x0: jax.Array,
-    problem: Problem,
-    A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho0: jax.Array,
-    settings: Settings,
-    *,
-    chunk: int = 25,
-    max_rounds: int = 40,
-    adapt_factor: float = 5.0,
-    stall_factor: float = 1.5,
-    rho_min: float = 1e-2,
-    rho_max: float = 1e3,
-    riccati: str = "auto",
-    interpret: bool = False,
-    cones=None,
-    cone_params=None,
-    cone_masks=None,
-) -> AdaptiveHeteroResult:
-    """OSQP-style per-instance rho adaptation with the iteration chunks on
-    the hetero Pallas kernel (see module docstring).
-
-    Arguments mirror :func:`.batched_ops.solve_adaptive_rho_batched`
-    (``A/B/Q/R (B, ...)`` per-instance plants, ``rho0 (B,)``, ``problem``
-    batch-leading bounds/Xref); ``cones`` + hetero-layout ``cone_params`` /
-    ``cone_masks`` add the kernel's in-VMEM SOC projections. Not jittable
-    (host-orchestrated rounds); each round is two dispatches.
-    """
-    from ..ops.hetero_admm import HeteroCarry, pad_hetero_problem
-
-    batch = x0.shape[0]
-    nx, nu = A.shape[-1], B.shape[-1]
-    N = problem.Xref.shape[-2]
-    nt = -(-batch // LANES)
-    check_every = max(1, settings.check_termination)
-    use_kernel = riccati == "kernel" or (
-        riccati == "auto" and nx <= 16 and jax.default_backend() == "tpu"
-    )
-
-    if use_kernel:
-        from ..ops.riccati_kernel import riccati_cache_kernel
-
-        caches = riccati_cache_kernel(A, B, Q, R, rho0)
-    else:
-        from ..precompute import riccati_cache_jax
-
-        caches = jax.vmap(riccati_cache_jax)(A, B, Q, R, rho0)
-    prob_b = problem.replace(A=A, B=B, Q=Q, R=R)
-    hp = jax.jit(pad_hetero_problem)(prob_b, caches)
-
-    run = _jit_round(
-        chunk, check_every, float(settings.abs_pri_tol),
-        float(settings.abs_dua_tol), bool(settings.en_input_bound),
-        bool(settings.en_state_bound), interpret, cones,
-        cone_params is not None, cone_masks is not None,
-    )
-    decide = _jit_decide(
-        float(adapt_factor), float(stall_factor), float(rho_min),
-        float(rho_max), use_kernel, interpret,
-    )
-
-    carry = HeteroCarry.zeros(hp)
-    rho = jnp.asarray(rho0, jnp.float32)
-    prev_max = jnp.full((batch,), jnp.inf, jnp.float32)
-    solved = jnp.zeros((batch,), bool)
-    iters = jnp.zeros((batch,), jnp.int32)
+    carry0 = HeteroCarry.zeros(hp0)
     zb = jnp.zeros((batch,), jnp.float32)
-    acc = {
-        "d": carry.d, "y": carry.y, "g": carry.g, "z": carry.z,
-        "v": carry.v,
-        "U": jnp.zeros((batch, N - 1, nu), jnp.float32),
+    acc0 = {
+        "d": carry0.d, "y": carry0.y, "g": carry0.g, "z": carry0.z,
+        "v": carry0.v,
+        "U": jnp.zeros((batch, m, nu), jnp.float32),
         "X": jnp.zeros((batch, N, nx), jnp.float32),
         "pri": zb, "dua": zb,
     }
-
-    rounds = 0
-    while rounds < max_rounds:
-        res = run(x0, carry, hp, cone_params, cone_masks)
-        (hp, carry, caches, rho, prev_max, solved, iters, acc) = decide(
-            res, prob_b, caches, rho, prev_max, solved, iters, acc,
-            nt=nt, dims=(nx, nu, N),
+    (rounds, _hp, _carry, caches, rho, _pm, solved, iters, acc) = (
+        jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), hp0, carry0, caches0, rho0,
+             jnp.full((batch,), jnp.inf, jnp.float32),
+             jnp.zeros((batch,), bool), jnp.zeros((batch,), jnp.int32),
+             acc0),
         )
-        rounds += 1
-        if bool(np.all(jax.device_get(solved))):
-            break
+    )
+    from ..ops.hetero_admm import HeteroCarry as _HC
 
     return AdaptiveHeteroResult(
         U=acc["U"], X=acc["X"], rho=rho, cache=caches, solved=solved,
         total_iter=iters, rounds=rounds,
-        carry=HeteroCarry(d=acc["d"], y=acc["y"], g=acc["g"], z=acc["z"],
-                          v=acc["v"]),
+        carry=_HC(d=acc["d"], y=acc["y"], g=acc["g"], z=acc["z"],
+                  v=acc["v"]),
     )

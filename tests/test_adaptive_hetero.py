@@ -1,0 +1,102 @@
+"""Adaptive rho at hetero-kernel speed (solver/adaptive_hetero.py): the
+OSQP-style per-instance adaptation of solve_adaptive_rho_batched with the
+iteration chunks on the hetero Pallas kernel (interpreted here; reference
+rho-bake anchor: src/tinympc/codegen.cpp:254-292)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import accelerated_tinympc_tpu as atm
+from accelerated_tinympc_tpu.models import random_lti_problem
+from accelerated_tinympc_tpu.precompute import riccati_cache
+from accelerated_tinympc_tpu.solver.adaptive_hetero import (
+    solve_adaptive_rho_hetero,
+)
+from accelerated_tinympc_tpu.solver.batched_ops import (
+    solve_adaptive_rho_batched,
+)
+
+B = 6
+NX, NU, N = 8, 3, 10
+
+
+@pytest.fixture(scope="module")
+def plants():
+    problems = []
+    for seed in range(B):
+        p, rho = random_lti_problem(seed=seed, nx=NX, nu=NU, horizon=N)
+        problems.append(p)
+    prob_b = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.standard_normal((B, NX)) * 0.4, jnp.float32)
+    A = jnp.stack([p.A for p in problems])
+    Bm = jnp.stack([p.B for p in problems])
+    Q = jnp.stack([p.Q for p in problems])
+    R = jnp.stack([p.R for p in problems])
+    return prob_b, A, Bm, Q, R, x0s
+
+
+def test_matches_einsum_tier_schedules(plants):
+    """The adaptation schedule (rounds, per-instance rho trajectory,
+    convergence set) matches solve_adaptive_rho_batched decision-for-
+    decision; iterates agree to kernel-vs-einsum f32 tolerance."""
+    prob_b, A, Bm, Q, R, x0s = plants
+    rho0 = jnp.asarray([1.0, 1.0, 1e-3, 1e-3, 1e3, 1e3], jnp.float32)
+    settings = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                            check_termination=1)
+    kw = dict(chunk=25, max_rounds=40)
+    want = jax.jit(
+        lambda x, r: solve_adaptive_rho_batched(
+            x, prob_b, A, Bm, Q, R, r, settings, riccati="vmap", **kw)
+    )(x0s, rho0)
+    got = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings,
+        riccati="vmap", interpret=True, **kw,
+    )
+    assert bool(jnp.all(got.solved))
+    np.testing.assert_array_equal(np.asarray(got.solved),
+                                  np.asarray(want.state.solved))
+    # Well-scaled instances: rho untouched, identical schedules.
+    np.testing.assert_allclose(np.asarray(got.rho[:2]), [1.0, 1.0])
+    # Rescued instances: same adaptation decisions (rho within kernel-vs-
+    # einsum residual noise), iteration counts in the same chunk rounds.
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(want.rho),
+                               rtol=5e-2)
+    got_rounds = np.ceil(np.asarray(got.total_iter) / kw["chunk"])
+    want_rounds = np.ceil(np.asarray(want.total_iter) / kw["chunk"])
+    np.testing.assert_array_equal(got_rounds, want_rounds)
+    # Controls agree at the adaptation tolerance scale.
+    U_want = np.asarray(want.state.U).reshape(B, N - 1, NU)
+    np.testing.assert_allclose(np.asarray(got.U), U_want, rtol=0, atol=5e-2)
+
+
+def test_rescues_misscaled(plants):
+    """Mis-scaled instances converge within a small multiple of the
+    well-scaled ones (the einsum tier's rescue property, at kernel speed);
+    without adaptation they do not converge in the same budget."""
+    prob_b, A, Bm, Q, R, x0s = plants
+    rho0 = jnp.asarray([1.0, 1.0, 1e-3, 1e-3, 1e3, 1e3], jnp.float32)
+    settings = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                            check_termination=1)
+    got = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings,
+        chunk=25, max_rounds=40, riccati="vmap", interpret=True,
+    )
+    assert bool(jnp.all(got.solved)), np.asarray(got.total_iter)
+    iters = np.asarray(got.total_iter, np.float64)
+    assert iters[2:].max() <= 8 * iters[:2].max() + 100
+
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        HeteroCarry, hetero_solve, pad_hetero_from_plants,
+    )
+
+    hp, _ = pad_hetero_from_plants(A, Bm, Q, R, rho0, prob_b,
+                                   riccati="vmap")
+    fixed = hetero_solve(
+        x0s, HeteroCarry.zeros(hp), hp,
+        max_iter=int(got.rounds) * 25, check_termination=1,
+        abs_pri_tol=0.02, abs_dua_tol=0.02, interpret=True,
+    )
+    assert not bool(jnp.all(fixed.stats[2:, 1] > 0.5))

@@ -262,3 +262,55 @@ def test_fleet_per_instance_cones_tiers_agree(plants):
     assert float(np.max(np.abs(
         np.asarray(fo.get_u()) - np.asarray(f0.get_u())
     ))) > 1e-4
+
+
+def test_fleet_cache_precision(plants):
+    """VERDICT r3 item 4: fleet controls driven by device-built (polished)
+    caches match controls driven by host-f64 caches at the same tol within
+    the 1e-4 parity bar (expected ~1e-6; the unpolished f32 caches miss the
+    bar at ~7e-4, BASELINE.md)."""
+    from accelerated_tinympc_tpu.precompute import riccati_cache
+
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=60, check_termination=0)
+    f_dev = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N,
+        u_min=-2.0, u_max=2.0, settings=sets, tier="hetero",
+        interpret=True, polish=True,
+    )
+    # Host gold standard at the polish's own tolerance (both sides converge
+    # to the true fixed point, so truncation offsets cancel).
+    caches = [
+        riccati_cache(A[b], Bm[b], Q[b], R[b], 1.0, tol=1e-9)
+        for b in range(B)
+    ]
+    cache_host = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *caches
+    )
+    f_host = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N,
+        u_min=-2.0, u_max=2.0, settings=sets, tier="hetero",
+        interpret=True, host_precompute=True,
+    )
+    # swap in the tol-1e-9 host caches (host_precompute uses tol 1e-5)
+    f_host.cache = cache_host
+    f_host._build()
+
+    f_dev.set_x0(x0s)
+    f_host.set_x0(x0s)
+    f_dev.solve()
+    f_host.solve()
+    du = np.max(np.abs(np.asarray(f_dev.get_u()) - np.asarray(f_host.get_u())))
+    assert du < 1e-4, du
+
+    # And the unpolished build genuinely misses the bar (the polish is real).
+    f_raw = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N,
+        u_min=-2.0, u_max=2.0, settings=sets, tier="hetero",
+        interpret=True, polish=False,
+    )
+    f_raw.set_x0(x0s)
+    f_raw.solve()
+    du_raw = np.max(np.abs(np.asarray(f_raw.get_u())
+                           - np.asarray(f_host.get_u())))
+    assert du_raw > du, (du_raw, du)

@@ -73,6 +73,17 @@ def main() -> None:
     jax.jit(lambda a: (a @ a.T).sum())(jnp.ones((8, 128))).block_until_ready()
 
     def make(refresh, ric="vmap"):
+        if B > 4096:
+            # Above the einsum tier's one-dispatch ceiling: chunked dispatch
+            # (solver/batched_ops.solve_adaptive_rho_chunked).
+            from accelerated_tinympc_tpu.solver import (
+                solve_adaptive_rho_chunked,
+            )
+
+            return lambda x, r: solve_adaptive_rho_chunked(
+                x, prob_b, A, Bm, Q, R, r, settings, batch_chunk=4096,
+                chunk=chunk, max_rounds=40, refresh=refresh, riccati=ric,
+            )
         return jax.jit(
             lambda x, r: solve_adaptive_rho_batched(
                 x, prob_b, A, Bm, Q, R, r, settings,
@@ -91,6 +102,10 @@ def main() -> None:
     results = {}
     variants = [("cold", "vmap"), ("exact", "vmap"),
                 ("exact", "kernel"), ("first_order", "vmap")]
+    if B > 4096:
+        # vmap-refresh variants are impractically slow at this scale; keep
+        # the production einsum variant (chunk-dispatched) as the baseline.
+        variants = [("exact", "kernel")]
     for refresh, ric in variants:
         f = make(refresh, ric)
         res = jax.block_until_ready(f(x0s, rho0))  # compile + warm
@@ -104,12 +119,44 @@ def main() -> None:
               f"solves/s)  solved {solved:.1%}  rounds {rounds}  "
               f"adapted {n_adapted}/{B}  "
               f"iters p50={np.median(np.asarray(res.total_iter)):.0f}")
+    if ("exact", "vmap") in results:
+        du = float(np.max(np.abs(
+            np.asarray(results[("exact", "vmap")][1].state.U)
+            - np.asarray(results[("exact", "kernel")][1].state.U)
+        )))
+        sp = results[("exact", "vmap")][0] / results[("exact", "kernel")][0]
+        print(f"kernel-riccati vs vmap exact: speedup {sp:.2f}x  "
+              f"max|dU| {du:.2e}")
+
+    # --- adaptive rho at hetero-kernel speed (round 3) -----------------------
+    from accelerated_tinympc_tpu.solver.adaptive_hetero import (
+        solve_adaptive_rho_hetero,
+    )
+
+    res = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings,
+        chunk=chunk, max_rounds=40, riccati="kernel",
+    )  # compile + warm
+    t = best_of(lambda: solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings,
+        chunk=chunk, max_rounds=40, riccati="kernel",
+    ))
+    solved = float(np.asarray(res.solved).mean())
+    n_adapted = int((np.abs(np.log10(
+        np.asarray(res.rho) / np.asarray(rho0))) > 1e-6).sum())
+    print(f"{'hetero':12s}/{'kernel':6s}: {t * 1e3:8.2f} ms  "
+          f"({B / t:,.0f} adaptive solves/s)  solved {solved:.1%}  "
+          f"rounds {res.rounds}  adapted {n_adapted}/{B}  "
+          f"iters p50={np.median(np.asarray(res.total_iter)):.0f}")
+    ew = results[("exact", "kernel")][1]
     du = float(np.max(np.abs(
-        np.asarray(results[("exact", "vmap")][1].state.U)
-        - np.asarray(results[("exact", "kernel")][1].state.U)
-    )))
-    sp = results[("exact", "vmap")][0] / results[("exact", "kernel")][0]
-    print(f"kernel-riccati vs vmap exact: speedup {sp:.2f}x  max|dU| {du:.2e}")
+        np.asarray(res.U).reshape(B, -1) - np.asarray(ew.state.U))))
+    same_rounds = float(np.mean(
+        np.ceil(np.asarray(res.total_iter) / chunk)
+        == np.ceil(np.asarray(ew.total_iter) / chunk)))
+    sp = results[("exact", "kernel")][0] / t
+    print(f"hetero vs einsum exact/kernel: speedup {sp:.2f}x  "
+          f"max|dU| {du:.2e}  same-round fraction {same_rounds:.1%}")
 
 
 if __name__ == "__main__":
