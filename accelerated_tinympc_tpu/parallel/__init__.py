@@ -9,6 +9,7 @@ from .mesh import (  # noqa: F401
     sharded_fused_solve,
     sharded_hetero_solve,
     sharded_hstream_solve,
+    sharded_cascade_solve,
     sharded_stream_solve,
     sharded_solve,
     summarize_stats,

@@ -389,3 +389,183 @@ def sharded_stream_solve(
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def sharded_cascade_solve(
+    mesh: Mesh,
+    pp,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 1,
+    segment_iters: int | None = None,
+    segment_growth: float = 4.0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    batch_tile: int | None = None,
+    min_bucket: int | None = None,
+    interpret: bool = False,
+    segment_log: list | None = None,
+):
+    """Early-termination compaction cascade under a device mesh (the
+    reference's early exit, src/tinympc/admm.cpp:135-144, made mesh-level;
+    single-device semantics in :func:`..solver.cascade.cascade_solve`,
+    which see for the segment/scheduling contract — identical here).
+
+    Design: shard_map keeps every shard the same shape, so purely
+    *shard-local* compaction would let one straggler-heavy shard pin every
+    shard's bucket at its own survivor count. Instead the survivor set is
+    **rebalanced globally** between segments: one jitted gather pulls the
+    survivors (wherever they live) into the next, smaller, evenly-sharded
+    bucket — the few hard instances ride the interconnect so every shard
+    keeps an equal share of the remaining work; the kernel segments
+    themselves run communication-free under ``shard_map``. Survivor rows
+    are the only cross-shard traffic, and they shrink geometrically.
+
+    Returns a host-side callable ``run(x0, carry) -> FusedResult`` over
+    GLOBAL batch-leading arrays (``B`` divisible by the mesh size).
+    Iteration schedules compose exactly as in the single-device cascade;
+    controls match at its established 1e-4 lane-slot bound
+    (tests/test_sharded_cascade.py). ``segment_log`` (optional list)
+    records (iters_done, per-shard bucket) pairs — the reclaimed-compute
+    audit trail.
+    """
+    from ..ops.fused_admm import FusedCarry, FusedResult, fused_solve
+    from ..solver.cascade import _next_pow2
+
+    nd = mesh.devices.size
+    if check_termination <= 0:
+        raise ValueError("sharded cascade requires adaptive mode")
+    if segment_iters is None:
+        segment_iters = check_termination * max(
+            1, round(25 / check_termination)
+        )
+    if segment_iters % check_termination != 0:
+        raise ValueError(
+            "segment_iters must be a multiple of check_termination"
+        )
+    if segment_growth < 1.0:
+        raise ValueError("segment_growth must be >= 1.0")
+
+    batch_spec = P(BATCH_AXIS)
+    pri = jnp.float32(abs_pri_tol)
+    dua = jnp.float32(abs_dua_tol)
+    seg_cache: dict = {}
+
+    def seg(k, bt):
+        if (k, bt) not in seg_cache:
+            def shard_fn(x0s, carry):
+                return fused_solve(
+                    x0s, carry, pp, max_iter=k,
+                    check_termination=check_termination,
+                    abs_pri_tol=pri, abs_dua_tol=dua, batch_tile=bt,
+                    interpret=interpret,
+                )
+
+            mapped = jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(batch_spec, batch_spec),
+                out_specs=batch_spec, check_vma=False,
+            )
+            seg_cache[(k, bt)] = mapped if interpret else jax.jit(mapped)
+        return seg_cache[(k, bt)]
+
+    # Output buffers stay replicated: the scatter pulls each shard's
+    # segment rows home; survivor traffic shrinks geometrically.
+    repl = NamedSharding(mesh, P())
+
+    def _scatter(out, res, idx, off):
+        rows = ((res.U, res.X, res.stats.at[:, 0].add(off))
+                + tuple(res.carry))
+        out = tuple(
+            buf.at[idx].set(r, out_sharding=repl)
+            for buf, r in zip(out, rows)
+        )
+        return out, res.stats[:, 1]
+
+    def _scatter_init(res, idx, B, off):
+        rows = ((res.U, res.X, res.stats.at[:, 0].add(off))
+                + tuple(res.carry))
+        out = tuple(
+            jnp.zeros((B + 1, r.shape[1]), r.dtype).at[idx].set(
+                r, out_sharding=repl
+            )
+            for r in rows
+        )
+        return out, res.stats[:, 1]
+
+    bsh = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def _gather(x0_b, carry, loc):
+        # Survivors gather straight into the next batch-sharded bucket —
+        # the rebalancing collective.
+        g = lambda a: a.at[loc].get(out_sharding=bsh)
+        return g(x0_b), jax.tree.map(g, carry)
+
+    def _finalize(out, B):
+        return tuple(a[:B] for a in out)
+
+    # Only the Pallas segment needs the interpret no-jit policy; the
+    # scatter/gather/finalize steps are plain XLA and stay jitted (eager ops
+    # on shard_map outputs would need an ambient mesh context).
+    scatter = jax.jit(_scatter, donate_argnums=0)
+    scatter_init = jax.jit(_scatter_init, static_argnums=2)
+    gather = jax.jit(_gather)
+    finalize = jax.jit(_finalize, static_argnums=1)
+
+    def run(x0, carry):
+        B = x0.shape[0]
+        if B % nd:
+            raise ValueError(f"batch {B} must divide by mesh size {nd}")
+        bl = B // nd
+        mb = min_bucket if min_bucket is not None else min(128, bl)
+        bt0 = batch_tile if batch_tile is not None else min(512, bl)
+        active_idx = np.arange(B, dtype=np.int64)
+        x0_b = shard_batch(x0, mesh)
+        carry_b = shard_batch(carry, mesh)
+        out = None
+        done_iters = 0
+        cur_seg = segment_iters
+        while True:
+            n_active = active_idx.size
+            k = min(cur_seg, max_iter - done_iters)
+            bps = x0_b.shape[0] // nd  # per-shard bucket this segment
+            res = seg(k, min(bt0, bps))(x0_b, carry_b)
+            idx = np.full(res.stats.shape[0], B, np.int64)
+            idx[:n_active] = active_idx
+            if out is None:
+                out, solved_col = scatter_init(
+                    res, jnp.asarray(idx), B, jnp.float32(done_iters)
+                )
+            else:
+                out, solved_col = scatter(
+                    out, res, jnp.asarray(idx), jnp.float32(done_iters)
+                )
+            done_iters += k
+            if done_iters >= max_iter:
+                break
+            solved = np.asarray(jax.device_get(solved_col))[:n_active] > 0.5
+            keep = np.nonzero(~solved)[0]
+            if keep.size == 0:
+                break
+            cur_seg = max(
+                check_termination,
+                int(cur_seg * segment_growth)
+                // check_termination * check_termination,
+            )
+            active_idx = active_idx[keep]
+            # Global rebalance: next bucket = nd x pow2(per-shard share).
+            per_shard = min(bl, max(mb, _next_pow2(-(-keep.size // nd))))
+            bucket = per_shard * nd
+            local = np.concatenate([
+                keep, np.full(bucket - keep.size, keep[-1], keep.dtype),
+            ])
+            if segment_log is not None:
+                segment_log.append((done_iters, per_shard))
+            x0_b, carry_b = gather(x0_b, res.carry, jnp.asarray(local))
+
+        out = finalize(out, B)
+        return FusedResult(
+            U=out[0], X=out[1], carry=FusedCarry(*out[3:]), stats=out[2],
+        )
+
+    return run
