@@ -105,14 +105,46 @@ def main() -> None:
         return min(ts), ts
 
     # --- throughput vs batch, fixed 100 iterations (fused tier) -------------
+    best_fused = {}
     for B in (4096, 16384, 65536):
         x0s = perturbed(B)
         carry = FusedCarry.zeros(B, pp)
         f = jax.jit(lambda x, c: fused_solve(
             x, c, pp, max_iter=100, check_termination=0, batch_tile=512))
         best, _ = best_time(f, x0s, carry, reps=3)
+        best_fused[B] = best
         emit("fused_fixed100_solves_per_sec", round(B / best), "solves/s",
              batch=B)
+
+    # --- MFU / roofline audit (fused kernel family) --------------------------
+    # Useful = the reference math's 5 contractions per iteration
+    # (admm.cpp:15-37 folded, see utils/profiling.solver_cost); issued = the
+    # v2 kernel's 4 in-loop packed matmuls at their actual padded shapes,
+    # amortized over the g instances sharing each lane group. The share is
+    # lane-quantization-capped: every contraction dim <= 128 pads to 128,
+    # so share ~= useful / (padded ops / g) regardless of layout cleverness.
+    nx_, nu_, N_ = 12, 4, 10
+    Du_, Dx_ = (N_ - 1) * nu_, N_ * nx_
+    useful_per_iter = 2.0 * (3 * Du_ * Dx_ + 2 * Du_ * Du_)
+    mm_shapes = [pp.W_fd.shape, pp.W_gd.shape, pp.W_q.shape, pp.W_r.shape]
+    issued_per_iter = 2.0 * sum(r * c for r, c in mm_shapes) / pp.g
+    PEAK_BF16 = 197e12   # TPU v5e MXU peak (bf16), flop/s
+    B = 65536
+    iters = 100
+    sps = B / best_fused[B]
+    useful_fps = useful_per_iter * iters * sps
+    issued_fps = issued_per_iter * iters * sps
+    emit("fused_roofline", round(sps), "solves/s", batch=B,
+         useful_flops_per_sec=f"{useful_fps:.3e}",
+         issued_flops_per_sec=f"{issued_fps:.3e}",
+         useful_mfu_pct_bf16_peak=round(100 * useful_fps / PEAK_BF16, 2),
+         issued_pct_bf16_peak=round(100 * issued_fps / PEAK_BF16, 2),
+         useful_share_pct=round(100 * useful_per_iter / issued_per_iter, 1),
+         quantization_cap=(
+             "share <= useful / (sum(2*r*c for the g-packed in-loop "
+             f"matmuls)/g); padded shapes {mm_shapes} at g={pp.g} — any "
+             "contraction dim <= 128 pads to a full 128-lane MXU pass"
+         ))
 
     # --- adaptive-mode throughput (tol 0.05, <=400 iters) --------------------
     B = 4096
@@ -212,6 +244,22 @@ def main() -> None:
     hf = lambda: hetero_solve(hx0, HeteroCarry.zeros(hp), hp, max_iter=100)
     best, _ = best_time(lambda _x: hf().U, 0, reps=3)
     emit("hetero_solves_per_sec", round(Bh / best), "solves/s", batch=Bh)
+
+    # Hetero-family roofline audit: per-lane VPU FMAs (no MXU — a distinct
+    # matrix per lane has nothing for the systolic array to share).
+    from accelerated_tinympc_tpu.utils.profiling import hetero_cost
+
+    hc = hetero_cost(12, 4, 10, 100)
+    PEAK_VPU = 1.9e12   # v5e VPU: 8x128 lanes x 2 flop (FMA) x ~0.94 GHz
+    h_sps = Bh / best
+    emit("hetero_roofline", round(h_sps), "solves/s", batch=Bh,
+         vpu_flops_per_sec=f"{hc['vpu_flops'] * h_sps:.3e}",
+         useful_vpu_flops_per_sec=f"{hc['vpu_flops_useful'] * h_sps:.3e}",
+         issued_pct_vpu_peak=round(
+             100 * hc["vpu_flops"] * h_sps / PEAK_VPU, 2),
+         useful_pct_vpu_peak=round(
+             100 * hc["vpu_flops_useful"] * h_sps / PEAK_VPU, 2),
+         formula="time ~= vpu_flops * batch / peak_vpu (VPU-bound by design)")
 
     # Hetero + per-instance cone geometry (masked VPU projection): prices
     # the cone_masks operand against the plain hetero rate above.
