@@ -403,17 +403,48 @@ class TinyMPCFleet:
             raise RuntimeError("no solve yet")
         return self._last[1]
 
-    def solve_adaptive_rho(self, **kw) -> dict[str, Any]:
-        """Per-instance on-device rho adaptation
-        (:func:`..solver.batched_ops.solve_adaptive_rho_batched`); adopts
-        the adapted caches for subsequent solves. Any-tier: the refresh
-        machinery lives in the einsum tier; hetero rebuilds its packing
-        from the adapted caches."""
-        from ..solver.batched_ops import solve_adaptive_rho_batched
+    def solve_adaptive_rho(self, engine: str = "auto", **kw) -> dict[str, Any]:
+        """Per-instance on-device rho adaptation; adopts the adapted caches
+        for subsequent solves.
 
+        ``engine="einsum"`` runs the chunks on the per-instance-operator
+        tier (:func:`..solver.batched_ops.solve_adaptive_rho_batched`);
+        ``"hetero"`` on the fused single-dispatch hetero-kernel loop
+        (:func:`..solver.adaptive_hetero.solve_adaptive_rho_hetero` —
+        2.2-7.3x faster at matched batch on chip, BASELINE.md; identical
+        adaptation decisions, hetero-tier cone operands). ``"auto"`` picks
+        hetero on TPU for the hetero tier (per-instance ``cone_args``
+        overrides are einsum-only), einsum otherwise."""
         if self._x0 is None:
             raise RuntimeError("call set_x0 first")
         nx, nu, N = self.dims
+        use_hetero = engine == "hetero" or (
+            engine == "auto" and self.tier == "hetero"
+            and self.cone_args is None
+            and jax.default_backend() == "tpu"
+        )
+        if use_hetero:
+            from ..solver.adaptive_hetero import solve_adaptive_rho_hetero
+
+            res = solve_adaptive_rho_hetero(
+                self._x0, self.problem, self.problem.A, self.problem.B,
+                self.problem.Q, self.problem.R,
+                jnp.asarray(self.cache.rho, jnp.float32).reshape(-1),
+                self.settings, cones=self.cones,
+                cone_params=self.cone_params, cone_masks=self.cone_masks,
+                interpret=self.interpret, **kw,
+            )
+            self.cache = res.cache
+            self._build()
+            self._last = (res.U, res.X)
+            return {
+                "rho": np.asarray(res.rho),
+                "iterations": np.asarray(res.total_iter, np.int64),
+                "solved": np.asarray(res.solved),
+                "rounds": int(res.rounds),
+            }
+        from ..solver.batched_ops import solve_adaptive_rho_batched
+
         res = jax.jit(
             lambda x, r: solve_adaptive_rho_batched(
                 x, self.problem, self.problem.A, self.problem.B,

@@ -314,3 +314,31 @@ def test_fleet_cache_precision(plants):
     du_raw = np.max(np.abs(np.asarray(f_raw.get_u())
                            - np.asarray(f_host.get_u())))
     assert du_raw > du, (du_raw, du)
+
+
+def test_fleet_adaptive_rho_hetero_engine(plants):
+    """solve_adaptive_rho(engine='hetero') — the fused single-dispatch loop
+    (solver/adaptive_hetero.py) behind the fleet surface — agrees with the
+    einsum engine on adaptation decisions (rho, solved set, chunk rounds)."""
+    A, Bm, Q, R, x0s = plants
+    rho0 = np.concatenate([np.full(B // 2, 1.0), np.full(B - B // 2, 1e-3)])
+    sets = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                        check_termination=1)
+    outs = {}
+    for engine in ("einsum", "hetero"):
+        f = atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=rho0, horizon=N,
+            u_min=-2.0, u_max=2.0, settings=sets, tier="hetero",
+            interpret=True, polish=False,
+        )
+        f.set_x0(x0s)
+        outs[engine] = f.solve_adaptive_rho(
+            engine=engine, chunk=25, max_rounds=40, riccati="vmap",
+        )
+    e, h = outs["einsum"], outs["hetero"]
+    np.testing.assert_array_equal(e["solved"], h["solved"])
+    assert e["solved"].all()
+    np.testing.assert_allclose(e["rho"], h["rho"], rtol=5e-2)
+    np.testing.assert_array_equal(
+        np.ceil(e["iterations"] / 25), np.ceil(h["iterations"] / 25)
+    )
