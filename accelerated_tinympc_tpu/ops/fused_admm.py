@@ -939,6 +939,7 @@ def fused_solve(
     xref_q: jax.Array | None = None,
     pterm_c: jax.Array | None = None,
     algo: str = "f32",
+    polish: int = 8,
     cone_ops: FusedConeOps | None = None,
     cone_mu_u: jax.Array | None = None,
     cone_shift_u: jax.Array | None = None,
@@ -1208,7 +1209,8 @@ def fused_solve(
     if check_termination <= 0:
         kernel = functools.partial(
             _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret,
-            algo=algo, nc_u=nc_u, nc_x=nc_x, has_pu=has_pu, has_px=has_px,
+            algo=algo, polish=polish, nc_u=nc_u, nc_x=nc_x,
+            has_pu=has_pu, has_px=has_px,
         )
         scalar_args = (pp.rho,)
         scalar_specs = [smem_spec]
