@@ -185,6 +185,31 @@ def pad_hstream_problem(
     )
 
 
+def hstream_ref_vectors(
+    hsp: HStreamProblem, Q: jax.Array, Pinf: jax.Array, Xref: jax.Array,
+) -> HStreamProblem:
+    """Device-side rebuild of the reference-dependent operands for a new
+    horizon window — per-instance tracking at long horizons (the hstream
+    analogue of :func:`.stream_admm.stream_ref_vectors`; reference:
+    quadrotor_tracking.cpp:101 slides the window each tick). ``Q (B, nx)``
+    raw cost diagonals, ``Pinf (B, nx, nx)``, ``Xref (B, N, nx)`` the new
+    windows. Returns ``hsp`` with ``qc``/``pterm`` replaced; jittable,
+    nothing else is re-packed."""
+    nx, _nu, N = hsp.dims
+    Bn = hsp.batch
+    nt = hsp.tiles
+    dtype = hsp.qc.dtype
+    f = lambda a: jnp.asarray(a, dtype)
+    qc = -(f(Xref) * f(Q)[:, None, :])
+    pterm = -jnp.einsum(
+        "bi,bij->bj", f(Xref[:, -1]), f(Pinf), precision=_HI,
+    )
+    return hsp.replace(
+        qc=_pack(qc, Bn, hsp.SX),
+        pterm=_lane_pack_vec(pterm, hsp.SX, nt),
+    )
+
+
 def pad_hstream_from_plants(
     A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array, rho: jax.Array,
     problem: Problem, dtype: Any = jnp.float32, riccati: str = "auto",

@@ -340,3 +340,29 @@ def test_sharded_hstream_solve(setup):
         np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-6
     )
     assert float(stats["n_total"]) == Bn
+
+
+def test_hstream_ref_vectors_tracking(setup):
+    """Per-instance sliding reference windows (long-horizon fleet tracking):
+    rebuilding qc/pterm on device for a new window matches a fresh pack."""
+    prob_b, cache_b, hsp, x0s = setup
+    rng = np.random.default_rng(4)
+    Xref2 = jnp.asarray(rng.standard_normal((B, N, NX)) * 0.3, jnp.float32)
+    hsp2 = jax.jit(
+        lambda: pad_hstream_problem(prob_b.replace(Xref=Xref2), cache_b)
+    )()
+    from accelerated_tinympc_tpu.ops.hstream_admm import hstream_ref_vectors
+
+    hsp3 = jax.jit(
+        lambda: hstream_ref_vectors(hsp, prob_b.Q, cache_b.Pinf, Xref2)
+    )()
+    np.testing.assert_allclose(np.asarray(hsp3.qc), np.asarray(hsp2.qc),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hsp3.pterm),
+                               np.asarray(hsp2.pterm), rtol=0, atol=1e-6)
+    r2 = hstream_solve(x0s, hstream_carry_zeros(B, hsp2), hsp2,
+                       max_iter=8, knot_block=16, interpret=True)
+    r3 = hstream_solve(x0s, hstream_carry_zeros(B, hsp3), hsp3,
+                       max_iter=8, knot_block=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(r3.U), np.asarray(r2.U),
+                               rtol=0, atol=1e-6)
