@@ -829,7 +829,9 @@ def hstream_cascade_solve(
 
     Returns ``(U, X, stats, carry)`` in original batch order; stats lane 0 =
     iterations (segment-granular), lane 1 = solved flag, 2-5 = residuals at
-    the exit segment's final iteration.
+    the exit segment's final iteration. Schedules are exact per recorded
+    count; controls match the fixed-iteration solve at that count to f32
+    segment-handoff tolerance (tests/test_hstream.py).
     """
     from ..ops.hetero_admm import LANES
     from ..ops.stream_admm import StreamCarry
