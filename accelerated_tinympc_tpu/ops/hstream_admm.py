@@ -61,6 +61,7 @@ from .hetero_admm import (
     _lane_pack_vec,
     _pad8,
     _project_soc_seg,
+    _project_soc_seg_masked,
     _repack_mat3,
     _repack_rows,
     _unpack_mat3,
@@ -278,16 +279,49 @@ def _kernel(
     a3, b3, k3, kt3, quu3, bt3, m3,
     umin_ref, umax_ref, xmin_ref, xmax_ref,
     pterm_ref, rhou_ref, rhox_ref,
-    qc_ref, d_in, y_in, g_in, z_in, v_in,
-    d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
-    su_buf, sx_buf, sems_in, sems_out,
-    *, max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
-    ucones: tuple = (), xcones: tuple = (),
+    qc_ref, *rest,
+    max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
+    has_cmasks: bool = False, SX: int = 0, SU: int = 0,
 ):
     """One batch tile's full fixed-iteration solve: the streaming parent's
     phase machinery (see stream_admm._kernel) with the hetero parent's
-    per-lane VPU recurrences and resident per-instance operands."""
+    per-lane VPU recurrences and resident per-instance operands (including
+    optional per-instance cone parameters/geometry — the hetero kernel's
+    lane-packed cone operands, resident per tile)."""
+    i = 0
+    cp_ref = rest[i] if has_cparams else None
+    i += 1 if has_cparams else 0
+    cm_ref = rest[i] if has_cmasks else None
+    i += 1 if has_cmasks else 0
+    (d_in, y_in, g_in, z_in, v_in,
+     d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
+     su_buf, sx_buf, sems_in, sems_out) = rest[i:]
     del d_in, y_in, g_in, z_in, v_in
+    uparams = xparams = None
+    if cp_ref is not None:
+        cp = cp_ref[:]
+        uparams = [
+            (cp[c * 8:c * 8 + 1, :], cp[c * 8 + 1:c * 8 + 2, :])
+            for c in range(len(ucones))
+        ]
+        off = len(ucones)
+        xparams = [
+            (cp[(off + c) * 8:(off + c) * 8 + 1, :],
+             cp[(off + c) * 8 + 1:(off + c) * 8 + 2, :])
+            for c in range(len(xcones))
+        ]
+    umasks = xmasks = None
+    if cm_ref is not None:
+        cm = cm_ref[:]
+        off = 0
+        umasks, xmasks = [], []
+        for _ in ucones:
+            umasks.append((cm[off:off + SU], cm[off + SU:off + 2 * SU]))
+            off += 2 * SU
+        for _ in xcones:
+            xmasks.append((cm[off:off + SX], cm[off + SX:off + 2 * SX]))
+            off += 2 * SX
     t = pl.program_id(0)
     NBL = N // Kb
     f32 = jnp.float32
@@ -353,17 +387,30 @@ def _kernel(
                 wait_out(j, j % 2)
         return carry
 
+    def apply_cones(a, cone_list, params, masks):
+        for c, cone in enumerate(cone_list):
+            mu = sh = None
+            if params is not None:
+                mu, sh = params[c]
+            if masks is not None:
+                bm, am = masks[c]
+                a = _project_soc_seg_masked(
+                    a, a.shape[0], bm, am,
+                    float(cone.mu) if mu is None else mu,
+                    float(cone.shift) if sh is None else sh,
+                )
+            else:
+                a = _project_soc_seg(a, a.shape[0], a.shape[0], cone,
+                                     mu=mu, shift=sh)
+        return a
+
     def clip_u(a):
         a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
-        for cone in ucones:
-            a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
-        return a
+        return apply_cones(a, ucones, uparams, umasks)
 
     def clip_x(a):
         a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
-        for cone in xcones:
-            a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
-        return a
+        return apply_cones(a, xcones, xparams, xmasks)
 
     fwd_ins = [
         (dma_su, _SU_D_IN, _IN_D, d_hbm),
@@ -517,6 +564,8 @@ def hstream_solve(
     en_input_bound: bool = True,
     interpret: bool = False,
     cones=None,
+    cone_params: jax.Array | None = None,
+    cone_masks: jax.Array | None = None,
 ) -> StreamResult:
     """Fixed-iteration heterogeneous-plant solve at streaming horizons.
 
@@ -524,8 +573,12 @@ def hstream_solve(
     (:class:`..ops.stream_admm.StreamCarry`, same layout). Per-instance
     semantics match :func:`..solver.admm.solve` stage for stage (reference:
     src/tinympc/admm.cpp:111-152) in fixed-iteration mode. ``cones`` is a
-    static ConeSet shared across the batch (the same in-kernel VPU
-    projection as both parent kernels)."""
+    static ConeSet (the same in-kernel VPU projection as both parent
+    kernels); ``cone_params`` / ``cone_masks`` override the cones'
+    mu/shift and ball/axis geometry per instance — the hetero kernel's
+    lane-packed operands (:func:`.hetero_admm.pad_hetero_cone_params` /
+    ``pad_hetero_cone_masks``), resident per tile, so heterogeneous
+    constraint geometry costs nothing per iteration."""
     nx, nu, N = hsp.dims
     SX, SU = hsp.SX, hsp.SU
     B = x0.shape[0]
@@ -563,13 +616,32 @@ def hstream_solve(
         return pl.BlockSpec((r_in, r_out, LANES), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    has_cp = cone_params is not None
+    has_cm = cone_masks is not None
+    if (has_cp or has_cm) and cones is None:
+        raise ValueError("cone_params/cone_masks without cones")
+    n_cones = (
+        len(cones.input_cones) + len(cones.state_cones)
+        if cones is not None else 0
+    )
+    cp_args: tuple = ()
+    cp_specs: list = []
+    if has_cp:
+        cp_args += (cone_params,)
+        cp_specs += [spec(n_cones * 8)]
+    if has_cm:
+        mr = (2 * SU * len(cones.input_cones)
+              + 2 * SX * len(cones.state_cones))
+        cp_args += (cone_masks,)
+        cp_specs += [spec(mr)]
     in_specs = [
         spec(SX),                                    # x0
         spec3(SX, SX), spec3(SU, SX), spec3(SX, SU), spec3(SU, SX),
         spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
         spec(SU), spec(SU), spec(SX), spec(SX),      # bounds
         spec(SX), spec(SU), spec(SX),                # pterm, rho_u, rho_x
-    ] + [any_spec] * 6                               # qc, d, y, g, z, v
+        any_spec,                                    # qc
+    ] + cp_specs + [any_spec] * 5                    # d, y, g, z, v
     out_specs = [any_spec] * 7 + [
         pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -596,6 +668,7 @@ def hstream_solve(
         en_ib=en_input_bound, en_sb=en_state_bound,
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
+        has_cparams=has_cp, has_cmasks=has_cm, SX=SX, SU=SU,
     )
     su_b, sx_b = N * SU * LANES * 4, N * SX * LANES * 4
     per_iter = NT * (4 * su_b + 2 * sx_b + 3 * sx_b + 2 * su_b)
@@ -614,7 +687,9 @@ def hstream_solve(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        input_output_aliases={16: 0, 17: 1, 18: 2, 19: 3, 20: 4},
+        input_output_aliases={
+            16 + len(cp_args) + k: k for k in range(5)
+        },
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True,
@@ -625,7 +700,7 @@ def hstream_solve(
         hsp.A3, hsp.B3, hsp.K3, hsp.Kt3, hsp.Quu3, hsp.Bt3, hsp.M3,
         hsp.u_min, hsp.u_max, hsp.x_min, hsp.x_max,
         hsp.pterm, hsp.rho_u, hsp.rho_x,
-        hsp.qc, carry.d, carry.y, carry.g, carry.z, carry.v,
+        hsp.qc, *cp_args, carry.d, carry.y, carry.g, carry.z, carry.v,
     )
     d, y, g, z, v, Up, Xp, stats_p = outs
     return StreamResult(

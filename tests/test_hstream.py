@@ -375,3 +375,51 @@ def test_hstream_ref_vectors_tracking(setup):
                        max_iter=8, knot_block=16, interpret=True)
     np.testing.assert_allclose(np.asarray(r3.U), np.asarray(r2.U),
                                rtol=0, atol=1e-6)
+
+
+def test_hstream_per_instance_cones():
+    """Per-instance cone mu/shift AND ball/axis geometry in the hstream
+    kernel (the hetero kernel's lane-packed operands, resident per tile):
+    cross-kernel parity vs hetero_solve with identical operands at a
+    VMEM-resident horizon, and the overrides demonstrably bind (static-path
+    results differ)."""
+    from accelerated_tinympc_tpu.ops.hetero_admm import (
+        HeteroCarry, hetero_solve, pad_hetero_cone_masks,
+        pad_hetero_cone_params, pad_hetero_problem,
+    )
+    from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+    n, Bn, nu = 16, 5, 3
+    prob_b, cache_b = _make_fleet(n=n, batch=Bn, nu=nu, bound=2.0)
+    hsp = pad_hstream_problem(prob_b, cache_b)
+    hp = pad_hetero_problem(prob_b, cache_b)
+    rng = np.random.default_rng(6)
+    x0s = jnp.asarray(rng.standard_normal((Bn, NX)) * 0.8, jnp.float32)
+
+    cones = ConeSet(input_cones=(Cone(ball=(0, 1), axis=2, mu=0.6,
+                                      shift=1.5),))
+    mu_u = np.linspace(0.3, 1.1, Bn)[None, :]
+    sh_u = np.linspace(1.0, 2.0, Bn)[None, :]
+    cp = pad_hetero_cone_params(cones, Bn, mu_u=mu_u, shift_u=sh_u)
+    ball = np.zeros((Bn, nu), np.float32)
+    ball[: Bn // 2, [0, 1]] = 1.0
+    ball[Bn // 2:, [1, 2]] = 1.0
+    axis = np.full(Bn, 2, np.int64)
+    axis[Bn // 2:] = 0
+    cm = pad_hetero_cone_masks(cones, Bn, NX, nu,
+                               ball_u=[ball], axis_u=[axis])
+
+    kw = dict(max_iter=25, interpret=True)
+    r_hs = hstream_solve(x0s, hstream_carry_zeros(Bn, hsp), hsp,
+                         knot_block=8, cones=cones, cone_params=cp,
+                         cone_masks=cm, **kw)
+    r_he = hetero_solve(x0s, HeteroCarry.zeros(hp), hp, cones=cones,
+                        cone_params=cp, cone_masks=cm, **kw)
+    np.testing.assert_allclose(np.asarray(r_hs.U), np.asarray(r_he.U),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_hs.X), np.asarray(r_he.X),
+                               rtol=0, atol=5e-5)
+    # The per-instance operands bind: static-cone results differ.
+    r_static = hstream_solve(x0s, hstream_carry_zeros(Bn, hsp), hsp,
+                             knot_block=8, cones=cones, **kw)
+    assert float(jnp.max(jnp.abs(r_static.U - r_hs.U))) > 1e-3
