@@ -34,7 +34,7 @@ import numpy as np
 
 from ..types import Problem, Settings
 
-FLEET_TIERS = ("hetero", "instance_ops")
+FLEET_TIERS = ("hetero", "instance_ops", "hstream")
 
 
 @dataclasses.dataclass
@@ -103,6 +103,10 @@ class TinyMPCFleet:
         fleet controls match f64-cache-driven controls within the 1e-4
         parity bar; pass False to keep the raw f32 kernel caches (setup
         latency over precision).
+
+        ``tier="hstream"`` selects the long-horizon per-instance-plant
+        kernel (knots streamed, plants resident; time-uniform bounds;
+        adaptive mode = the segment-level cascade).
 
         ``cones`` adds static SOC constraints; ``cone_mu``/``cone_shift``
         (``(n_input_cones, B)``) override the parameters per instance and
@@ -225,6 +229,13 @@ class TinyMPCFleet:
 
             self._hp = jax.jit(pad_hetero_problem)(self.problem, self.cache)
             self._carry = HeteroCarry.zeros(self._hp)
+        elif self.tier == "hstream":
+            from ..ops.hstream_admm import (
+                hstream_carry_zeros, pad_hstream_problem,
+            )
+
+            self._hp = jax.jit(pad_hstream_problem)(self.problem, self.cache)
+            self._carry = hstream_carry_zeros(self.batch, self._hp)
         else:
             from ..solver.batched_ops import OpsState, build_instance_ops
 
@@ -321,6 +332,50 @@ class TinyMPCFleet:
         if self._x0 is None:
             raise RuntimeError("call set_x0 first")
         s = self.settings
+        if self.tier == "hstream":
+            # Long-horizon fleet tier: fixed-iteration kernel; adaptive mode
+            # routes through the segment-level cascade (the kernel family's
+            # early-termination form, solver/cascade.hstream_cascade_solve).
+            from ..ops.hstream_admm import hstream_solve
+
+            if s.check_termination > 0:
+                from ..solver.cascade import hstream_cascade_solve
+
+                U, X, stats, carry = hstream_cascade_solve(
+                    self._x0, self._carry, self._hp,
+                    max_iter=s.max_iter,
+                    segment_iters=self.compaction_segment or 25,
+                    abs_pri_tol=float(s.abs_pri_tol),
+                    abs_dua_tol=float(s.abs_dua_tol),
+                    en_input_bound=s.en_input_bound,
+                    en_state_bound=s.en_state_bound,
+                    interpret=self.interpret, cones=self.cones,
+                )
+                self._carry = carry
+                self._last = (U, X)
+                stats = np.asarray(stats)
+            else:
+                res = hstream_solve(
+                    self._x0, self._carry, self._hp, max_iter=s.max_iter,
+                    en_input_bound=s.en_input_bound,
+                    en_state_bound=s.en_state_bound,
+                    interpret=self.interpret, cones=self.cones,
+                    cone_params=self.cone_params,
+                    cone_masks=self.cone_masks,
+                )
+                self._carry = res.carry
+                self._last = (res.U, res.X)
+                stats = np.asarray(res.stats)
+            return {
+                "iterations": stats[:, 0].astype(np.int64),
+                "solved": stats[:, 1] > 0.5,
+                "iterations_mean": float(stats[:, 0].mean()),
+                "converged_fraction": float((stats[:, 1] > 0.5).mean()),
+                "primal_residual_state_max": float(stats[:, 2].max()),
+                "dual_residual_state_max": float(stats[:, 3].max()),
+                "primal_residual_input_max": float(stats[:, 4].max()),
+                "dual_residual_input_max": float(stats[:, 5].max()),
+            }
         if self.tier == "hetero":
             from ..ops.hetero_admm import hetero_solve
 

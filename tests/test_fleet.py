@@ -342,3 +342,45 @@ def test_fleet_adaptive_rho_hetero_engine(plants):
     np.testing.assert_array_equal(
         np.ceil(e["iterations"] / 25), np.ceil(h["iterations"] / 25)
     )
+
+
+def test_fleet_hstream_tier():
+    """tier='hstream': the long-horizon per-instance-plant kernel behind the
+    fleet surface — fixed-mode parity vs the hetero tier at a VMEM-resident
+    horizon, warm-started re-solve, and adaptive mode via the cascade."""
+    n = 16
+    As, Bs, Qs, Rs = [], [], [], []
+    for seed in range(B):
+        p, _rho = random_lti_problem(seed=seed, nx=NX, nu=NU, horizon=n)
+        As.append(np.asarray(p.A)); Bs.append(np.asarray(p.B))
+        Qs.append(np.asarray(p.Q)); Rs.append(np.asarray(p.R))
+    A, Bm, Q, R = np.stack(As), np.stack(Bs), np.stack(Qs), np.stack(Rs)
+    rng = np.random.default_rng(1)
+    x0s = rng.standard_normal((B, NX)).astype(np.float32) * 0.4
+    sets = atm.Settings(max_iter=20, check_termination=0)
+    outs = {}
+    for tier in ("hstream", "hetero"):
+        f = atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=1.0, horizon=n,
+            u_min=-2.0, u_max=2.0, settings=sets, tier=tier,
+            interpret=True, polish=False,
+        )
+        f.set_x0(x0s)
+        f.solve()
+        outs[tier] = f
+    # atol 5e-4: interpret-mode cross-kernel FMA drift (on chip the two
+    # kernels match bit-exactly — tools/tpu_check_hstream.py + the
+    # per-instance-cone on-chip check).
+    np.testing.assert_allclose(
+        np.asarray(outs["hstream"].get_u()),
+        np.asarray(outs["hetero"].get_u()), rtol=0, atol=5e-4,
+    )
+    # Warm-started re-solve then adaptive-cascade mode run end to end.
+    f = outs["hstream"]
+    f.set_x0(x0s)
+    f.solve()
+    f.settings = sets.replace(max_iter=40, check_termination=1,
+                              abs_pri_tol=5e-2, abs_dua_tol=5e-2)
+    f.set_x0(x0s)
+    out = f.solve()
+    assert out["converged_fraction"] > 0
