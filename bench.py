@@ -89,12 +89,13 @@ def main() -> None:
         pp = pad_problem(problem, cache, ops)
         carry = FusedCarry.zeros(batch, pp)
         # algo="bf16x3": 3-pass split-operand bf16 matmuls with an f32 polish
-        # tail — validated on-chip at 1.7e-5 control error vs the scan tier
-        # (inside the 1e-4 golden-parity bar; see tests/test_fused.py).
+        # tail — validated on-chip at 2.8e-5 control error vs the scan tier
+        # at polish=6 (inside the 1e-4 golden-parity bar; round-3 sweep:
+        # tile 1024 + polish 6 is the measured plateau, BASELINE.md).
         fn = jax.jit(
             lambda x, c: fused_solve(
                 x, c, pp, max_iter=max_iter, check_termination=0,
-                batch_tile=768, algo="bf16x3",
+                batch_tile=1024, algo="bf16x3", polish=6,
             )
         )
         return fn, (make_x0s(batch), carry)
