@@ -340,6 +340,9 @@ def sharded_stream_solve(
     *,
     max_iter: int = 100,
     knot_block: int = 32,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
     en_input_bound: bool = True,
     en_state_bound: bool = True,
     interpret: bool = False,
@@ -353,12 +356,18 @@ def sharded_stream_solve(
     and every carry leaf shard on the leading axis (lane-tile granularity:
     the tile count must divide by the mesh size — pad the batch to a
     multiple of ``128 * n_devices``); ``sp`` is replicated.
+
+    ``check_termination > 0`` runs the adaptive kernel per shard (in-kernel
+    per-instance freeze; tiles exit early independently on every device —
+    no cross-device synchronization in the iteration loop).
     """
     from ..ops.stream_admm import stream_solve
 
     def shard_fn(x0s, carry, sp):
         res = stream_solve(
             x0s, carry, sp, max_iter=max_iter, knot_block=knot_block,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             en_input_bound=en_input_bound, en_state_bound=en_state_bound,
             interpret=interpret, cones=cones,
         )

@@ -253,6 +253,186 @@ def test_sharded_stream_solve(setup):
     assert float(stats["n_total"]) == Bn
 
 
+def _adaptive_setup(setup, B2=12, seed=9):
+    problem, cache, sp, _ = setup
+    rng = np.random.default_rng(seed)
+    scale = np.repeat([0.05, 0.4, 2.0], B2 // 3)[:, None]
+    x0s = jnp.asarray(scale * rng.standard_normal((B2, NX)), jnp.float32)
+    return problem, cache, sp, x0s, B2
+
+
+def test_adaptive_freeze_vs_scan(setup):
+    """In-kernel per-instance early termination: iteration counts, solved
+    flags and all frozen iterates match the scan tier's freeze semantics
+    (reference early exit admm.cpp:135-144 skips slack-save + backward;
+    solver/batched.py reproduces it exactly, and the streaming adaptive
+    kernel's masked write-back must too)."""
+    problem, cache, sp, x0s, B2 = _adaptive_setup(setup)
+    res = stream_solve(
+        x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True,
+    )
+    st = init_state_batched(B2, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=60, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+    ))(st)
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 0]).astype(int), np.asarray(want.iter)
+    )
+    from accelerated_tinympc_tpu.types import SOLVED
+
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 1]) > 0.5, np.asarray(want.status) == SOLVED
+    )
+    assert len(np.unique(np.asarray(want.iter))) > 2, "no termination spread"
+    # Cross-graph XLA-CPU FMA contraction drifts ~4e-5 on the hard
+    # cold-start transients (CLAUDE.md interpret-vs-chip lesson); the
+    # schedule equality above is the exact contract, iterates at the
+    # project's 1e-4 parity bar.
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(want.x), rtol=0, atol=1e-4
+    )
+    # The full warm-start carry is frozen too (workspace persistence).
+    from accelerated_tinympc_tpu.ops.stream_admm import _unpack
+
+    for pk, wv in ((res.carry.z, want.z), (res.carry.v, want.v),
+                   (res.carry.y, want.y), (res.carry.g, want.g),
+                   (res.carry.d, want.d)):
+        got = _unpack(pk, B2, wv.shape[-1])[:, : wv.shape[1]]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(wv), rtol=0, atol=1e-4
+        )
+    # Recorded residuals match the scan tier's at the exit check.
+    for row, field in ((2, want.primal_residual_state),
+                       (3, want.dual_residual_state),
+                       (4, want.primal_residual_input),
+                       (5, want.dual_residual_input)):
+        # Residuals are differences of near-equal quantities — the ~1e-5
+        # cross-graph drift is relatively amplified here; exactness is
+        # pinned by the schedule equality above and the on-chip bit checks.
+        np.testing.assert_allclose(
+            np.asarray(res.stats[:, row]), np.asarray(field),
+            rtol=1e-3, atol=1e-5,
+        )
+
+
+def test_adaptive_per_count_parity(setup):
+    """Each instance's trajectories equal a fixed-iteration streaming solve
+    of its recorded count (the cascade contract, now at per-iteration
+    granularity inside one kernel dispatch)."""
+    problem, cache, sp, x0s, B2 = _adaptive_setup(setup)
+    res = stream_solve(
+        x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True,
+    )
+    iters = np.asarray(res.stats[:, 0]).astype(int)
+    assert len(np.unique(iters)) > 1
+    for k in np.unique(iters):
+        want = stream_solve(
+            x0s, StreamCarry.zeros(B2, sp), sp, max_iter=int(k),
+            knot_block=16, interpret=True,
+        )
+        sel = iters == k
+        # Same kernel arithmetic; interpret-mode XLA-CPU FMA contraction
+        # differs per graph shape (CLAUDE.md) — bit-exactness is pinned on
+        # chip (tools/check_stream_adaptive_chip.py), 1e-6 here.
+        np.testing.assert_allclose(
+            np.asarray(res.U)[sel], np.asarray(want.U)[sel],
+            rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.X)[sel], np.asarray(want.X)[sel],
+            rtol=0, atol=1e-6,
+        )
+
+
+def test_adaptive_knot_block_invariance(setup):
+    """Adaptive results are independent of the streaming block size,
+    including every recorded iteration count."""
+    problem, cache, sp, x0s, B2 = _adaptive_setup(setup)
+    outs = [
+        stream_solve(
+            x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60,
+            check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+            knot_block=kb, interpret=True,
+        )
+        for kb in (8, 16, 64)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].stats[:, 0]), np.asarray(o.stats[:, 0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[0].U), np.asarray(o.U), rtol=0, atol=1e-6
+        )
+
+
+def test_adaptive_warm_start(setup):
+    """Adaptive solves compose with the warm-start carry: a fixed prefix
+    followed by an adaptive solve matches the scan tier given the same
+    prefix (workspace persistence, reference tiny_wrapper.cpp)."""
+    problem, cache, sp, x0s, B2 = _adaptive_setup(setup)
+    a = stream_solve(x0s, StreamCarry.zeros(B2, sp), sp, max_iter=7,
+                     knot_block=16, interpret=True)
+    b = stream_solve(x0s, a.carry, sp, max_iter=40, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3, knot_block=16,
+                     interpret=True)
+    st = _run_scan(problem, cache, x0s, 7)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=40, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+    ))(st)
+    np.testing.assert_array_equal(
+        np.asarray(b.stats[:, 0]).astype(int), np.asarray(want.iter)
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.U), np.asarray(want.u), rtol=0, atol=1e-4
+    )
+
+
+def test_adaptive_cones(setup):
+    """Adaptive + SOC cones: frozen-lane semantics hold with the in-kernel
+    cone projection active."""
+    from accelerated_tinympc_tpu.solver.cones import (
+        Cone, ConeSet, cone_slack_update,
+    )
+
+    problem, cache, sp, x0s, B2 = _adaptive_setup(setup)
+    cones = ConeSet(
+        input_cones=(Cone(ball=(0,), axis=1, mu=0.8, shift=1.0),),
+        state_cones=(Cone(ball=(0, 1), axis=2, mu=2.0, shift=3.0),),
+    )
+    res = stream_solve(
+        x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True, cones=cones,
+    )
+    st = init_state_batched(B2, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=60, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+        project=cone_slack_update(cones),
+    ))(st)
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 0]).astype(int), np.asarray(want.iter)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=1e-4
+    )
+
+
 def test_stream_cascade(setup):
     """Segment-level early termination for the streaming tier: every
     instance's controls are BIT-exact against a fixed-iteration solve of
