@@ -333,18 +333,22 @@ class TinyMPCFleet:
             raise RuntimeError("call set_x0 first")
         s = self.settings
         if self.tier == "hstream":
-            # Long-horizon fleet tier: fixed-iteration kernel; adaptive mode
-            # routes through the segment-level cascade (the kernel family's
-            # early-termination form, solver/cascade.hstream_cascade_solve).
+            # Long-horizon fleet tier. Adaptive mode (check_termination > 0):
+            # in-kernel per-instance freeze (ops/hstream_admm._kernel_adaptive)
+            # by default — per-iteration-granular, composes with per-instance
+            # cone operands; with compaction_segment set, the segment-level
+            # compaction cascade instead (solver/cascade.hstream_cascade_solve,
+            # re-packs survivors into dense tiles — the wall-clock win when
+            # convergence is scattered across tiles).
             from ..ops.hstream_admm import hstream_solve
 
-            if s.check_termination > 0:
+            if s.check_termination > 0 and self.compaction_segment:
                 from ..solver.cascade import hstream_cascade_solve
 
                 U, X, stats, carry = hstream_cascade_solve(
                     self._x0, self._carry, self._hp,
                     max_iter=s.max_iter,
-                    segment_iters=self.compaction_segment or 25,
+                    segment_iters=self.compaction_segment,
                     abs_pri_tol=float(s.abs_pri_tol),
                     abs_dua_tol=float(s.abs_dua_tol),
                     en_input_bound=s.en_input_bound,
@@ -357,6 +361,8 @@ class TinyMPCFleet:
             else:
                 res = hstream_solve(
                     self._x0, self._carry, self._hp, max_iter=s.max_iter,
+                    check_termination=s.check_termination,
+                    abs_pri_tol=s.abs_pri_tol, abs_dua_tol=s.abs_dua_tol,
                     en_input_bound=s.en_input_bound,
                     en_state_bound=s.en_state_bound,
                     interpret=self.interpret, cones=self.cones,

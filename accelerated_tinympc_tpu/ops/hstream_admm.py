@@ -68,8 +68,17 @@ from .hetero_admm import (
     _unpack_rows,
 )
 from .stream_admm import (
+    _A_IN_D, _A_IN_G, _A_IN_QC, _A_IN_U, _A_IN_V, _A_IN_VS, _A_IN_X,
+    _A_IN_Y, _A_IN_Z, _A_IN_ZS,
+    _A_OUT_D, _A_OUT_G, _A_OUT_U, _A_OUT_V, _A_OUT_VS, _A_OUT_X, _A_OUT_Y,
+    _A_OUT_Z, _A_OUT_ZS,
+    _A_SU_D_IN, _A_SU_D_OUT, _A_SU_MISC, _A_SU_U_IN, _A_SU_Y_IN,
+    _A_SU_Y_OUT, _A_SU_Z_IN, _A_SU_Z_OUT, _A_SU_ZS,
+    _A_SX_G_IN, _A_SX_G_OUT, _A_SX_QC_IN, _A_SX_V_IN, _A_SX_V_OUT,
+    _A_SX_VS, _A_SX_X_IN, _A_SX_X_OUT,
     StreamCarry,
     StreamResult,
+    _make_streamer,
     _pack,
     _unpack,
 )
@@ -330,62 +339,11 @@ def _kernel(
     rho_u = rhou_ref[:]      # (SU, L) per-instance penalties
     rho_x = rhox_ref[:]      # (SX, L)
 
-    def dma_su(buf, ch, hbm, b, s, out: bool):
-        sem = (sems_out if out else sems_in).at[ch, s]
-        blk = hbm.at[t, pl.ds(b * Kb, Kb)]
-        v = su_buf.at[buf, s]
-        return pltpu.make_async_copy(*((v, blk) if out else (blk, v)), sem)
-
-    def dma_sx(buf, ch, hbm, b, s, out: bool):
-        sem = (sems_out if out else sems_in).at[ch, s]
-        blk = hbm.at[t, pl.ds(b * Kb, Kb)]
-        v = sx_buf.at[buf, s]
-        return pltpu.make_async_copy(*((v, blk) if out else (blk, v)), sem)
-
-    def phase(ins, outs, compute, carry0, reverse: bool):
-        def blk_of(j):
-            return NBL - 1 - j if reverse else j
-
-        def start_in(j, s):
-            for pool, buf, ch, hbm in ins:
-                pool(buf, ch, hbm, blk_of(j), s, out=False).start()
-
-        def wait_in(j, s):
-            for pool, buf, ch, hbm in ins:
-                pool(buf, ch, hbm, blk_of(j), s, out=False).wait()
-
-        def start_out(j, s):
-            for pool, buf, ch, hbm in outs:
-                pool(buf, ch, hbm, blk_of(j), s, out=True).start()
-
-        def wait_out(j, s):
-            for pool, buf, ch, hbm in outs:
-                pool(buf, ch, hbm, blk_of(j), s, out=True).wait()
-
-        start_in(0, 0)
-
-        def body(j, carry):
-            s = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < NBL)
-            def _():
-                start_in(j + 1, 1 - s)
-
-            wait_in(j, s)
-
-            @pl.when(j >= 2)
-            def _():
-                wait_out(j - 2, s)
-
-            carry = compute(blk_of(j), s, carry)
-            start_out(j, s)
-            return carry
-
-        carry = jax.lax.fori_loop(0, NBL, body, carry0)
-        for j in (NBL - 2, NBL - 1):
-            if j >= 0:
-                wait_out(j, j % 2)
-        return carry
+    # qc is per-tile here (no shared-operand special case): pass
+    # qc_ref=None so every array indexes [t, block].
+    dma_su, dma_sx, phase = _make_streamer(
+        t, Kb, NBL, None, su_buf, sx_buf, sems_in, sems_out
+    )
 
     def apply_cones(a, cone_list, params, masks):
         for c, cone in enumerate(cone_list):
@@ -553,6 +511,298 @@ def _kernel(
     ).astype(f32)
 
 
+def _kernel_adaptive(
+    tol_ref, x0_ref,
+    a3, b3, k3, kt3, quu3, bt3, m3,
+    umin_ref, umax_ref, xmin_ref, xmax_ref,
+    pterm_ref, rhou_ref, rhox_ref,
+    qc_ref, *rest,
+    max_iter: int, check_every: int, Kb: int, N: int,
+    en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
+    has_cmasks: bool = False, SX: int = 0, SU: int = 0,
+):
+    """Adaptive (per-instance early-termination) heterogeneous streaming
+    solve: the streaming parent's adaptive structure
+    (stream_admm._kernel_adaptive — masked HBM write-back freeze, slack
+    save deferred into the backward phase via zs/vs scratch, per-tile
+    while_loop early exit; reference early-exit dataflow
+    admm.cpp:91-109,135-144) with this kernel's per-lane VPU recurrences,
+    resident per-instance operands/rho and block-level IO (per-knot value
+    masking, whole-block ref accesses)."""
+    i = 0
+    cp_ref = rest[i] if has_cparams else None
+    i += 1 if has_cparams else 0
+    cm_ref = rest[i] if has_cmasks else None
+    i += 1 if has_cmasks else 0
+    (d_in, y_in, g_in, z_in, v_in, U_in, X_in,
+     d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, zs_hbm, vs_hbm,
+     stats_ref, su_buf, sx_buf, sems_in, sems_out) = rest[i:]
+    del d_in, y_in, g_in, z_in, v_in, U_in, X_in
+    uparams = xparams = None
+    if cp_ref is not None:
+        cp = cp_ref[:]
+        uparams = [
+            (cp[c * 8:c * 8 + 1, :], cp[c * 8 + 1:c * 8 + 2, :])
+            for c in range(len(ucones))
+        ]
+        off = len(ucones)
+        xparams = [
+            (cp[(off + c) * 8:(off + c) * 8 + 1, :],
+             cp[(off + c) * 8 + 1:(off + c) * 8 + 2, :])
+            for c in range(len(xcones))
+        ]
+    umasks = xmasks = None
+    if cm_ref is not None:
+        cm = cm_ref[:]
+        off = 0
+        umasks, xmasks = [], []
+        for _ in ucones:
+            umasks.append((cm[off:off + SU], cm[off + SU:off + 2 * SU]))
+            off += 2 * SU
+        for _ in xcones:
+            xmasks.append((cm[off:off + SX], cm[off + SX:off + 2 * SX]))
+            off += 2 * SX
+    t = pl.program_id(0)
+    NBL = N // Kb
+    f32 = jnp.float32
+    pri_tol = tol_ref[0, 0]
+    dua_tol = tol_ref[0, 1]
+    A3v, B3v, K3v = a3[:], b3[:], k3[:]
+    Kt3v, Quu3v, Bt3v, M3v = kt3[:], quu3[:], bt3[:], m3[:]
+    rho_u = rhou_ref[:]
+    rho_x = rhox_ref[:]
+    rho8 = jnp.concatenate([rho_x[0:1, :]] * 8, axis=0)  # per-lane rho
+    dma_su, dma_sx, phase = _make_streamer(
+        t, Kb, NBL, None, su_buf, sx_buf, sems_in, sems_out
+    )
+
+    def apply_cones(a, cone_list, params, masks):
+        for c, cone in enumerate(cone_list):
+            mu = sh = None
+            if params is not None:
+                mu, sh = params[c]
+            if masks is not None:
+                bm, am = masks[c]
+                a = _project_soc_seg_masked(
+                    a, a.shape[0], bm, am,
+                    float(cone.mu) if mu is None else mu,
+                    float(cone.shift) if sh is None else sh,
+                )
+            else:
+                a = _project_soc_seg(a, a.shape[0], a.shape[0], cone,
+                                     mu=mu, shift=sh)
+        return a
+
+    def clip_u(a):
+        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+        return apply_cones(a, ucones, uparams, umasks)
+
+    def clip_x(a):
+        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+        return apply_cones(a, xcones, xparams, xmasks)
+
+    def exp_u(m8):
+        return jnp.concatenate([m8] * (SU // 8), axis=0)
+
+    def exp_x(m8):
+        return jnp.concatenate([m8] * (SX // 8), axis=0)
+
+    def red8(a):
+        r = jnp.max(a, axis=0, keepdims=True)
+        return jnp.concatenate([r] * 8, axis=0)
+
+    def pick(m, a, b):
+        return a * m + b * (1.0 - m)
+
+    x0 = x0_ref[:]
+    zx = x0 * 0.0
+    zu = umin_ref[:] * 0.0
+    z8 = zx[:8]
+
+    fwd_ins_plain = [
+        (dma_su, _A_SU_D_IN, _A_IN_D, d_hbm),
+        (dma_su, _A_SU_Y_IN, _A_IN_Y, y_hbm),
+        (dma_sx, _A_SX_G_IN, _A_IN_G, g_hbm),
+    ]
+    fwd_outs_plain = [
+        (dma_su, _A_SU_Y_OUT, _A_OUT_Y, y_hbm),
+        (dma_sx, _A_SX_G_OUT, _A_OUT_G, g_hbm),
+        (dma_su, _A_SU_ZS, _A_OUT_ZS, zs_hbm),
+        (dma_sx, _A_SX_VS, _A_OUT_VS, vs_hbm),
+    ]
+    fwd_ins_check = fwd_ins_plain + [
+        (dma_su, _A_SU_Z_IN, _A_IN_Z, z_hbm),
+        (dma_sx, _A_SX_V_IN, _A_IN_V, v_hbm),
+        (dma_su, _A_SU_U_IN, _A_IN_U, U_hbm),
+        (dma_sx, _A_SX_X_IN, _A_IN_X, X_hbm),
+    ]
+    fwd_outs_check = fwd_outs_plain + [
+        (dma_su, _A_SU_MISC, _A_OUT_U, U_hbm),
+        (dma_sx, _A_SX_X_OUT, _A_OUT_X, X_hbm),
+    ]
+    bwd_ins = [
+        (dma_su, _A_SU_D_IN, _A_IN_D, d_hbm),
+        (dma_su, _A_SU_Y_IN, _A_IN_Y, y_hbm),
+        (dma_su, _A_SU_Z_IN, _A_IN_Z, z_hbm),
+        (dma_su, _A_SU_ZS, _A_IN_ZS, zs_hbm),
+        (dma_sx, _A_SX_G_IN, _A_IN_G, g_hbm),
+        (dma_sx, _A_SX_V_IN, _A_IN_V, v_hbm),
+        (dma_sx, _A_SX_VS, _A_IN_VS, vs_hbm),
+        (dma_sx, _A_SX_QC_IN, _A_IN_QC, qc_ref),
+    ]
+    bwd_outs = [
+        (dma_su, _A_SU_D_OUT, _A_OUT_D, d_hbm),
+        (dma_su, _A_SU_Z_OUT, _A_OUT_Z, z_hbm),
+        (dma_sx, _A_SX_V_OUT, _A_OUT_V, v_hbm),
+    ]
+
+    def make_fwd(act8, check: bool):
+        act_u = exp_u(act8)
+        act_x = exp_x(act8)
+
+        def compute(b, s, carry):
+            if check:
+                x, ax, av, au, az = carry
+            else:
+                x = carry
+            d_blk = su_buf[_A_SU_D_IN, s]
+            yin_blk = su_buf[_A_SU_Y_IN, s]
+            gin_blk = sx_buf[_A_SX_G_IN, s]
+            if check:
+                zin_blk = su_buf[_A_SU_Z_IN, s]
+                vin_blk = sx_buf[_A_SX_V_IN, s]
+                uin_blk = su_buf[_A_SU_U_IN, s]
+                xin_blk = sx_buf[_A_SX_X_IN, s]
+            ys, zss, gs, vss, us, xs = [], [], [], [], [], []
+            for i in range(Kb):
+                gi = b * Kb + i
+                w = (gi < N - 1).astype(f32)
+                u_i = -_dotb(K3v, x) - d_blk[i]
+                su = u_i + yin_blk[i]
+                zn = clip_u(su)
+                ys.append(pick(act_u, (su - zn) * w, yin_blk[i]))
+                zss.append(zn * w)
+                tx = x + gin_blk[i]
+                vn = clip_x(tx)
+                gs.append(pick(act_x, tx - vn, gin_blk[i]))
+                vss.append(vn)
+                if check:
+                    us.append(pick(act_u, u_i * w, uin_blk[i]))
+                    xs.append(pick(act_x, x, xin_blk[i]))
+                    ax = jnp.maximum(ax, jnp.abs(x - vn))
+                    av = jnp.maximum(av, jnp.abs(vin_blk[i] - vn))
+                    au = jnp.maximum(au, jnp.abs(u_i - zn) * w)
+                    az = jnp.maximum(az, jnp.abs(zin_blk[i] - zn * w))
+                x = _dotb(A3v, x) + _dotb(B3v, u_i)
+            su_buf[_A_SU_Y_OUT, s] = jnp.stack(ys)
+            su_buf[_A_SU_ZS, s] = jnp.stack(zss)
+            sx_buf[_A_SX_G_OUT, s] = jnp.stack(gs)
+            sx_buf[_A_SX_VS, s] = jnp.stack(vss)
+            if check:
+                su_buf[_A_SU_MISC, s] = jnp.stack(us)
+                sx_buf[_A_SX_X_OUT, s] = jnp.stack(xs)
+                return x, ax, av, au, az
+            return x
+
+        return compute
+
+    def make_bwd(act8):
+        act_u = exp_u(act8)
+        act_x = exp_x(act8)
+
+        def compute(b, s, p):
+            dold_blk = su_buf[_A_SU_D_IN, s]
+            yin_blk = su_buf[_A_SU_Y_IN, s]
+            zold_blk = su_buf[_A_SU_Z_IN, s]
+            zs_blk = su_buf[_A_SU_ZS, s]
+            gin_blk = sx_buf[_A_SX_G_IN, s]
+            vold_blk = sx_buf[_A_SX_V_IN, s]
+            vs_blk = sx_buf[_A_SX_VS, s]
+            qc_blk = sx_buf[_A_SX_QC_IN, s]
+            is_last_block = (b == NBL - 1).astype(f32)
+            p_term = pterm_ref[:] - rho_x * (vs_blk[Kb - 1] - gin_blk[Kb - 1])
+            p = is_last_block * p_term + (1.0 - is_last_block) * p
+            ds = [None] * Kb
+            zouts = [None] * Kb
+            vouts = [None] * Kb
+            for i in reversed(range(Kb)):
+                gi = b * Kb + i
+                w = (gi < N - 1).astype(f32)
+                r_i = -rho_u * (zs_blk[i] - yin_blk[i])
+                q_i = qc_blk[i] - rho_x * (vs_blk[i] - gin_blk[i])
+                d_new = _dotb(Quu3v, _dotb(Bt3v, p) + r_i) * w
+                ds[i] = pick(act_u, d_new, dold_blk[i])
+                zouts[i] = pick(act_u, zs_blk[i], zold_blk[i])
+                vouts[i] = pick(act_x, vs_blk[i], vold_blk[i])
+                p_new = q_i + _dotb(M3v, p) - _dotb(Kt3v, r_i)
+                p = w * p_new + (1.0 - w) * p
+            su_buf[_A_SU_D_OUT, s] = jnp.stack(ds)
+            su_buf[_A_SU_Z_OUT, s] = jnp.stack(zouts)
+            sx_buf[_A_SX_V_OUT, s] = jnp.stack(vouts)
+            return p
+
+        return compute
+
+    def cond(st):
+        k, done8 = st[0], st[1]
+        return jnp.logical_and(
+            k < max_iter, jnp.logical_not(jnp.all(done8 > 0.5))
+        )
+
+    def body(st):
+        k, done8, itf, r0, r1, r2, r3 = st
+        act8 = 1.0 - done8
+        n_plain = jnp.minimum(
+            check_every - jnp.remainder(k, check_every), max_iter - k
+        ) - 1
+        fwd_plain = make_fwd(act8, check=False)
+        bwd_pre = make_bwd(act8)
+
+        def plain_body(_, c):
+            phase(fwd_ins_plain, fwd_outs_plain, fwd_plain, x0,
+                  reverse=False)
+            phase(bwd_ins, bwd_outs, bwd_pre, zx, reverse=True)
+            return c
+
+        jax.lax.fori_loop(0, n_plain, plain_body, 0)
+        kc = k + n_plain + 1
+        _x, ax, av, au, az = phase(
+            fwd_ins_check, fwd_outs_check, make_fwd(act8, check=True),
+            (x0, zx, zx, zu, zu), reverse=False,
+        )
+        is_check = (jnp.remainder(kc, check_every) == 0).astype(f32)
+        ps8 = red8(ax)
+        ds8 = rho8 * red8(av)
+        pu8 = red8(au)
+        du8 = rho8 * red8(az)
+        conv8 = (
+            (ps8 < pri_tol) & (pu8 < pri_tol)
+            & (ds8 < dua_tol) & (du8 < dua_tol)
+        ).astype(f32) * is_check
+        newly8 = act8 * conv8
+        itf = pick(newly8, itf * 0.0 + kc.astype(f32), itf)
+        m_rec = act8 * is_check
+        r0 = pick(m_rec, ps8, r0)
+        r1 = pick(m_rec, ds8, r1)
+        r2 = pick(m_rec, pu8, r2)
+        r3 = pick(m_rec, du8, r3)
+        done8 = jnp.maximum(done8, newly8)
+        phase(bwd_ins, bwd_outs, make_bwd(1.0 - done8), zx, reverse=True)
+        return (kc, done8, itf, r0, r1, r2, r3)
+
+    init = (jnp.zeros((), jnp.int32), z8, z8, z8, z8, z8, z8)
+    _k, done8, itf, r0, r1, r2, r3 = jax.lax.while_loop(cond, body, init)
+
+    itf = pick(done8, itf, itf * 0.0 + float(max_iter))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    stats_ref[0] = (
+        (row == 0).astype(f32) * itf + (row == 1).astype(f32) * done8
+        + (row == 2).astype(f32) * r0 + (row == 3).astype(f32) * r1
+        + (row == 4).astype(f32) * r2 + (row == 5).astype(f32) * r3
+    ).astype(f32)
+
+
 def hstream_solve(
     x0: jax.Array,
     carry: StreamCarry,
@@ -560,6 +810,9 @@ def hstream_solve(
     *,
     max_iter: int = 100,
     knot_block: int = 32,
+    check_termination: int = 0,
+    abs_pri_tol: float | jax.Array = 1e-3,
+    abs_dua_tol: float | jax.Array = 1e-3,
     en_state_bound: bool = True,
     en_input_bound: bool = True,
     interpret: bool = False,
@@ -567,18 +820,24 @@ def hstream_solve(
     cone_params: jax.Array | None = None,
     cone_masks: jax.Array | None = None,
 ) -> StreamResult:
-    """Fixed-iteration heterogeneous-plant solve at streaming horizons.
+    """Heterogeneous-plant solve at streaming horizons.
 
     ``x0 (B, nx)``; ``carry`` the packed warm-start iterates
     (:class:`..ops.stream_admm.StreamCarry`, same layout). Per-instance
     semantics match :func:`..solver.admm.solve` stage for stage (reference:
-    src/tinympc/admm.cpp:111-152) in fixed-iteration mode. ``cones`` is a
+    src/tinympc/admm.cpp:111-152). ``cones`` is a
     static ConeSet (the same in-kernel VPU projection as both parent
     kernels); ``cone_params`` / ``cone_masks`` override the cones'
     mu/shift and ball/axis geometry per instance — the hetero kernel's
     lane-packed operands (:func:`.hetero_admm.pad_hetero_cone_params` /
     ``pad_hetero_cone_masks``), resident per tile, so heterogeneous
-    constraint geometry costs nothing per iteration."""
+    constraint geometry costs nothing per iteration.
+
+    ``check_termination == 0`` runs the deterministic fixed-iteration
+    kernel; ``> 0`` the adaptive kernel (:func:`_kernel_adaptive`) with
+    per-instance convergence freezing every that many iterations (the
+    streaming parent's masked-write-back design; stats row 0 = per-instance
+    iteration count, row 1 = solved flag; per-tile while_loop early exit)."""
     nx, nu, N = hsp.dims
     SX, SU = hsp.SX, hsp.SU
     B = x0.shape[0]
@@ -599,7 +858,18 @@ def hstream_solve(
     # logic). tools/tpu_check_hstream.py re-checks block invariance on the
     # real chip (monkeypatch KB_SUBLANE_CAP to probe above it). Blocks this
     # size already amortize DMA latency fine.
-    Kb = max(1, min(knot_block, N, KB_SUBLANE_CAP // max(SX, SU)))
+    cap = KB_SUBLANE_CAP
+    if check_termination > 0:
+        # The adaptive kernel's onset of the interpret-mode reassociation
+        # anomaly (see the cap comment above) is one octave earlier — its
+        # graphs are larger. Measured (f64 1-iteration adaptive-vs-fixed
+        # carry diffs): ulp-level 4e-14 at Kb*S=128, 1000x that (8e-11) at
+        # Kb*S>=256; at f32 on hard transients the amplified noise (0.07)
+        # swamps the termination tolerances. Logic is exact (f64 + on-chip
+        # bit checks); cap at 128 sublanes uniformly so interpret and chip
+        # run the same block structure.
+        cap = KB_SUBLANE_CAP // 2
+    Kb = max(1, min(knot_block, N, cap // max(SX, SU)))
     while N % Kb:
         Kb -= 1
 
@@ -634,19 +904,24 @@ def hstream_solve(
               + 2 * SX * len(cones.state_cones))
         cp_args += (cone_masks,)
         cp_specs += [spec(mr)]
-    in_specs = [
+    adaptive = check_termination > 0
+    if adaptive and max_iter < 1:
+        raise ValueError("adaptive hstream solve needs max_iter >= 1")
+    cdtype = carry.d.dtype
+    in_specs = ([
+        pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    ] if adaptive else []) + [
         spec(SX),                                    # x0
         spec3(SX, SX), spec3(SU, SX), spec3(SX, SU), spec3(SU, SX),
         spec3(SU, SU), spec3(SX, SU), spec3(SX, SX),
         spec(SU), spec(SU), spec(SX), spec(SX),      # bounds
         spec(SX), spec(SU), spec(SX),                # pterm, rho_u, rho_x
         any_spec,                                    # qc
-    ] + cp_specs + [any_spec] * 5                    # d, y, g, z, v
-    out_specs = [any_spec] * 7 + [
+    ] + cp_specs + [any_spec] * (7 if adaptive else 5)  # d y g z v (U X)
+    out_specs = [any_spec] * (9 if adaptive else 7) + [
         pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ]
-    cdtype = carry.d.dtype
     out_shape = [
         jax.ShapeDtypeStruct(carry.d.shape, carry.d.dtype),
         jax.ShapeDtypeStruct(carry.y.shape, carry.y.dtype),
@@ -655,21 +930,47 @@ def hstream_solve(
         jax.ShapeDtypeStruct(carry.v.shape, carry.v.dtype),
         jax.ShapeDtypeStruct((NT, N, SU, LANES), cdtype),       # U
         jax.ShapeDtypeStruct((NT, N, SX, LANES), cdtype),       # X
+    ] + ([
+        jax.ShapeDtypeStruct((NT, N, SU, LANES), cdtype),       # zs scratch
+        jax.ShapeDtypeStruct((NT, N, SX, LANES), cdtype),       # vs scratch
+    ] if adaptive else []) + [
         jax.ShapeDtypeStruct((NT, 8, LANES), jnp.float32),      # stats
     ]
     scratch = [
-        pltpu.VMEM((6, 2, Kb, SU, LANES), cdtype),
-        pltpu.VMEM((5, 2, Kb, SX, LANES), cdtype),
-        pltpu.SemaphoreType.DMA((6, 2)),
-        pltpu.SemaphoreType.DMA((7, 2)),
+        pltpu.VMEM((7 if adaptive else 6, 2, Kb, SU, LANES), cdtype),
+        pltpu.VMEM((7 if adaptive else 5, 2, Kb, SX, LANES), cdtype),
+        pltpu.SemaphoreType.DMA((10 if adaptive else 6, 2)),
+        pltpu.SemaphoreType.DMA((9 if adaptive else 7, 2)),
     ]
-    kernel = functools.partial(
-        _kernel, max_iter=max_iter, Kb=Kb, N=N,
-        en_ib=en_input_bound, en_sb=en_state_bound,
+    cone_kw = dict(
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
         has_cparams=has_cp, has_cmasks=has_cm, SX=SX, SU=SU,
     )
+    if adaptive:
+        kernel = functools.partial(
+            _kernel_adaptive, max_iter=max_iter,
+            check_every=check_termination, Kb=Kb, N=N,
+            en_ib=en_input_bound, en_sb=en_state_bound, **cone_kw,
+        )
+        tols = jnp.stack([
+            jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),
+            jnp.asarray(abs_dua_tol, jnp.float32).reshape(()),
+        ]).reshape(1, 2)
+        scalar_args: tuple = (tols,)
+        extra_args: tuple = (
+            jnp.zeros((NT, N, SU, LANES), cdtype),   # U0 (aliased)
+            jnp.zeros((NT, N, SX, LANES), cdtype),   # X0 (aliased)
+        )
+        aliases = {17 + len(cp_args) + k: k for k in range(7)}
+    else:
+        kernel = functools.partial(
+            _kernel, max_iter=max_iter, Kb=Kb, N=N,
+            en_ib=en_input_bound, en_sb=en_state_bound, **cone_kw,
+        )
+        scalar_args = ()
+        extra_args = ()
+        aliases = {16 + len(cp_args) + k: k for k in range(5)}
     su_b, sx_b = N * SU * LANES * 4, N * SX * LANES * 4
     per_iter = NT * (4 * su_b + 2 * sx_b + 3 * sx_b + 2 * su_b)
     # Per-lane VPU matvec flops per knot (2x SX^2 for A/AmBKt, 4x SX*SU for
@@ -687,22 +988,25 @@ def hstream_solve(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        input_output_aliases={
-            16 + len(cp_args) + k: k for k in range(5)
-        },
+        input_output_aliases=aliases,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True,
         ),
         interpret=interpret,
     )(
+        *scalar_args,
         x0p,
         hsp.A3, hsp.B3, hsp.K3, hsp.Kt3, hsp.Quu3, hsp.Bt3, hsp.M3,
         hsp.u_min, hsp.u_max, hsp.x_min, hsp.x_max,
         hsp.pterm, hsp.rho_u, hsp.rho_x,
         hsp.qc, *cp_args, carry.d, carry.y, carry.g, carry.z, carry.v,
+        *extra_args,
     )
-    d, y, g, z, v, Up, Xp, stats_p = outs
+    if adaptive:
+        d, y, g, z, v, Up, Xp, _zs, _vs, stats_p = outs
+    else:
+        d, y, g, z, v, Up, Xp, stats_p = outs
     return StreamResult(
         U=_unpack(Up, B, nu)[:, : N - 1],
         X=_unpack(Xp, B, nx),

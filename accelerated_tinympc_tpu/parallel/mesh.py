@@ -281,6 +281,9 @@ def sharded_hstream_solve(
     *,
     max_iter: int = 100,
     knot_block: int = 16,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
     en_input_bound: bool = True,
     en_state_bound: bool = True,
     interpret: bool = False,
@@ -294,6 +297,9 @@ def sharded_hstream_solve(
     every carry leaf (``(NT, N, S, L)``), and every ``hsp`` array leaf shard
     on their leading axis (the global tile count must divide by the mesh
     size: pad the batch to a multiple of ``128 * n_devices``).
+
+    ``check_termination > 0`` runs the adaptive kernel per shard (in-kernel
+    per-instance freeze; tiles exit early independently per device).
     """
     from ..ops.hstream_admm import hstream_solve
 
@@ -303,6 +309,8 @@ def sharded_hstream_solve(
         hsp = hsp.replace(batch=hsp.batch // nd)
         res = hstream_solve(
             x0s, carry, hsp, max_iter=max_iter, knot_block=knot_block,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             en_input_bound=en_input_bound, en_state_bound=en_state_bound,
             interpret=interpret, cones=cones,
         )

@@ -124,6 +124,135 @@ def test_long_horizon_parity():
     )
 
 
+def test_adaptive_freeze_vs_scan():
+    """In-kernel per-instance early termination for per-instance plants at
+    streaming horizons: iteration counts and solved flags match the scan
+    tier's freeze exactly (reference early exit admm.cpp:135-144); iterates
+    at 1e-3 (per-lane FMA-tree interpret drift on hard 60-iteration
+    transients — exactness pinned at f64 below and on chip)."""
+    from accelerated_tinympc_tpu.types import SOLVED
+
+    B2 = 12
+    prob_b, cache_b = _make_fleet(batch=B2)
+    hsp = pad_hstream_problem(prob_b, cache_b)
+    rng = np.random.default_rng(1)
+    scale = np.repeat([0.05, 0.4, 2.0], B2 // 3)[:, None]
+    x0s = jnp.asarray(scale * rng.standard_normal((B2, NX)), jnp.float32)
+    res = hstream_solve(
+        x0s, hstream_carry_zeros(B2, hsp), hsp, max_iter=60,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True,
+    )
+    st = init_state_batched(B2, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, prob_b, cache_b,
+        atm.Settings(max_iter=60, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+        problem_axes=0, cache_axes=0,
+    ))(st)
+    iters = np.asarray(res.stats[:, 0]).astype(int)
+    np.testing.assert_array_equal(iters, np.asarray(want.iter))
+    assert len(np.unique(iters)) > 2, "no termination spread"
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 1]) > 0.5, np.asarray(want.status) == SOLVED
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(want.x), rtol=0, atol=1e-3
+    )
+
+
+def test_adaptive_big_knot_block_capped():
+    """Requesting a large knot_block in adaptive mode is clamped to the
+    adaptive 128-sublane cap (the interpret-mode reassociation anomaly's
+    onset is one octave earlier for the adaptive kernel's larger graphs —
+    see the cap comment in hstream_solve): schedules still match the scan
+    freeze exactly."""
+    from accelerated_tinympc_tpu.types import SOLVED
+
+    B2 = 6
+    prob_b, cache_b = _make_fleet(batch=B2)
+    hsp = pad_hstream_problem(prob_b, cache_b)
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.standard_normal((B2, NX)) * 0.4, jnp.float32)
+    res = hstream_solve(
+        x0s, hstream_carry_zeros(B2, hsp), hsp, max_iter=40,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=64, interpret=True,   # clamped to 16 at SX=SU=8
+    )
+    st = init_state_batched(B2, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, prob_b, cache_b,
+        atm.Settings(max_iter=40, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+        problem_axes=0, cache_axes=0,
+    ))(st)
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 0]).astype(int), np.asarray(want.iter)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 1]) > 0.5, np.asarray(want.status) == SOLVED
+    )
+
+
+def test_adaptive_f64_exact():
+    """The adaptive kernel's exactness contract at f64 (the established
+    pin for this kernel family): schedules equal the f64 scan freeze, and
+    each instance's trajectories equal a fixed-iteration hstream solve of
+    its recorded count to 1e-9 (freeze = pre-backward d / pre-save slacks /
+    advanced duals, admm.cpp:135-144)."""
+    from accelerated_tinympc_tpu.ops.stream_admm import StreamCarry
+
+    B2 = 9
+    with jax.enable_x64(True):
+        prob_b, cache_b = _make_fleet(batch=B2)
+        prob_b = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), prob_b)
+        cache_b = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64), cache_b
+        )
+        hsp = pad_hstream_problem(prob_b, cache_b, dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        scale = np.repeat([0.05, 0.4, 2.0], B2 // 3)[:, None]
+        x0s = jnp.asarray(
+            scale * rng.standard_normal((B2, NX)), jnp.float64
+        )
+        res = hstream_solve(
+            x0s, StreamCarry.zeros(B2, hsp, jnp.float64), hsp,
+            max_iter=40, check_termination=5,
+            abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+            knot_block=16, interpret=True,
+        )
+        st = init_state_batched(B2, NX, NU, N, jnp.float64)
+        st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+        want = jax.jit(lambda s: solve_batched(
+            s, prob_b, cache_b,
+            atm.Settings(max_iter=40, check_termination=5,
+                         abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+            problem_axes=0, cache_axes=0,
+        ))(st)
+        iters = np.asarray(res.stats[:, 0]).astype(int)
+        np.testing.assert_array_equal(iters, np.asarray(want.iter))
+        assert len(np.unique(iters)) > 1
+        for k in np.unique(iters):
+            fixed = hstream_solve(
+                x0s, StreamCarry.zeros(B2, hsp, jnp.float64), hsp,
+                max_iter=int(k), knot_block=16, interpret=True,
+            )
+            sel = iters == k
+            np.testing.assert_allclose(
+                np.asarray(res.U)[sel], np.asarray(fixed.U)[sel],
+                rtol=0, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.X)[sel], np.asarray(fixed.X)[sel],
+                rtol=0, atol=1e-9,
+            )
+
+
 def test_residual_stats(setup):
     """Final-iteration residuals match the reference definitions
     (admm.cpp:95-98: pre-projection iterates vs new slacks; old-vs-new
