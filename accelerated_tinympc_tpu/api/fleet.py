@@ -345,10 +345,16 @@ class TinyMPCFleet:
             if s.check_termination > 0 and self.compaction_segment:
                 from ..solver.cascade import hstream_cascade_solve
 
+                # Compose: adaptive segments (in-kernel freeze) + compaction
+                # — bit-exact vs one long adaptive call; segment rounded up
+                # to a check multiple (the cadence-composition requirement).
+                ce = int(s.check_termination)
+                seg = -(-self.compaction_segment // ce) * ce
                 U, X, stats, carry = hstream_cascade_solve(
                     self._x0, self._carry, self._hp,
                     max_iter=s.max_iter,
-                    segment_iters=self.compaction_segment,
+                    segment_iters=seg,
+                    check_termination=ce,
                     abs_pri_tol=float(s.abs_pri_tol),
                     abs_dua_tol=float(s.abs_dua_tol),
                     en_input_bound=s.en_input_bound,

@@ -632,19 +632,68 @@ def _jit_stream_init(interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _jit_stream_segment(k, knot_block, en_ib, en_sb, interpret, cones):
+def _jit_stream_segment(k, knot_block, en_ib, en_sb, interpret, cones,
+                        ce=0):
     """One compiled stream segment per (iteration count; bucket shapes key
-    the jit cache via tracing)."""
+    the jit cache via tracing). ``ce > 0`` runs the in-kernel adaptive
+    variant (per-instance freeze inside the segment; tolerances are traced
+    SMEM operands — runtime args, no recompile)."""
     from ..ops.stream_admm import stream_solve
 
-    def fn(x, c, sp):
+    def fn(x, c, sp, pri, dua):
         return stream_solve(
             x, c, sp, max_iter=k, knot_block=knot_block,
+            check_termination=ce, abs_pri_tol=pri, abs_dua_tol=dua,
             en_input_bound=en_ib, en_state_bound=en_sb,
             interpret=interpret, cones=cones,
         )
 
     return fn if interpret else jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_stream_step_inkernel(interpret):
+    """Adaptive-segment scatter: solved flags and per-instance iteration
+    counts come from the kernel itself (stats rows 1 / 0, segment-local);
+    ``base`` offsets the counts to global iterations."""
+
+    def fn(out, res, idx, base):
+        solved = res.stats[:, 1] > 0.5
+        stats = res.stats.at[:, 0].add(base)
+        rows = (
+            res.U, res.X, stats,
+            _stream_unpack4(res.carry.d), _stream_unpack4(res.carry.y),
+            _stream_unpack4(res.carry.g), _stream_unpack4(res.carry.z),
+            _stream_unpack4(res.carry.v),
+        )
+        n = idx.shape[0]
+        out = tuple(
+            buf.at[idx].set(r[:n]) for buf, r in zip(out, rows)
+        )
+        return out, solved
+
+    return fn if interpret else jax.jit(fn, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_stream_init_inkernel(interpret):
+    def fn(res, idx, B, base):
+        solved = res.stats[:, 1] > 0.5
+        stats = res.stats.at[:, 0].add(base)
+        rows = (
+            res.U, res.X, stats,
+            _stream_unpack4(res.carry.d), _stream_unpack4(res.carry.y),
+            _stream_unpack4(res.carry.g), _stream_unpack4(res.carry.z),
+            _stream_unpack4(res.carry.v),
+        )
+        n = idx.shape[0]
+        out = tuple(
+            jnp.zeros((B + 1,) + r.shape[1:], r.dtype).at[idx].set(r[:n])
+            for r in rows
+        )
+        return out, solved
+
+    return fn if interpret else jax.jit(fn, static_argnums=2)
 
 
 @functools.lru_cache(maxsize=2)
@@ -677,6 +726,7 @@ def stream_cascade_solve(
     max_iter: int = 100,
     segment_iters: int = 25,
     segment_growth: float = 4.0,
+    check_termination: int = 0,
     abs_pri_tol: float = 1e-3,
     abs_dua_tol: float = 1e-3,
     knot_block: int = 32,
@@ -686,28 +736,35 @@ def stream_cascade_solve(
     en_input_bound: bool = True,
     en_state_bound: bool = True,
 ):
-    """Segment-level early termination for the streaming long-horizon tier.
+    """Early-termination compaction for the streaming long-horizon tier.
 
-    The streaming kernel is fixed-iteration by design (its whole loop state
-    streams HBM<->VMEM; per-lane freeze masks would add two arrays of
-    per-iteration traffic). This cascade supplies the early-termination
-    capability at the dispatch level instead: fixed segments, the scan
-    tier's convergence predicate applied to each segment's final-iteration
-    residuals (reference: admm.cpp:99-105 at a check cadence of
-    ``segment_iters``), converged instances scattered out, survivors
-    re-dispatched in pow-2 lane-tile buckets.
+    Two modes:
 
-    Semantics: controls/trajectories of a converged instance equal the
-    fixed-iteration solve at its recorded iteration count (a multiple of
-    ``segment_iters`` — segment-granular, i.e. an upper bound of the scan
-    tier's per-iteration check schedule); the returned carry holds the
-    slack-saved post-backward state (one stage past the reference's
-    early-exit freeze — an equally valid warm start, see
-    solver/admm.py's early-exit notes).
+    * ``check_termination == 0`` (segment-granular): fixed-iteration
+      segments, the scan tier's convergence predicate applied to each
+      segment's final-iteration residuals (reference: admm.cpp:99-105 at a
+      check cadence of ``segment_iters``), converged instances scattered
+      out, survivors re-dispatched in pow-2 lane-tile buckets. A converged
+      instance's controls equal the fixed-iteration solve at its recorded
+      (segment-multiple) count; the returned carry is the slack-saved
+      post-backward state (one stage past the reference's early-exit
+      freeze — an equally valid warm start, solver/admm.py's notes).
+    * ``check_termination > 0`` (in-kernel + compaction — the composition):
+      each segment runs the adaptive kernel
+      (:func:`..ops.stream_admm._kernel_adaptive`), so instances freeze at
+      their exact per-iteration check (reference early exit
+      admm.cpp:135-144) *inside* the segment, and the cascade re-packs
+      survivors into dense tiles between segments (the in-kernel early
+      exit is per 128-lane tile — compaction is what makes it pay when
+      convergence is scattered). Semantics equal ONE long adaptive call:
+      iteration counts, solved flags, frozen iterates and residual stats
+      are the kernel's own. ``segment_iters`` must be a multiple of
+      ``check_termination`` (segments check at segment-local cadence, so
+      multiples preserve the single-call global schedule).
 
     Returns ``(U, X, stats, carry)`` in original batch order; stats lane 0 =
-    iterations (segment-granular), lane 1 = solved flag, 2-5 = residuals at
-    the exit segment's final iteration.
+    iterations, lane 1 = solved flag, 2-5 = residuals at the exit check
+    (in-kernel mode) or the exit segment's final iteration.
     """
     from ..ops.hetero_admm import LANES
     from ..ops.stream_admm import StreamCarry
@@ -716,6 +773,12 @@ def stream_cascade_solve(
         raise ValueError("max_iter and segment_iters must be >= 1")
     if segment_growth < 1.0:
         raise ValueError("segment_growth must be >= 1.0")
+    ce = int(check_termination)
+    if ce > 0 and segment_iters % ce:
+        raise ValueError(
+            "segment_iters must be a multiple of check_termination so the "
+            "segment-local check cadence matches the single-call schedule"
+        )
     B = x0.shape[0]
     if min_bucket is None:
         min_bucket = LANES
@@ -725,32 +788,33 @@ def stream_cascade_solve(
 
     def run(x, c, k):
         return _jit_stream_segment(
-            k, knot_block, en_input_bound, en_state_bound, interpret, cones
-        )(x, c, sp)
+            k, knot_block, en_input_bound, en_state_bound, interpret,
+            cones, ce,
+        )(x, c, sp, pri, dua)
 
     active_idx = np.arange(B, dtype=np.int32)
     x0_b, carry_b = x0, carry
     done_iters = 0
     cur_seg = segment_iters
     gather = _jit_stream_gather(interpret)
-    step = _jit_stream_step(interpret)
+    step = (_jit_stream_step_inkernel if ce else _jit_stream_step)(interpret)
+    init = (_jit_stream_init_inkernel if ce else _jit_stream_init)(interpret)
     out = None
 
     while True:
         n_active = active_idx.size
         k = min(cur_seg, max_iter - done_iters)
         res = run(x0_b, carry_b, k)
+        base = done_iters
         done_iters += k
         idx = np.full(res.stats.shape[0], B, np.int32)
         idx[:n_active] = active_idx
+        sargs = ((jnp.float32(base),) if ce
+                 else (jnp.float32(done_iters), pri, dua))
         if out is None:
-            out, solved_col = _jit_stream_init(interpret)(
-                res, jnp.asarray(idx), B, jnp.float32(done_iters), pri, dua
-            )
+            out, solved_col = init(res, jnp.asarray(idx), B, *sargs)
         else:
-            out, solved_col = step(
-                out, res, jnp.asarray(idx), jnp.float32(done_iters), pri, dua
-            )
+            out, solved_col = step(out, res, jnp.asarray(idx), *sargs)
         if done_iters >= max_iter:
             break
         solved = np.asarray(jax.device_get(solved_col))[:n_active]
@@ -758,6 +822,8 @@ def stream_cascade_solve(
         if keep.size == 0:
             break
         cur_seg = int(cur_seg * segment_growth)
+        if ce:
+            cur_seg = -(-cur_seg // ce) * ce
         active_idx = active_idx[keep]
         bucket = min(
             -(-B // LANES) * LANES,
@@ -777,12 +843,14 @@ def stream_cascade_solve(
 # --------------------------------------------------------------- hstream ----
 
 @functools.lru_cache(maxsize=64)
-def _jit_hstream_segment(k, knot_block, en_ib, en_sb, interpret, cones):
+def _jit_hstream_segment(k, knot_block, en_ib, en_sb, interpret, cones,
+                         ce=0):
     from ..ops.hstream_admm import hstream_solve
 
-    def fn(x, c, hsp):
+    def fn(x, c, hsp, pri, dua):
         return hstream_solve(
             x, c, hsp, max_iter=k, knot_block=knot_block,
+            check_termination=ce, abs_pri_tol=pri, abs_dua_tol=dua,
             en_input_bound=en_ib, en_state_bound=en_sb,
             interpret=interpret, cones=cones,
         )
@@ -808,6 +876,7 @@ def hstream_cascade_solve(
     max_iter: int = 100,
     segment_iters: int = 25,
     segment_growth: float = 4.0,
+    check_termination: int = 0,
     abs_pri_tol: float = 1e-3,
     abs_dua_tol: float = 1e-3,
     knot_block: int = 16,
@@ -832,6 +901,11 @@ def hstream_cascade_solve(
     the exit segment's final iteration. Schedules are exact per recorded
     count; controls match the fixed-iteration solve at that count to f32
     segment-handoff tolerance (tests/test_hstream.py).
+
+    ``check_termination > 0`` composes the in-kernel per-instance freeze
+    with the compaction (see :func:`stream_cascade_solve`'s in-kernel mode
+    for the semantics — equal to one long adaptive call; ``segment_iters``
+    must be a multiple of it).
     """
     from ..ops.hetero_admm import LANES
     from ..ops.stream_admm import StreamCarry
@@ -840,6 +914,12 @@ def hstream_cascade_solve(
         raise ValueError("max_iter and segment_iters must be >= 1")
     if segment_growth < 1.0:
         raise ValueError("segment_growth must be >= 1.0")
+    ce = int(check_termination)
+    if ce > 0 and segment_iters % ce:
+        raise ValueError(
+            "segment_iters must be a multiple of check_termination so the "
+            "segment-local check cadence matches the single-call schedule"
+        )
     B = x0.shape[0]
     if min_bucket is None:
         min_bucket = LANES
@@ -849,32 +929,33 @@ def hstream_cascade_solve(
 
     def run(x, c, hp, k):
         return _jit_hstream_segment(
-            k, knot_block, en_input_bound, en_state_bound, interpret, cones
-        )(x, c, hp)
+            k, knot_block, en_input_bound, en_state_bound, interpret,
+            cones, ce,
+        )(x, c, hp, pri, dua)
 
     active_idx = np.arange(B, dtype=np.int32)
     x0_b, carry_b, hsp_b = x0, carry, hsp
     done_iters = 0
     cur_seg = segment_iters
     gather = _jit_hstream_gather(interpret)
-    step = _jit_stream_step(interpret)
+    step = (_jit_stream_step_inkernel if ce else _jit_stream_step)(interpret)
+    init = (_jit_stream_init_inkernel if ce else _jit_stream_init)(interpret)
     out = None
 
     while True:
         n_active = active_idx.size
         k = min(cur_seg, max_iter - done_iters)
         res = run(x0_b, carry_b, hsp_b, k)
+        base = done_iters
         done_iters += k
         idx = np.full(res.stats.shape[0], B, np.int32)
         idx[:n_active] = active_idx
+        sargs = ((jnp.float32(base),) if ce
+                 else (jnp.float32(done_iters), pri, dua))
         if out is None:
-            out, solved_col = _jit_stream_init(interpret)(
-                res, jnp.asarray(idx), B, jnp.float32(done_iters), pri, dua
-            )
+            out, solved_col = init(res, jnp.asarray(idx), B, *sargs)
         else:
-            out, solved_col = step(
-                out, res, jnp.asarray(idx), jnp.float32(done_iters), pri, dua
-            )
+            out, solved_col = step(out, res, jnp.asarray(idx), *sargs)
         if done_iters >= max_iter:
             break
         solved = np.asarray(jax.device_get(solved_col))[:n_active]
@@ -882,6 +963,8 @@ def hstream_cascade_solve(
         if keep.size == 0:
             break
         cur_seg = int(cur_seg * segment_growth)
+        if ce:
+            cur_seg = -(-cur_seg // ce) * ce
         active_idx = active_idx[keep]
         bucket = min(
             -(-B // LANES) * LANES,

@@ -394,6 +394,57 @@ def test_hstream_cones_parity(setup):
     )
 
 
+def test_hstream_cascade_inkernel():
+    """Adaptive segments + plant-aware compaction equals one long adaptive
+    hstream call: schedules/flags exact; iterates pinned at f64 (this
+    family's exactness convention — per-lane FMA-tree interpret drift at
+    f32)."""
+    from accelerated_tinympc_tpu.ops.stream_admm import StreamCarry
+    from accelerated_tinympc_tpu.solver.cascade import hstream_cascade_solve
+
+    B2 = 9
+    with jax.enable_x64(True):
+        prob_b, cache_b = _make_fleet(batch=B2)
+        prob_b = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), prob_b)
+        cache_b = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64), cache_b
+        )
+        hsp = pad_hstream_problem(prob_b, cache_b, dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        scale = np.repeat([0.05, 0.4, 2.0], B2 // 3)[:, None]
+        x0s = jnp.asarray(
+            scale * rng.standard_normal((B2, NX)), jnp.float64
+        )
+        one = hstream_solve(
+            x0s, StreamCarry.zeros(B2, hsp, jnp.float64), hsp, max_iter=40,
+            check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+            knot_block=16, interpret=True,
+        )
+        U, X, stats, carry = hstream_cascade_solve(
+            x0s, StreamCarry.zeros(B2, hsp, jnp.float64), hsp, max_iter=40,
+            segment_iters=10, check_termination=5,
+            abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+            knot_block=16, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stats[:, 0]), np.asarray(one.stats[:, 0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stats[:, 1]), np.asarray(one.stats[:, 1])
+        )
+        np.testing.assert_allclose(
+            np.asarray(U), np.asarray(one.U), rtol=0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(X), np.asarray(one.X), rtol=0, atol=1e-9
+        )
+        for name in ("d", "y", "g", "z", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(carry, name)),
+                np.asarray(getattr(one.carry, name)), rtol=0, atol=1e-9,
+            )
+
+
 def test_hstream_cascade(setup):
     """Segment-level early termination for the hetero-streaming tier
     (VERDICT r3 item 1): at f64 (removing the f32 segment-handoff FMA

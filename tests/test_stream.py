@@ -433,6 +433,57 @@ def test_adaptive_cones(setup):
     )
 
 
+def test_stream_cascade_inkernel(setup):
+    """The composition: adaptive segments (in-kernel per-instance freeze)
+    + cross-tile survivor compaction equals ONE long adaptive call —
+    iteration counts, solved flags, trajectories, the full warm-start
+    carry and the recorded residuals, all bit-exact (the freeze preserves
+    the exact early-exit state, so segment boundaries at check multiples
+    are invisible)."""
+    from accelerated_tinympc_tpu.solver.cascade import stream_cascade_solve
+
+    problem, cache, sp, x0s, B2 = _adaptive_setup(setup)
+    one = stream_solve(
+        x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True,
+    )
+    U, X, stats, carry = stream_cascade_solve(
+        x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60, segment_iters=10,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats[:, 0]), np.asarray(one.stats[:, 0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats[:, 1]), np.asarray(one.stats[:, 1])
+    )
+    np.testing.assert_array_equal(np.asarray(U), np.asarray(one.U))
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(one.X))
+    for name in ("d", "y", "g", "z", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(carry, name)),
+            np.asarray(getattr(one.carry, name)),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(stats[:, 2:6]), np.asarray(one.stats[:, 2:6])
+    )
+
+
+def test_stream_cascade_inkernel_cadence_validation(setup):
+    """segment_iters must be a multiple of check_termination in in-kernel
+    mode (segment-local check cadence must compose to the global one)."""
+    from accelerated_tinympc_tpu.solver.cascade import stream_cascade_solve
+
+    problem, cache, sp, x0s = setup
+    with pytest.raises(ValueError, match="multiple of check_termination"):
+        stream_cascade_solve(
+            x0s, StreamCarry.zeros(B, sp), sp, max_iter=60,
+            segment_iters=12, check_termination=5, interpret=True,
+        )
+
+
 def test_stream_cascade(setup):
     """Segment-level early termination for the streaming tier: every
     instance's controls are BIT-exact against a fixed-iteration solve of

@@ -142,6 +142,21 @@ def main():
     print(f"cascade  seg=10: {t_casc*1e3:9.2f} ms "
           f"({B/t_casc:,.0f} solves/s)  {t_fixed/t_casc:.2f}x fixed")
 
+    # The composition: adaptive segments + cross-tile survivor compaction
+    # (bit-exact vs one long adaptive call — tests/test_stream.py). This is
+    # the early-termination configuration for scattered convergence.
+    def run_comp():
+        U, X, stats, _ = stream_cascade_solve(
+            x0s, carry0, sp, max_iter=MAX_ITER, segment_iters=10,
+            check_termination=CHECK, abs_pri_tol=TOL, abs_dua_tol=TOL,
+        )
+        jax.block_until_ready(stats)
+
+    run_comp()
+    t_comp = timed(run_comp, reps=3)
+    print(f"cascade+inkernel seg=10 ce={CHECK}: {t_comp*1e3:9.2f} ms "
+          f"({B/t_comp:,.0f} solves/s)  {t_fixed/t_comp:.2f}x fixed")
+
     # Tile-coherent layout: early exit is per 128-lane tile, so sort by
     # difficulty (what the cascade's compaction produces naturally) to let
     # easy tiles retire. This is the adaptive kernel's best case.
