@@ -285,6 +285,43 @@ def main() -> None:
     emit("hetero_masked_cone_solves_per_sec", round(Bh / best), "solves/s",
          batch=Bh)
 
+    # --- streaming tier: in-kernel adaptive vs fixed (round 3) --------------
+    # Tile-coherent (difficulty-sorted) batch: the adaptive kernel's early
+    # exit is per 128-lane tile (BASELINE.md "Streaming in-kernel
+    # per-instance freeze" for the full protocol incl. worst case).
+    if platform != "cpu":
+        from accelerated_tinympc_tpu.ops.stream_admm import (
+            StreamCarry, pad_stream_problem, stream_solve,
+        )
+
+        Ns, Bs = 256, 2048
+        sprob = problem.replace(
+            Xref=jnp.zeros((Ns, 12), jnp.float32),
+            Uref=jnp.zeros((Ns - 1, 4), jnp.float32),
+            x_min=jnp.broadcast_to(problem.x_min[0], (Ns, 12)),
+            x_max=jnp.broadcast_to(problem.x_max[0], (Ns, 12)),
+            u_min=jnp.broadcast_to(problem.u_min[0], (Ns - 1, 4)),
+            u_max=jnp.broadcast_to(problem.u_max[0], (Ns - 1, 4)),
+        )
+        sp = pad_stream_problem(sprob, cache)
+        sc = np.repeat([0.02, 0.1, 0.5], -(-Bs // 3))[:Bs, None]
+        sx0 = jnp.asarray(sc * rng.standard_normal((Bs, 12)), jnp.float32)
+        scarry = StreamCarry.zeros(Bs, sp)
+        sfix = jax.jit(lambda x, c: stream_solve(x, c, sp, max_iter=100))
+        best, _ = best_time(lambda _x: sfix(sx0, scarry).U, 0, reps=3)
+        emit("stream_fixed_solves_per_sec", round(Bs / best), "solves/s",
+             batch=Bs, horizon=Ns, iters=100)
+        sad = jax.jit(lambda x, c: stream_solve(
+            x, c, sp, max_iter=100, check_termination=5,
+            abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        ))
+        sres = jax.block_until_ready(sad(sx0, scarry))
+        best, _ = best_time(lambda _x: sad(sx0, scarry).U, 0, reps=3)
+        emit("stream_adaptive_solves_per_sec", round(Bs / best), "solves/s",
+             batch=Bs, horizon=Ns, check_every=5,
+             mean_iters=round(float(np.asarray(sres.stats[:, 0]).mean()), 1),
+             layout="difficulty-sorted (tile-coherent)")
+
     # Batched Pallas Riccati precompute at the flagship shape.
     Br = 4096
     Ah = jnp.tile(jnp.stack([jnp.asarray(p.A) for p in probs]),
