@@ -94,6 +94,27 @@ def main() -> None:
     print(f"stream-vs-scan control err: {err:.2e}  (bar 1e-4)")
     assert err < 1e-4
 
+    # In-kernel per-instance early termination on the streaming tier
+    # (reference early exit admm.cpp:135-144 per lane; whole 128-lane tiles
+    # retire their while_loop when every lane converges — sort by expected
+    # difficulty or compose with solver/cascade.stream_cascade_solve for
+    # tile coherence).
+    f_adapt = jax.jit(lambda x, c: stream_solve(
+        x, c, sp, max_iter=args.iters, check_termination=5,
+        abs_pri_tol=1e-3, abs_dua_tol=1e-3, interpret=not on_tpu))
+    if on_tpu:
+        sa, t_adapt = timeit(f_adapt, x0s, StreamCarry.zeros(B, sp))
+        print(f"stream tier (adaptive): {t_adapt/B*1e6:9.1f} us/solve "
+              f"({B/t_adapt:8.0f} solves/s)")
+    else:
+        sa = stream_solve(x0s, StreamCarry.zeros(B, sp), sp,
+                          max_iter=args.iters, check_termination=5,
+                          interpret=True)
+    it = np.asarray(sa.stats[:, 0])
+    print(f"adaptive iterations: mean {it.mean():.1f}, "
+          f"max {int(it.max())}, solved "
+          f"{float((np.asarray(sa.stats[:, 1]) > 0.5).mean()):.0%}")
+
 
 if __name__ == "__main__":
     main()

@@ -433,6 +433,48 @@ def test_adaptive_cones(setup):
     )
 
 
+def test_sharded_stream_adaptive(setup):
+    """Adaptive kernel per shard over an 8-device mesh: per-instance
+    schedules and iterates match the unsharded adaptive solve exactly
+    (each device's tiles run their own while_loop — no cross-device
+    synchronization in the iteration loop)."""
+    from accelerated_tinympc_tpu.ops.stream_admm import LANES
+    from accelerated_tinympc_tpu.parallel import (
+        make_batch_mesh, replicate, shard_batch, sharded_stream_solve,
+    )
+
+    problem, cache, sp, _ = setup
+    nd = 8
+    Bn = LANES * nd
+    rng = np.random.default_rng(4)
+    scale = np.repeat([0.05, 0.4, 2.0], -(-Bn // 3))[:Bn, None]
+    x0s = jnp.asarray(scale * rng.standard_normal((Bn, NX)), jnp.float32)
+    carry = StreamCarry.zeros(Bn, sp)
+    want = stream_solve(
+        x0s, carry, sp, max_iter=30, check_termination=5,
+        abs_pri_tol=5e-3, abs_dua_tol=5e-3, interpret=True,
+    )
+    mesh = make_batch_mesh(nd)
+    solve = sharded_stream_solve(
+        mesh, max_iter=30, check_termination=5,
+        abs_pri_tol=5e-3, abs_dua_tol=5e-3, interpret=True,
+    )
+    got, stats = solve(
+        shard_batch(x0s, mesh), shard_batch(carry, mesh),
+        replicate(sp, mesh),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.stats[:, 0]), np.asarray(want.stats[:, 0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.stats[:, 1]), np.asarray(want.stats[:, 1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.U), rtol=0, atol=1e-6
+    )
+    assert float(stats["n_total"]) == Bn
+
+
 def test_stream_cascade_inkernel(setup):
     """The composition: adaptive segments (in-kernel per-instance freeze)
     + cross-tile survivor compaction equals ONE long adaptive call —
