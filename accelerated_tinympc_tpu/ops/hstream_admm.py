@@ -30,11 +30,14 @@ crossed with one-problem-per-process tiny_wrapper.hpp:6 — this kernel runs
 a *fleet* of those processes per chip at horizons the VMEM-resident tier
 cannot hold.
 
-Fixed-iteration mode only (like the streaming parent); early termination at
-segment granularity is :func:`..solver.cascade.hstream_cascade_solve`.
-Bounds are per-instance but time-uniform (resident ``(S, LANES)`` rows —
-per-knot bounds would stream two extra arrays per iteration; the hetero
-tier covers per-knot bounds at VMEM-resident horizons).
+Early termination: ``check_termination > 0`` runs the in-kernel
+per-instance freeze (the streaming parent's adaptive design, per-lane
+exact reference early-exit semantics, per-tile while_loop exit);
+:func:`..solver.cascade.hstream_cascade_solve` composes it with
+cross-tile survivor compaction (bit-exact vs one long adaptive call).
+Bounds are per-instance; time-uniform schedules ride resident ``(S,
+LANES)`` rows, per-knot schedules stream alongside qc (iteration-constant
+read-only traffic — measured free on this deployment).
 
 Mosaic discipline (CLAUDE.md): batch on lanes, no lane-1 vectors, residual
 accumulators full ``(S, LANES)`` reduced once at the end, scalar masks as
@@ -76,6 +79,8 @@ from .stream_admm import (
     _A_SU_Y_OUT, _A_SU_Z_IN, _A_SU_Z_OUT, _A_SU_ZS,
     _A_SX_G_IN, _A_SX_G_OUT, _A_SX_QC_IN, _A_SX_V_IN, _A_SX_V_OUT,
     _A_SX_VS, _A_SX_X_IN, _A_SX_X_OUT,
+    _A_SU_UMIN, _A_SU_UMAX, _A_SX_XMIN, _A_SX_XMAX,
+    _A_IN_UMIN, _A_IN_UMAX, _A_IN_XMIN, _A_IN_XMAX,
     StreamCarry,
     StreamResult,
     _make_streamer,
@@ -96,6 +101,10 @@ _SX_G_IN, _SX_G_OUT, _SX_V_OUT, _SX_QC_IN, _SX_V_IN = range(5)
 _SX_X_OUT = _SX_QC_IN
 _IN_D, _IN_Y, _IN_G, _IN_Z, _IN_V, _IN_QC = range(6)
 _OUT_Y, _OUT_G, _OUT_Z, _OUT_V, _OUT_D, _OUT_U, _OUT_X = range(7)
+# Optional per-knot bound streams (same ids as the streaming parent).
+_SU_UMIN, _SU_UMAX = 6, 7
+_SX_XMIN, _SX_XMAX = 5, 6
+_IN_UMIN, _IN_UMAX, _IN_XMIN, _IN_XMAX = 6, 7, 8, 9
 
 
 @struct.dataclass
@@ -120,6 +129,15 @@ class HStreamProblem:
     rho_x: jax.Array     # (NT*SX, L)
     dims: tuple = struct.field(pytree_node=False)  # (nx, nu, N)
     batch: int = struct.field(pytree_node=False)
+    # Per-instance per-knot bound schedules (None = time-uniform resident
+    # rows above apply). Streamed alongside qc — iteration-constant
+    # read-only traffic, measured free on this deployment (the hetero tier
+    # covers per-knot bounds at VMEM-resident horizons; this extends them
+    # to streaming horizons).
+    u_min_k: jax.Array | None = None   # (NT, N, SU, L)
+    u_max_k: jax.Array | None = None
+    x_min_k: jax.Array | None = None   # (NT, N, SX, L)
+    x_max_k: jax.Array | None = None
 
     @property
     def SX(self) -> int:
@@ -133,22 +151,26 @@ class HStreamProblem:
     def tiles(self) -> int:
         return self.qc.shape[0]
 
+    @property
+    def has_knot_bounds(self) -> bool:
+        return self.u_min_k is not None
 
-def _uniform_bound(b: jax.Array, knots: int, k: int, name: str) -> jax.Array:
-    """Accept ``(B, k)`` or time-uniform ``(B, knots, k)``; return (B, k)."""
+
+def _uniform_bound(b: jax.Array, knots: int, k: int, name: str):
+    """Accept ``(B, k)`` or ``(B, knots, k)``; return ``(resident,
+    time_varying)``: the (B, k) resident rows, and whether a concrete 3-D
+    schedule actually varies over knots (→ per-knot streaming mode; a 3-D
+    tracer is assumed time-uniform, matching the jittable contract)."""
     b = jnp.asarray(b)
     if b.ndim == 2:
-        return b
+        return b, False
     if b.ndim != 3:
         raise ValueError(f"{name}: expected (B, {k}) or (B, {knots}, {k})")
     if not isinstance(b, jax.core.Tracer):
         bh = np.asarray(b)
         if not np.all(bh == bh[:, :1]):
-            raise ValueError(
-                f"hstream tier needs time-uniform {name} (per-knot values "
-                "given; use the hetero tier at VMEM-resident horizons)"
-            )
-    return b[:, 0]
+            return b[:, 0], True
+    return b[:, 0], False
 
 
 def pad_hstream_problem(
@@ -171,10 +193,36 @@ def pad_hstream_problem(
     )
     rho = f(cache.rho).reshape(Bn)[:, None]
 
-    def pkb(b, k, S, name):
-        return _lane_pack_vec(f(_uniform_bound(b, N, k, name)), S, nt)
+    bounds = {}
+    knot_bounds = False
+    for name, b, knots, k in (
+        ("u_min", problem.u_min, N - 1, nu),
+        ("u_max", problem.u_max, N - 1, nu),
+        ("x_min", problem.x_min, N, nx),
+        ("x_max", problem.x_max, N, nx),
+    ):
+        resident, varying = _uniform_bound(b, knots, k, name)
+        bounds[name] = (resident, b, knots, k)
+        knot_bounds |= varying
+
+    def pkb(name, S):
+        return _lane_pack_vec(f(bounds[name][0]), S, nt)
+
+    def pk_stream(name, S):
+        if not knot_bounds:
+            return None
+        resident, b, knots, k = bounds[name]
+        b3 = jnp.asarray(b)
+        if b3.ndim == 2:
+            b3 = jnp.broadcast_to(b3[:, None, :], (Bn, knots, k))
+        full = jnp.zeros((Bn, N, k), dtype).at[:, :knots].set(f(b3))
+        return _pack(full, Bn, S)
 
     return HStreamProblem(
+        u_min_k=pk_stream("u_min", SU),
+        u_max_k=pk_stream("u_max", SU),
+        x_min_k=pk_stream("x_min", SX),
+        x_max_k=pk_stream("x_max", SX),
         A3=_lane_pack_mat(f(problem.A), SX, SX, nt),
         B3=_lane_pack_mat(f(problem.B), SU, SX, nt),
         K3=_lane_pack_mat(f(cache.Kinf), SX, SU, nt),
@@ -182,10 +230,10 @@ def pad_hstream_problem(
         Quu3=_lane_pack_mat(f(cache.Quu_inv), SU, SU, nt),
         Bt3=_lane_pack_mat(jnp.swapaxes(f(problem.B), -1, -2), SX, SU, nt),
         M3=_lane_pack_mat(f(cache.AmBKt), SX, SX, nt),
-        u_min=pkb(problem.u_min, nu, SU, "u_min"),
-        u_max=pkb(problem.u_max, nu, SU, "u_max"),
-        x_min=pkb(problem.x_min, nx, SX, "x_min"),
-        x_max=pkb(problem.x_max, nx, SX, "x_max"),
+        u_min=pkb("u_min", SU),
+        u_max=pkb("u_max", SU),
+        x_min=pkb("x_min", SX),
+        x_max=pkb("x_max", SX),
         qc=_pack(qc, Bn, SX),
         pterm=_lane_pack_vec(pterm, SX, nt),
         rho_u=_lane_pack_vec(jnp.broadcast_to(rho, (Bn, nu)), SU, nt),
@@ -278,6 +326,10 @@ def gather_hstream(
         qc=g4(hsp.qc), pterm=g_rows(hsp.pterm, SX),
         rho_u=g_rows(hsp.rho_u, SU), rho_x=g_rows(hsp.rho_x, SX),
         dims=hsp.dims, batch=int(idx.shape[0]),
+        u_min_k=None if hsp.u_min_k is None else g4(hsp.u_min_k),
+        u_max_k=None if hsp.u_max_k is None else g4(hsp.u_max_k),
+        x_min_k=None if hsp.x_min_k is None else g4(hsp.x_min_k),
+        x_max_k=None if hsp.x_max_k is None else g4(hsp.x_max_k),
     )
     carry2 = jax.tree.map(g4, carry)
     return hsp2, carry2, x0[idx]
@@ -292,6 +344,7 @@ def _kernel(
     max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
     ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
     has_cmasks: bool = False, SX: int = 0, SU: int = 0,
+    kb_bounds: bool = False,
 ):
     """One batch tile's full fixed-iteration solve: the streaming parent's
     phase machinery (see stream_admm._kernel) with the hetero parent's
@@ -303,6 +356,11 @@ def _kernel(
     i += 1 if has_cparams else 0
     cm_ref = rest[i] if has_cmasks else None
     i += 1 if has_cmasks else 0
+    if kb_bounds:
+        uminK, umaxK, xminK, xmaxK = rest[i:i + 4]
+        i += 4
+    else:
+        uminK = umaxK = xminK = xmaxK = None
     (d_in, y_in, g_in, z_in, v_in,
      d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
      su_buf, sx_buf, sems_in, sems_out) = rest[i:]
@@ -339,10 +397,10 @@ def _kernel(
     rho_u = rhou_ref[:]      # (SU, L) per-instance penalties
     rho_x = rhox_ref[:]      # (SX, L)
 
-    # qc is per-tile here (no shared-operand special case): pass
-    # qc_ref=None so every array indexes [t, block].
+    # qc is per-tile here (no shared operands): every array indexes
+    # [t, block].
     dma_su, dma_sx, phase = _make_streamer(
-        t, Kb, NBL, None, su_buf, sx_buf, sems_in, sems_out
+        t, Kb, NBL, (), su_buf, sx_buf, sems_in, sems_out
     )
 
     def apply_cones(a, cone_list, params, masks):
@@ -362,12 +420,16 @@ def _kernel(
                                      mu=mu, shift=sh)
         return a
 
-    def clip_u(a):
-        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+    def clip_u(a, lo=None, hi=None):
+        if en_ib:
+            a = jnp.clip(a, umin_ref[:] if lo is None else lo,
+                         umax_ref[:] if hi is None else hi)
         return apply_cones(a, ucones, uparams, umasks)
 
-    def clip_x(a):
-        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+    def clip_x(a, lo=None, hi=None):
+        if en_sb:
+            a = jnp.clip(a, xmin_ref[:] if lo is None else lo,
+                         xmax_ref[:] if hi is None else hi)
         return apply_cones(a, xcones, xparams, xmasks)
 
     fwd_ins = [
@@ -375,6 +437,13 @@ def _kernel(
         (dma_su, _SU_Y_IN, _IN_Y, y_hbm),
         (dma_sx, _SX_G_IN, _IN_G, g_hbm),
     ]
+    if kb_bounds:
+        fwd_ins += [
+            (dma_su, _SU_UMIN, _IN_UMIN, uminK),
+            (dma_su, _SU_UMAX, _IN_UMAX, umaxK),
+            (dma_sx, _SX_XMIN, _IN_XMIN, xminK),
+            (dma_sx, _SX_XMAX, _IN_XMAX, xmaxK),
+        ]
     fwd_outs = [
         (dma_su, _SU_Y_OUT, _OUT_Y, y_hbm),
         (dma_sx, _SX_G_OUT, _OUT_G, g_hbm),
@@ -401,6 +470,9 @@ def _kernel(
             d_blk = su_buf[_SU_D_IN, s]
             yin_blk = su_buf[_SU_Y_IN, s]
             gin_blk = sx_buf[_SX_G_IN, s]
+            if kb_bounds:
+                uminB, umaxB = su_buf[_SU_UMIN, s], su_buf[_SU_UMAX, s]
+                xminB, xmaxB = sx_buf[_SX_XMIN, s], sx_buf[_SX_XMAX, s]
             if final:
                 zin_blk = su_buf[_SU_Z_IN, s]
                 vin_blk = sx_buf[_SX_V_IN, s]
@@ -410,11 +482,13 @@ def _kernel(
                 w = (gi < N - 1).astype(f32)
                 u_i = -_dotb(K3v, x) - d_blk[i]
                 su = u_i + yin_blk[i]
-                zn = clip_u(su)
+                zn = (clip_u(su, uminB[i], umaxB[i]) if kb_bounds
+                      else clip_u(su))
                 ys.append((su - zn) * w)
                 zs.append(zn * w)
                 tx = x + gin_blk[i]
-                vn = clip_x(tx)
+                vn = (clip_x(tx, xminB[i], xmaxB[i]) if kb_bounds
+                      else clip_x(tx))
                 gs.append(tx - vn)
                 vs.append(vn)
                 if final:
@@ -521,6 +595,7 @@ def _kernel_adaptive(
     en_ib: bool, en_sb: bool,
     ucones: tuple = (), xcones: tuple = (), has_cparams: bool = False,
     has_cmasks: bool = False, SX: int = 0, SU: int = 0,
+    kb_bounds: bool = False,
 ):
     """Adaptive (per-instance early-termination) heterogeneous streaming
     solve: the streaming parent's adaptive structure
@@ -535,6 +610,11 @@ def _kernel_adaptive(
     i += 1 if has_cparams else 0
     cm_ref = rest[i] if has_cmasks else None
     i += 1 if has_cmasks else 0
+    if kb_bounds:
+        uminK, umaxK, xminK, xmaxK = rest[i:i + 4]
+        i += 4
+    else:
+        uminK = umaxK = xminK = xmaxK = None
     (d_in, y_in, g_in, z_in, v_in, U_in, X_in,
      d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, zs_hbm, vs_hbm,
      stats_ref, su_buf, sx_buf, sems_in, sems_out) = rest[i:]
@@ -574,7 +654,7 @@ def _kernel_adaptive(
     rho_x = rhox_ref[:]
     rho8 = jnp.concatenate([rho_x[0:1, :]] * 8, axis=0)  # per-lane rho
     dma_su, dma_sx, phase = _make_streamer(
-        t, Kb, NBL, None, su_buf, sx_buf, sems_in, sems_out
+        t, Kb, NBL, (), su_buf, sx_buf, sems_in, sems_out
     )
 
     def apply_cones(a, cone_list, params, masks):
@@ -594,12 +674,16 @@ def _kernel_adaptive(
                                      mu=mu, shift=sh)
         return a
 
-    def clip_u(a):
-        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+    def clip_u(a, lo=None, hi=None):
+        if en_ib:
+            a = jnp.clip(a, umin_ref[:] if lo is None else lo,
+                         umax_ref[:] if hi is None else hi)
         return apply_cones(a, ucones, uparams, umasks)
 
-    def clip_x(a):
-        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+    def clip_x(a, lo=None, hi=None):
+        if en_sb:
+            a = jnp.clip(a, xmin_ref[:] if lo is None else lo,
+                         xmax_ref[:] if hi is None else hi)
         return apply_cones(a, xcones, xparams, xmasks)
 
     def exp_u(m8):
@@ -625,6 +709,13 @@ def _kernel_adaptive(
         (dma_su, _A_SU_Y_IN, _A_IN_Y, y_hbm),
         (dma_sx, _A_SX_G_IN, _A_IN_G, g_hbm),
     ]
+    if kb_bounds:
+        fwd_ins_plain = fwd_ins_plain + [
+            (dma_su, _A_SU_UMIN, _A_IN_UMIN, uminK),
+            (dma_su, _A_SU_UMAX, _A_IN_UMAX, umaxK),
+            (dma_sx, _A_SX_XMIN, _A_IN_XMIN, xminK),
+            (dma_sx, _A_SX_XMAX, _A_IN_XMAX, xmaxK),
+        ]
     fwd_outs_plain = [
         (dma_su, _A_SU_Y_OUT, _A_OUT_Y, y_hbm),
         (dma_sx, _A_SX_G_OUT, _A_OUT_G, g_hbm),
@@ -669,6 +760,9 @@ def _kernel_adaptive(
             d_blk = su_buf[_A_SU_D_IN, s]
             yin_blk = su_buf[_A_SU_Y_IN, s]
             gin_blk = sx_buf[_A_SX_G_IN, s]
+            if kb_bounds:
+                uminB, umaxB = su_buf[_A_SU_UMIN, s], su_buf[_A_SU_UMAX, s]
+                xminB, xmaxB = sx_buf[_A_SX_XMIN, s], sx_buf[_A_SX_XMAX, s]
             if check:
                 zin_blk = su_buf[_A_SU_Z_IN, s]
                 vin_blk = sx_buf[_A_SX_V_IN, s]
@@ -680,11 +774,13 @@ def _kernel_adaptive(
                 w = (gi < N - 1).astype(f32)
                 u_i = -_dotb(K3v, x) - d_blk[i]
                 su = u_i + yin_blk[i]
-                zn = clip_u(su)
+                zn = (clip_u(su, uminB[i], umaxB[i]) if kb_bounds
+                      else clip_u(su))
                 ys.append(pick(act_u, (su - zn) * w, yin_blk[i]))
                 zss.append(zn * w)
                 tx = x + gin_blk[i]
-                vn = clip_x(tx)
+                vn = (clip_x(tx, xminB[i], xmaxB[i]) if kb_bounds
+                      else clip_x(tx))
                 gs.append(pick(act_x, tx - vn, gin_blk[i]))
                 vss.append(vn)
                 if check:
@@ -908,6 +1004,11 @@ def hstream_solve(
     if adaptive and max_iter < 1:
         raise ValueError("adaptive hstream solve needs max_iter >= 1")
     cdtype = carry.d.dtype
+    kb_bounds = hsp.has_knot_bounds
+    bound_args = (
+        (hsp.u_min_k, hsp.u_max_k, hsp.x_min_k, hsp.x_max_k)
+        if kb_bounds else ()
+    )
     in_specs = ([
         pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM)
     ] if adaptive else []) + [
@@ -917,7 +1018,8 @@ def hstream_solve(
         spec(SU), spec(SU), spec(SX), spec(SX),      # bounds
         spec(SX), spec(SU), spec(SX),                # pterm, rho_u, rho_x
         any_spec,                                    # qc
-    ] + cp_specs + [any_spec] * (7 if adaptive else 5)  # d y g z v (U X)
+    ] + cp_specs + [any_spec] * len(bound_args) \
+      + [any_spec] * (7 if adaptive else 5)          # d y g z v (U X)
     out_specs = [any_spec] * (9 if adaptive else 7) + [
         pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -936,16 +1038,21 @@ def hstream_solve(
     ] if adaptive else []) + [
         jax.ShapeDtypeStruct((NT, 8, LANES), jnp.float32),      # stats
     ]
+    kb2 = 2 if kb_bounds else 0
     scratch = [
-        pltpu.VMEM((7 if adaptive else 6, 2, Kb, SU, LANES), cdtype),
-        pltpu.VMEM((7 if adaptive else 5, 2, Kb, SX, LANES), cdtype),
-        pltpu.SemaphoreType.DMA((10 if adaptive else 6, 2)),
+        pltpu.VMEM(((7 if adaptive else 6) + kb2, 2, Kb, SU, LANES), cdtype),
+        pltpu.VMEM(((7 if adaptive else 5) + kb2, 2, Kb, SX, LANES), cdtype),
+        pltpu.SemaphoreType.DMA(
+            ((14 if adaptive else 10) if kb_bounds
+             else (10 if adaptive else 6), 2)
+        ),
         pltpu.SemaphoreType.DMA((9 if adaptive else 7, 2)),
     ]
     cone_kw = dict(
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
         has_cparams=has_cp, has_cmasks=has_cm, SX=SX, SU=SU,
+        kb_bounds=kb_bounds,
     )
     if adaptive:
         kernel = functools.partial(
@@ -962,7 +1069,9 @@ def hstream_solve(
             jnp.zeros((NT, N, SU, LANES), cdtype),   # U0 (aliased)
             jnp.zeros((NT, N, SX, LANES), cdtype),   # X0 (aliased)
         )
-        aliases = {17 + len(cp_args) + k: k for k in range(7)}
+        aliases = {
+            17 + len(cp_args) + len(bound_args) + k: k for k in range(7)
+        }
     else:
         kernel = functools.partial(
             _kernel, max_iter=max_iter, Kb=Kb, N=N,
@@ -970,7 +1079,9 @@ def hstream_solve(
         )
         scalar_args = ()
         extra_args = ()
-        aliases = {16 + len(cp_args) + k: k for k in range(5)}
+        aliases = {
+            16 + len(cp_args) + len(bound_args) + k: k for k in range(5)
+        }
     su_b, sx_b = N * SU * LANES * 4, N * SX * LANES * 4
     per_iter = NT * (4 * su_b + 2 * sx_b + 3 * sx_b + 2 * su_b)
     # Per-lane VPU matvec flops per knot (2x SX^2 for A/AmBKt, 4x SX*SU for
@@ -1000,7 +1111,8 @@ def hstream_solve(
         hsp.A3, hsp.B3, hsp.K3, hsp.Kt3, hsp.Quu3, hsp.Bt3, hsp.M3,
         hsp.u_min, hsp.u_max, hsp.x_min, hsp.x_max,
         hsp.pterm, hsp.rho_u, hsp.rho_x,
-        hsp.qc, *cp_args, carry.d, carry.y, carry.g, carry.z, carry.v,
+        hsp.qc, *cp_args, *bound_args,
+        carry.d, carry.y, carry.g, carry.z, carry.v,
         *extra_args,
     )
     if adaptive:

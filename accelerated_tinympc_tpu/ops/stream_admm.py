@@ -38,10 +38,12 @@ write-back never blocks the next block's prefetch); each phase drains its
 outstanding stores before returning, which also serializes the cross-phase
 RAW hazards through HBM.
 
-Fixed-iteration mode only (the deterministic golden/benchmark mode — the
-reference with termination checks disabled); use the assoc/scan tiers for
-early termination at long horizons. Residual stats are computed on the final
-iteration exactly as the reference defines them (admm.cpp:95-98).
+``check_termination == 0`` is the deterministic fixed-iteration
+golden/benchmark mode (the reference with termination checks disabled);
+``> 0`` runs :func:`_kernel_adaptive` — in-kernel per-instance convergence
+freezing with the reference's exact early-exit semantics
+(admm.cpp:135-144) and per-128-lane-tile early exit. Residual stats are
+computed exactly as the reference defines them (admm.cpp:95-98).
 
 Mosaic discipline (CLAUDE.md): no lane-1 vectors anywhere — per-instance
 residual accumulators are full ``(S, LANES)`` arrays reduced over sublanes
@@ -104,6 +106,16 @@ class StreamProblem:
     pterm: jax.Array    # (SX, LANES)
     rho: jax.Array      # (1, 1)
     dims: tuple = struct.field(pytree_node=False)  # (nx, nu, N)
+    # Per-knot bound schedules (reference workspace x_min/x_max/u_min/u_max
+    # are full-horizon matrices, settable per knot — types.hpp / tiny_api
+    # set_bound_constraints). None = time-uniform (the resident rows above
+    # apply); otherwise streamed per knot block alongside qc. Iteration-
+    # constant, read-only traffic — measured free on this deployment
+    # (BASELINE.md streaming freeze-traffic measurement).
+    u_min_k: jax.Array | None = None   # (N, SU, LANES)
+    u_max_k: jax.Array | None = None
+    x_min_k: jax.Array | None = None   # (N, SX, LANES)
+    x_max_k: jax.Array | None = None
 
     @property
     def SX(self) -> int:
@@ -112,6 +124,10 @@ class StreamProblem:
     @property
     def SU(self) -> int:
         return self.Quu_inv.shape[0]
+
+    @property
+    def has_knot_bounds(self) -> bool:
+        return self.u_min_k is not None
 
 
 def pad_stream_problem(
@@ -133,16 +149,23 @@ def pad_stream_problem(
         out[: v.size, :] = np.asarray(v, f64).reshape(-1, 1)
         return jnp.asarray(out, dtype)
 
-    # Per-knot bounds are not representable resident; the streaming tier
-    # supports the (reference-example) uniform-in-time bounds. Callers with
-    # per-knot bounds use the scan/assoc tiers.
+    # Time-uniform bounds ride resident; per-knot schedules (reference
+    # workspace full-horizon bound matrices) are packed into streamed
+    # (N, S, LANES) arrays like qc.
+    knot_bounds = any(
+        not np.all(np.asarray(b, f64) == np.asarray(b, f64)[0])
+        for b in (problem.u_min, problem.u_max, problem.x_min, problem.x_max)
+    )
+
     def uniform(b: np.ndarray, name: str) -> np.ndarray:
-        b = np.asarray(b, f64)
-        if not np.all(b == b[0]):
-            raise ValueError(
-                f"stream tier needs time-uniform {name} (got per-knot values)"
-            )
-        return b[0]
+        return np.asarray(b, f64)[0]
+
+    def pk(b: np.ndarray, knots: int, k: int, S: int) -> jax.Array | None:
+        if not knot_bounds:
+            return None
+        out = np.zeros((N, S, LANES), f64)
+        out[:knots, :k, :] = np.asarray(b, f64)[:, :, None]
+        return jnp.asarray(out, dtype)
 
     qc = -(np.asarray(problem.Xref, f64) * np.asarray(problem.Q, f64))
     qc_b = np.zeros((N, SX, LANES), f64)
@@ -150,6 +173,10 @@ def pad_stream_problem(
     pterm = -np.asarray(problem.Xref[-1], f64) @ np.asarray(cache.Pinf, f64)
 
     return StreamProblem(
+        u_min_k=pk(problem.u_min, N - 1, nu, SU),
+        u_max_k=pk(problem.u_max, N - 1, nu, SU),
+        x_min_k=pk(problem.x_min, N, nx, SX),
+        x_max_k=pk(problem.x_max, N, nx, SX),
         A=jnp.asarray(_padm(A, SX, SX), dtype),
         B=jnp.asarray(_padm(B, SX, SU), dtype),
         Kinf=jnp.asarray(_padm(Kinf, SU, SX), dtype),
@@ -202,6 +229,10 @@ _SX_X_OUT = _SX_QC_IN  # final forward reuses the backward qc pool
 # DMA channels (one semaphore per channel x slot).
 _IN_D, _IN_Y, _IN_G, _IN_Z, _IN_V, _IN_QC = range(6)
 _OUT_Y, _OUT_G, _OUT_Z, _OUT_V, _OUT_D, _OUT_U, _OUT_X = range(7)
+# Per-knot bound streams (optional; forward-phase read-only).
+_SU_UMIN, _SU_UMAX = 6, 7
+_SX_XMIN, _SX_XMAX = 5, 6
+_IN_UMIN, _IN_UMAX, _IN_XMIN, _IN_XMAX = 6, 7, 8, 9
 
 # Adaptive-kernel pools (its phase set differs: the slack save moves into the
 # backward phase behind the freeze mask, and check iterations stream the old
@@ -216,23 +247,32 @@ _A_SU_D_OUT = _A_SU_MISC    # backward: d out (check-fwd's u-out slot)
 _A_SX_V_OUT = _A_SX_G_OUT   # backward: v save (fwd's g-out slot)
 (_A_IN_D, _A_IN_Y, _A_IN_G, _A_IN_Z, _A_IN_V, _A_IN_QC,
  _A_IN_U, _A_IN_X, _A_IN_ZS, _A_IN_VS) = range(10)
+_A_SU_UMIN, _A_SU_UMAX = 7, 8
+_A_SX_XMIN, _A_SX_XMAX = 7, 8
+_A_IN_UMIN, _A_IN_UMAX, _A_IN_XMIN, _A_IN_XMAX = 10, 11, 12, 13
 (_A_OUT_Y, _A_OUT_G, _A_OUT_ZS, _A_OUT_VS, _A_OUT_D,
  _A_OUT_Z, _A_OUT_V, _A_OUT_U, _A_OUT_X) = range(9)
 
 
-def _make_streamer(t, Kb, NBL, qc_ref, su_buf, sx_buf, sems_in, sems_out):
+def _make_streamer(t, Kb, NBL, shared, su_buf, sx_buf, sems_in, sems_out):
     """Close the double-buffered block-streaming machinery over one tile's
-    scratch pools (shared by the fixed and adaptive kernels)."""
+    scratch pools (shared by the fixed and adaptive kernels). ``shared`` is
+    a tuple of batch-broadcast refs indexed ``[block]`` instead of
+    ``[tile, block]`` (qc and the per-knot bound schedules)."""
+
+    def is_shared(hbm):
+        return any(hbm is r for r in shared)
 
     def dma_su(buf, ch, hbm, b, s, out: bool):
         sem = (sems_out if out else sems_in).at[ch, s]
-        blk = hbm.at[t, pl.ds(b * Kb, Kb)]
+        blk = (hbm.at[pl.ds(b * Kb, Kb)] if is_shared(hbm)
+               else hbm.at[t, pl.ds(b * Kb, Kb)])
         v = su_buf.at[buf, s]
         return pltpu.make_async_copy(*((v, blk) if out else (blk, v)), sem)
 
     def dma_sx(buf, ch, hbm, b, s, out: bool):
         sem = (sems_out if out else sems_in).at[ch, s]
-        blk = (hbm.at[pl.ds(b * Kb, Kb)] if hbm is qc_ref
+        blk = (hbm.at[pl.ds(b * Kb, Kb)] if is_shared(hbm)
                else hbm.at[t, pl.ds(b * Kb, Kb)])
         v = sx_buf.at[buf, s]
         return pltpu.make_async_copy(*((v, blk) if out else (blk, v)), sem)
@@ -333,16 +373,23 @@ def _kernel(
     rho_ref, x0_ref, qc_ref, pterm_ref,
     A_ref, B_ref, K_ref, Kt_ref, Quu_ref, Mt_ref, Bt_ref,
     umin_ref, umax_ref, xmin_ref, xmax_ref,
-    d_in, y_in, g_in, z_in, v_in,
-    d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
-    su_buf, sx_buf, sems_in, sems_out,
-    *, max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
-    ucones: tuple = (), xcones: tuple = (),
+    *rest,
+    max_iter: int, Kb: int, N: int, en_ib: bool, en_sb: bool,
+    ucones: tuple = (), xcones: tuple = (), kb_bounds: bool = False,
 ):
     """One batch tile's full fixed-iteration solve. See module docstring for
-    the phase structure; ``d_in``..``v_in`` are the aliased input refs (all
-    traffic goes through the identical ``*_hbm`` output refs)."""
-    del d_in, y_in, g_in, z_in, v_in
+    the phase structure; the aliased input refs are unused (all traffic goes
+    through the identical ``*_hbm`` output refs). ``kb_bounds`` adds four
+    read-only per-knot bound streams to every forward phase (shared across
+    the batch, qc-style indexing)."""
+    if kb_bounds:
+        uminK, umaxK, xminK, xmaxK = rest[:4]
+        rest = rest[4:]
+    else:
+        uminK = umaxK = xminK = xmaxK = None
+    (_d_in, _y_in, _g_in, _z_in, _v_in,
+     d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, stats_ref,
+     su_buf, sx_buf, sems_in, sems_out) = rest
     t = pl.program_id(0)
     NBL = N // Kb
     f32 = jnp.float32
@@ -353,11 +400,14 @@ def _kernel(
     A, Bm, K = A_ref[:], B_ref[:], K_ref[:]
     Kt, Quu, Mt, Bt = Kt_ref[:], Quu_ref[:], Mt_ref[:], Bt_ref[:]
     dma_su, dma_sx, phase = _make_streamer(
-        t, Kb, NBL, qc_ref, su_buf, sx_buf, sems_in, sems_out
+        t, Kb, NBL, (qc_ref, uminK, umaxK, xminK, xmaxK),
+        su_buf, sx_buf, sems_in, sems_out
     )
 
-    def clip_u(a):
-        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+    def clip_u(a, lo=None, hi=None):
+        if en_ib:
+            a = jnp.clip(a, umin_ref[:] if lo is None else lo,
+                         umax_ref[:] if hi is None else hi)
         # SOC projection after the box clip (solver/cones.py composition);
         # the (SU, LANES) knot block is the hetero kernel's layout, so the
         # same full-width VPU projection applies.
@@ -365,8 +415,10 @@ def _kernel(
             a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
         return a
 
-    def clip_x(a):
-        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+    def clip_x(a, lo=None, hi=None):
+        if en_sb:
+            a = jnp.clip(a, xmin_ref[:] if lo is None else lo,
+                         xmax_ref[:] if hi is None else hi)
         for cone in xcones:
             a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
         return a
@@ -376,6 +428,13 @@ def _kernel(
         (dma_su, _SU_Y_IN, _IN_Y, y_hbm),
         (dma_sx, _SX_G_IN, _IN_G, g_hbm),
     ]
+    if kb_bounds:
+        fwd_ins += [
+            (dma_su, _SU_UMIN, _IN_UMIN, uminK),
+            (dma_su, _SU_UMAX, _IN_UMAX, umaxK),
+            (dma_sx, _SX_XMIN, _IN_XMIN, xminK),
+            (dma_sx, _SX_XMAX, _IN_XMAX, xmaxK),
+        ]
     fwd_outs = [
         (dma_su, _SU_Y_OUT, _OUT_Y, y_hbm),
         (dma_sx, _SX_G_OUT, _OUT_G, g_hbm),
@@ -400,11 +459,19 @@ def _kernel(
                 d_i = su_buf[_SU_D_IN, s, i]
                 u_i = -dot(K, x) - d_i
                 su = u_i + su_buf[_SU_Y_IN, s, i]
-                zn = clip_u(su)
+                if kb_bounds:
+                    zn = clip_u(su, su_buf[_SU_UMIN, s, i],
+                                su_buf[_SU_UMAX, s, i])
+                else:
+                    zn = clip_u(su)
                 su_buf[_SU_Y_OUT, s, i] = (su - zn) * w
                 su_buf[_SU_Z_OUT, s, i] = zn * w
                 tx = x + sx_buf[_SX_G_IN, s, i]
-                vn = clip_x(tx)
+                if kb_bounds:
+                    vn = clip_x(tx, sx_buf[_SX_XMIN, s, i],
+                                sx_buf[_SX_XMAX, s, i])
+                else:
+                    vn = clip_x(tx)
                 sx_buf[_SX_G_OUT, s, i] = tx - vn
                 sx_buf[_SX_V_OUT, s, i] = vn
                 if final:
@@ -496,12 +563,10 @@ def _kernel_adaptive(
     tol_ref, rho_ref, x0_ref, qc_ref, pterm_ref,
     A_ref, B_ref, K_ref, Kt_ref, Quu_ref, Mt_ref, Bt_ref,
     umin_ref, umax_ref, xmin_ref, xmax_ref,
-    d_in, y_in, g_in, z_in, v_in, U_in, X_in,
-    d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, zs_hbm, vs_hbm,
-    stats_ref,
-    su_buf, sx_buf, sems_in, sems_out,
-    *, max_iter: int, check_every: int, Kb: int, N: int,
+    *rest,
+    max_iter: int, check_every: int, Kb: int, N: int,
     en_ib: bool, en_sb: bool, ucones: tuple = (), xcones: tuple = (),
+    kb_bounds: bool = False,
 ):
     """Adaptive (per-instance early-termination) streaming solve.
 
@@ -527,7 +592,14 @@ def _kernel_adaptive(
     pathology — CLAUDE.md); sublane maxima are keepdims-reduced then
     immediately re-broadcast, never carried at row-1 width.
     """
-    del d_in, y_in, g_in, z_in, v_in, U_in, X_in
+    if kb_bounds:
+        uminK, umaxK, xminK, xmaxK = rest[:4]
+        rest = rest[4:]
+    else:
+        uminK = umaxK = xminK = xmaxK = None
+    (_d_in, _y_in, _g_in, _z_in, _v_in, _U_in, _X_in,
+     d_hbm, y_hbm, g_hbm, z_hbm, v_hbm, U_hbm, X_hbm, zs_hbm, vs_hbm,
+     stats_ref, su_buf, sx_buf, sems_in, sems_out) = rest
     t = pl.program_id(0)
     NBL = N // Kb
     f32 = jnp.float32
@@ -540,19 +612,24 @@ def _kernel_adaptive(
     A, Bm, K = A_ref[:], B_ref[:], K_ref[:]
     Kt, Quu, Mt, Bt = Kt_ref[:], Quu_ref[:], Mt_ref[:], Bt_ref[:]
     dma_su, dma_sx, phase = _make_streamer(
-        t, Kb, NBL, qc_ref, su_buf, sx_buf, sems_in, sems_out
+        t, Kb, NBL, (qc_ref, uminK, umaxK, xminK, xmaxK),
+        su_buf, sx_buf, sems_in, sems_out
     )
     SU = umin_ref.shape[0]
     SX = xmin_ref.shape[0]
 
-    def clip_u(a):
-        a = jnp.clip(a, umin_ref[:], umax_ref[:]) if en_ib else a
+    def clip_u(a, lo=None, hi=None):
+        if en_ib:
+            a = jnp.clip(a, umin_ref[:] if lo is None else lo,
+                         umax_ref[:] if hi is None else hi)
         for cone in ucones:
             a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
         return a
 
-    def clip_x(a):
-        a = jnp.clip(a, xmin_ref[:], xmax_ref[:]) if en_sb else a
+    def clip_x(a, lo=None, hi=None):
+        if en_sb:
+            a = jnp.clip(a, xmin_ref[:] if lo is None else lo,
+                         xmax_ref[:] if hi is None else hi)
         for cone in xcones:
             a = _project_soc_seg(a, a.shape[0], a.shape[0], cone)
         return a
@@ -581,6 +658,13 @@ def _kernel_adaptive(
         (dma_su, _A_SU_Y_IN, _A_IN_Y, y_hbm),
         (dma_sx, _A_SX_G_IN, _A_IN_G, g_hbm),
     ]
+    if kb_bounds:
+        fwd_ins_plain = fwd_ins_plain + [
+            (dma_su, _A_SU_UMIN, _A_IN_UMIN, uminK),
+            (dma_su, _A_SU_UMAX, _A_IN_UMAX, umaxK),
+            (dma_sx, _A_SX_XMIN, _A_IN_XMIN, xminK),
+            (dma_sx, _A_SX_XMAX, _A_IN_XMAX, xmaxK),
+        ]
     fwd_outs_plain = [
         (dma_su, _A_SU_Y_OUT, _A_OUT_Y, y_hbm),
         (dma_sx, _A_SX_G_OUT, _A_OUT_G, g_hbm),
@@ -635,11 +719,19 @@ def _kernel_adaptive(
                 g_i = sx_buf[_A_SX_G_IN, s, i]
                 u_i = -dot(K, x) - d_i
                 su = u_i + y_i
-                zn = clip_u(su)
+                if kb_bounds:
+                    zn = clip_u(su, su_buf[_A_SU_UMIN, s, i],
+                                su_buf[_A_SU_UMAX, s, i])
+                else:
+                    zn = clip_u(su)
                 su_buf[_A_SU_Y_OUT, s, i] = pick(au_m, (su - zn) * w, y_i)
                 su_buf[_A_SU_ZS, s, i] = zn * w
                 tx = x + g_i
-                vn = clip_x(tx)
+                if kb_bounds:
+                    vn = clip_x(tx, sx_buf[_A_SX_XMIN, s, i],
+                                sx_buf[_A_SX_XMAX, s, i])
+                else:
+                    vn = clip_x(tx)
                 sx_buf[_A_SX_G_OUT, s, i] = pick(ax_m, tx - vn, g_i)
                 sx_buf[_A_SX_VS, s, i] = vn
                 if check:
@@ -841,6 +933,10 @@ def stream_solve(
             ucones=ucones, xcones=xcones, interpret=interpret,
         )
 
+    kb_bounds = sp.has_knot_bounds
+    bound_args = (
+        (sp.u_min_k, sp.u_max_k, sp.x_min_k, sp.x_max_k) if kb_bounds else ()
+    )
     in_specs = [
         pl.BlockSpec((1, 1), cmap2, memory_space=pltpu.SMEM),   # rho
         vmem((1, SX, LANES), lambda i: (i, 0, 0)),              # x0
@@ -852,7 +948,7 @@ def stream_solve(
         vmem((SU, SX), cmap2),                                  # Bt
         vmem((SU, LANES), cmap2), vmem((SU, LANES), cmap2),     # u bounds
         vmem((SX, LANES), cmap2), vmem((SX, LANES), cmap2),     # x bounds
-    ] + [any_spec] * 5                                          # d y g z v
+    ] + [any_spec] * len(bound_args) + [any_spec] * 5           # d y g z v
     out_specs = [any_spec] * 7 + [vmem((1, 8, LANES), lambda i: (i, 0, 0))]
     cdtype = carry.d.dtype
     out_shape = [
@@ -866,9 +962,9 @@ def stream_solve(
         jax.ShapeDtypeStruct((NT, 8, LANES), jnp.float32),      # stats
     ]
     scratch = [
-        pltpu.VMEM((6, 2, Kb, SU, LANES), cdtype),
-        pltpu.VMEM((5, 2, Kb, SX, LANES), cdtype),
-        pltpu.SemaphoreType.DMA((6, 2)),
+        pltpu.VMEM((8 if kb_bounds else 6, 2, Kb, SU, LANES), cdtype),
+        pltpu.VMEM((7 if kb_bounds else 5, 2, Kb, SX, LANES), cdtype),
+        pltpu.SemaphoreType.DMA((10 if kb_bounds else 6, 2)),
         pltpu.SemaphoreType.DMA((7, 2)),
     ]
     kernel = functools.partial(
@@ -876,6 +972,7 @@ def stream_solve(
         en_ib=en_input_bound, en_sb=en_state_bound,
         ucones=tuple(cones.input_cones) if cones is not None else (),
         xcones=tuple(cones.state_cones) if cones is not None else (),
+        kb_bounds=kb_bounds,
     )
     # Per-iteration streamed bytes (see module docstring traffic table).
     su_b, sx_b = N * SU * LANES * 4, N * SX * LANES * 4
@@ -893,7 +990,9 @@ def stream_solve(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        input_output_aliases={15: 0, 16: 1, 17: 2, 18: 3, 19: 4},
+        input_output_aliases={
+            15 + len(bound_args) + k: k for k in range(5)
+        },
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True,
@@ -902,7 +1001,7 @@ def stream_solve(
     )(
         sp.rho, x0p, sp.qc, sp.pterm,
         sp.A, sp.B, sp.Kinf, sp.KinfT, sp.Quu_inv, sp.AmBKt, sp.Bt,
-        sp.u_min, sp.u_max, sp.x_min, sp.x_max,
+        sp.u_min, sp.u_max, sp.x_min, sp.x_max, *bound_args,
         carry.d, carry.y, carry.g, carry.z, carry.v,
     )
     d, y, g, z, v, Up, Xp, stats_p = outs
@@ -932,6 +1031,10 @@ def _stream_solve_adaptive(
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
     cmap2 = lambda i: (0, 0)
+    kb_bounds = sp.has_knot_bounds
+    bound_args = (
+        (sp.u_min_k, sp.u_max_k, sp.x_min_k, sp.x_max_k) if kb_bounds else ()
+    )
     tols = jnp.stack([
         jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),
         jnp.asarray(abs_dua_tol, jnp.float32).reshape(()),
@@ -950,7 +1053,7 @@ def _stream_solve_adaptive(
         vmem((SU, SX), cmap2),                                  # Bt
         vmem((SU, LANES), cmap2), vmem((SU, LANES), cmap2),     # u bounds
         vmem((SX, LANES), cmap2), vmem((SX, LANES), cmap2),     # x bounds
-    ] + [any_spec] * 7                                          # d y g z v U X
+    ] + [any_spec] * len(bound_args) + [any_spec] * 7           # d y g z v U X
     out_specs = [any_spec] * 9 + [vmem((1, 8, LANES), lambda i: (i, 0, 0))]
     out_shape = [
         jax.ShapeDtypeStruct(carry.d.shape, carry.d.dtype),
@@ -965,15 +1068,15 @@ def _stream_solve_adaptive(
         jax.ShapeDtypeStruct((NT, 8, LANES), jnp.float32),      # stats
     ]
     scratch = [
-        pltpu.VMEM((7, 2, Kb, SU, LANES), cdtype),
-        pltpu.VMEM((7, 2, Kb, SX, LANES), cdtype),
-        pltpu.SemaphoreType.DMA((10, 2)),
+        pltpu.VMEM((9 if kb_bounds else 7, 2, Kb, SU, LANES), cdtype),
+        pltpu.VMEM((9 if kb_bounds else 7, 2, Kb, SX, LANES), cdtype),
+        pltpu.SemaphoreType.DMA((14 if kb_bounds else 10, 2)),
         pltpu.SemaphoreType.DMA((9, 2)),
     ]
     kernel = functools.partial(
         _kernel_adaptive, max_iter=max_iter, check_every=check_every,
         Kb=Kb, N=N, en_ib=en_ib, en_sb=en_sb,
-        ucones=ucones, xcones=xcones,
+        ucones=ucones, xcones=xcones, kb_bounds=kb_bounds,
     )
     # Worst-case traffic (all tiles run to max_iter); the while_loop makes
     # the true figure data-dependent.
@@ -993,7 +1096,7 @@ def _stream_solve_adaptive(
         out_shape=out_shape,
         scratch_shapes=scratch,
         input_output_aliases={
-            16: 0, 17: 1, 18: 2, 19: 3, 20: 4, 21: 5, 22: 6
+            16 + len(bound_args) + k: k for k in range(7)
         },
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
@@ -1003,7 +1106,7 @@ def _stream_solve_adaptive(
     )(
         tols, sp.rho, x0p, sp.qc, sp.pterm,
         sp.A, sp.B, sp.Kinf, sp.KinfT, sp.Quu_inv, sp.AmBKt, sp.Bt,
-        sp.u_min, sp.u_max, sp.x_min, sp.x_max,
+        sp.u_min, sp.u_max, sp.x_min, sp.x_max, *bound_args,
         carry.d, carry.y, carry.g, carry.z, carry.v, U0, X0,
     )
     d, y, g, z, v, Up, Xp, _zs, _vs, stats_p = outs

@@ -148,13 +148,74 @@ def test_bounds_disabled():
     )
 
 
-def test_per_knot_bounds_rejected():
+def test_per_knot_bounds_parity():
+    """Per-knot bound schedules (reference workspace full-horizon bound
+    matrices, set_bound_constraints) now stream alongside qc: a funnel
+    schedule matches the scan tier (round-1 rejected these — the streams
+    are iteration-constant reads, measured free)."""
     problem, cache = _make_problem()
+    t_u = np.linspace(1.0, 0.2, N - 1)[:, None].astype(np.float32)
+    t_x = np.linspace(4.0, 1.0, N)[:, None].astype(np.float32)
     problem = problem.replace(
-        u_min=problem.u_min.at[0, 0].set(-0.1)
+        u_min=jnp.asarray(-0.7 * t_u), u_max=jnp.asarray(0.7 * t_u),
+        x_min=jnp.asarray(-t_x), x_max=jnp.asarray(t_x),
     )
-    with pytest.raises(ValueError, match="time-uniform"):
-        pad_stream_problem(problem, cache)
+    sp = pad_stream_problem(problem, cache)
+    assert sp.has_knot_bounds
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.standard_normal((B, NX)) * 0.5, jnp.float32)
+    got = stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=30,
+                       knot_block=16, interpret=True)
+    want = _run_scan(problem, cache, x0s, 30)
+    np.testing.assert_allclose(
+        np.asarray(got.U), np.asarray(want.u), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.X), np.asarray(want.x), rtol=0, atol=1e-6
+    )
+    # Block-size invariance holds with the bound streams in the phase.
+    alt = stream_solve(x0s, StreamCarry.zeros(B, sp), sp, max_iter=30,
+                       knot_block=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.U), np.asarray(alt.U))
+
+
+def test_per_knot_bounds_adaptive():
+    """Per-knot bounds compose with the in-kernel freeze: schedules match
+    the scan tier's freeze exactly."""
+    from accelerated_tinympc_tpu.types import SOLVED
+
+    problem, cache = _make_problem()
+    t_u = np.linspace(1.0, 0.3, N - 1)[:, None].astype(np.float32)
+    problem = problem.replace(
+        u_min=jnp.asarray(-0.7 * t_u), u_max=jnp.asarray(0.7 * t_u),
+    )
+    sp = pad_stream_problem(problem, cache)
+    assert sp.has_knot_bounds
+    B2 = 12
+    rng = np.random.default_rng(12)
+    scale = np.repeat([0.05, 0.4, 2.0], B2 // 3)[:, None]
+    x0s = jnp.asarray(scale * rng.standard_normal((B2, NX)), jnp.float32)
+    res = stream_solve(
+        x0s, StreamCarry.zeros(B2, sp), sp, max_iter=60,
+        check_termination=5, abs_pri_tol=5e-3, abs_dua_tol=5e-3,
+        knot_block=16, interpret=True,
+    )
+    st = init_state_batched(B2, NX, NU, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache,
+        atm.Settings(max_iter=60, check_termination=5,
+                     abs_pri_tol=5e-3, abs_dua_tol=5e-3),
+    ))(st)
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 0]).astype(int), np.asarray(want.iter)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.stats[:, 1]) > 0.5, np.asarray(want.status) == SOLVED
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=1e-4
+    )
 
 
 def test_nondivisor_knot_block(setup):
