@@ -130,6 +130,11 @@ def fused_mpc_rollout(
     Xref_total: jax.Array | None = None,
     Pinf: jax.Array | None = None,
     cone_ops=None,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    algo: str = "f32",
+    polish: int = 8,
 ):
     """Receding-horizon rollout on the fused Pallas tier: ``n_ticks`` of
     (dual reset -> fused solve -> apply pre-projection u0 -> plant step) under
@@ -145,6 +150,17 @@ def fused_mpc_rollout(
     Returns ``(x_final, u0_trace (n_ticks, B, nu), carry)`` with warm-start
     carries matching the reference tick protocol (duals reset, slacks kept —
     reference: examples/quadrotor_hovering.cpp:99-104).
+
+    ``check_termination > 0`` runs each tick's solve in the adaptive
+    freezing kernel (checks every that many iterations at the given
+    tolerances — the reference's own per-tick early exit,
+    examples/quadrotor_hovering.cpp:73-78 + admm.cpp:135-144): after the
+    first tick the warm-started solves converge in a handful of iterations
+    and the kernel's while-loop exits as soon as the whole tile is frozen,
+    which is where the receding-horizon throughput actually lives (measured
+    ~5x the fixed-100 rollout on chip, BASELINE.md round 4). ``algo`` /
+    ``polish`` select the in-loop matmul arithmetic exactly as on
+    :func:`..ops.fused_admm.fused_solve`.
     """
     from ..ops.fused_admm import (
         FusedCarry, fused_solve, ref_vectors, unpad_controls,
@@ -165,8 +181,11 @@ def fused_mpc_rollout(
             xref_q, pterm_c = ref_vectors(pp, problem.Q, Pinf, window)
             refs = {"xref_q": xref_q, "pterm_c": pterm_c}
         res = fused_solve(
-            x, cy.reset_duals(), pp, max_iter=max_iter, check_termination=0,
+            x, cy.reset_duals(), pp, max_iter=max_iter,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             batch_tile=min(batch_tile, x.shape[0]), interpret=interpret,
+            algo=algo, polish=polish,
             cone_ops=cone_ops, **refs,
         )
         u0 = unpad_controls(res, pp)
@@ -194,6 +213,9 @@ def fleet_mpc_rollout(
     cones=None,
     cone_params=None,
     cone_masks=None,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
 ):
     """Receding-horizon rollout for a heterogeneous fleet, fully on device:
     ``n_ticks`` of (dual reset -> hetero kernel solve -> apply u0 ->
@@ -207,6 +229,12 @@ def fleet_mpc_rollout(
     batch-leading Problem supplying the per-instance plant matrices for the
     simulation step; ``x0s (B, nx)``. Returns
     ``(x_final, u0_trace (n_ticks, B, nu), carry)``.
+
+    ``check_termination > 0`` switches each tick to the hetero kernel's
+    adaptive freezing mode (per-instance early exit at the given
+    tolerances) — warm-started fleet ticks converge in a few iterations,
+    so this is the sustained-fleet-rate configuration
+    (examples/fleet_sweep.py).
     """
     from ..ops.hetero_admm import HeteroCarry, hetero_solve
 
@@ -218,7 +246,9 @@ def fleet_mpc_rollout(
         x, cy = c
         res = hetero_solve(
             x, cy.reset_duals(), hp, max_iter=max_iter,
-            check_termination=0, interpret=interpret,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            interpret=interpret,
             cones=cones, cone_params=cone_params, cone_masks=cone_masks,
         )
         u0 = res.U[:, 0, :]

@@ -227,6 +227,37 @@ class TestFusedRollout:
             np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
         )
 
+    def test_fused_rollout_adaptive_matches_jnp(self):
+        # check_termination > 0 routes each tick through the adaptive
+        # freezing kernel (the warm-tick fast path); trajectories must match
+        # the scan tier's early-exiting rollout tick for tick.
+        from accelerated_tinympc_tpu.api import fused_mpc_rollout
+        from accelerated_tinympc_tpu.ops import pad_problem
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        x0s = jnp.tile(jnp.asarray(x0, jnp.float32), (2, 1))
+        T = 12
+        xf, us, carry = fused_mpc_rollout(
+            pp, x0s, T, problem=problem, max_iter=40,
+            check_termination=1, interpret=True,
+        )
+        settings = atm.Settings(max_iter=40, check_termination=1)
+        _, xf_ref, trace = jax.jit(
+            lambda x: mpc_rollout(problem, cache, settings, x, T)
+        )(x0s[0])
+        np.testing.assert_allclose(
+            np.asarray(us[:, 0, :]), np.asarray(trace.u), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
+        )
+
     def test_fused_tracking_matches_jnp(self):
         from accelerated_tinympc_tpu.api import fused_mpc_rollout
         from accelerated_tinympc_tpu.models import quadrotor_tracking_setup

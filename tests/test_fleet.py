@@ -154,6 +154,40 @@ def test_fleet_rollout_on_device(plants):
     )
 
 
+def test_fleet_rollout_adaptive_matches_host(plants):
+    """fleet_mpc_rollout(check_termination>0) drives each tick through the
+    hetero kernel's per-instance freezing mode; ticks must match a host loop
+    running the fleet API at the same termination settings."""
+    from accelerated_tinympc_tpu.api import fleet_mpc_rollout
+
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=60, check_termination=2,
+                        abs_pri_tol=1e-3, abs_dua_tol=1e-3)
+    f = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+    )
+    ticks = 3
+    xf, us, carry = fleet_mpc_rollout(
+        f._hp, f.problem, jnp.asarray(x0s), ticks,
+        max_iter=60, check_termination=2,
+        abs_pri_tol=1e-3, abs_dua_tol=1e-3, interpret=True,
+    )
+    x = jnp.asarray(x0s)
+    for t in range(ticks):
+        f.set_x0(x)
+        f.solve()
+        u0 = f.get_u()[:, 0, :]
+        np.testing.assert_allclose(
+            np.asarray(us[t]), np.asarray(u0), rtol=0, atol=1e-5
+        )
+        x = (jnp.einsum("bij,bj->bi", f.problem.A, x)
+             + jnp.einsum("bij,bj->bi", f.problem.B, u0))
+        f.reset_duals()
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(x), rtol=0, atol=1e-4
+    )
+
+
 def test_fleet_set_xref(plants):
     """Per-instance reference update: each instance tracks its own setpoint
     (reference FFI set_xref, per instance)."""
