@@ -154,13 +154,18 @@ def fused_mpc_rollout(
     ``check_termination > 0`` runs each tick's solve in the adaptive
     freezing kernel (checks every that many iterations at the given
     tolerances — the reference's own per-tick early exit,
-    examples/quadrotor_hovering.cpp:73-78 + admm.cpp:135-144): after the
-    first tick the warm-started solves converge in a handful of iterations
-    and the kernel's while-loop exits as soon as the whole tile is frozen,
-    which is where the receding-horizon throughput actually lives (measured
-    ~5x the fixed-100 rollout on chip, BASELINE.md round 4). ``algo`` /
+    examples/quadrotor_hovering.cpp:73-78 + admm.cpp:135-144): warm-started
+    ticks converge in ~2 iterations and each tile's while-loop exits at the
+    next check multiple. Measured on chip (BASELINE.md round 4,
+    tools/check_rollout_adaptive_chip.py, B=4096, 70 hovering ticks):
+    1.67x the fixed-100 rollout at ``check_termination=10`` — the gain is
+    Amdahl-limited by the ~8-tick cold-start transient that runs to
+    max_iter, and ``check_termination=1`` gives ~1.0x because the per-check
+    residual machinery doubles the cold ticks' cost (prefer 5-10;
+    ``fleet_mpc_rollout``'s per-instance freeze reaches 3.66x). ``algo`` /
     ``polish`` select the in-loop matmul arithmetic exactly as on
-    :func:`..ops.fused_admm.fused_solve`.
+    :func:`..ops.fused_admm.fused_solve` (``bf16x3`` measured *slower* here
+    — warm ticks never leave the check/polish region).
     """
     from ..ops.fused_admm import (
         FusedCarry, fused_solve, ref_vectors, unpad_controls,
@@ -232,9 +237,12 @@ def fleet_mpc_rollout(
 
     ``check_termination > 0`` switches each tick to the hetero kernel's
     adaptive freezing mode (per-instance early exit at the given
-    tolerances) — warm-started fleet ticks converge in a few iterations,
-    so this is the sustained-fleet-rate configuration
-    (examples/fleet_sweep.py).
+    tolerances) — warm-started fleet ticks converge in a few iterations
+    (~3.7 measured), so this is the sustained-fleet-rate configuration:
+    3.66x the fixed-100 rollout = 6.43 M fleet solves/s on one chip at
+    B=16384 (BASELINE.md round 4, tools/check_rollout_adaptive_chip.py).
+    Per-instance freezing beats the fused tier's per-tile exit granularity
+    here — ``check_termination=1`` is the right setting, not 5-10.
     """
     from ..ops.hetero_admm import HeteroCarry, hetero_solve
 

@@ -339,13 +339,48 @@ def test_on_device_build(setup):
     )
 
 
-def test_per_knot_bounds_rejected():
-    prob_b, cache_b = _make_fleet(n=16, batch=2)
-    u_min = np.tile(np.asarray(prob_b.u_min), (1, 1, 1))
-    u_min = np.asarray(prob_b.u_min).copy()
-    u_min[:, 3, :] = -0.1  # time-varying
-    with pytest.raises(ValueError, match="time-uniform"):
-        pad_hstream_problem(prob_b.replace(u_min=jnp.asarray(u_min)), cache_b)
+def test_per_knot_bound_schedules():
+    """Per-instance per-knot bound schedules stream alongside the knot
+    blocks (hsp.u_min_k/... operands); parity vs the scan tier, which takes
+    the same (B, knots, k) bounds natively."""
+    n, batch = 32, 3
+    prob_b, cache_b = _make_fleet(n=n, batch=batch)
+    hsp_uniform = pad_hstream_problem(prob_b, cache_b)
+    rng = np.random.default_rng(7)
+    # ramp the input box tighter over the horizon, differently per instance,
+    # and pinch a state-bound window mid-horizon
+    u_lim = 0.7 - 0.5 * np.linspace(0, 1, n - 1)[None, :, None] \
+        * (1.0 + 0.3 * rng.standard_normal((batch, 1, 1)))
+    x_lim = np.full((batch, n, NX), 4.0)
+    x_lim[:, n // 2: n // 2 + 4, :] = 0.8
+    prob_b = prob_b.replace(
+        u_min=jnp.asarray(-u_lim, jnp.float32),
+        u_max=jnp.asarray(u_lim, jnp.float32),
+        x_min=jnp.asarray(-x_lim, jnp.float32),
+        x_max=jnp.asarray(x_lim, jnp.float32),
+    )
+    hsp = pad_hstream_problem(prob_b, cache_b)
+    assert hsp.u_min_k is not None and hsp.x_max_k is not None
+    x0s = jnp.asarray(rng.standard_normal((batch, NX)) * 0.5, jnp.float32)
+    res = hstream_solve(x0s, hstream_carry_zeros(batch, hsp), hsp,
+                        max_iter=15, knot_block=8, interpret=True)
+    st = init_state_batched(batch, NX, NU, n)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    want = jax.jit(lambda s: solve_batched(
+        s, prob_b, cache_b,
+        atm.Settings(max_iter=15, check_termination=0),
+        problem_axes=0, cache_axes=0,
+    ))(st)
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(want.u), rtol=0, atol=1e-4
+    )
+    # the schedule must actually bind (otherwise this tests nothing): the
+    # tight mid-horizon state window forces controls away from the
+    # uniform-bound solution
+    loose = hstream_solve(
+        x0s, hstream_carry_zeros(batch, hsp_uniform), hsp_uniform,
+        max_iter=15, knot_block=8, interpret=True)
+    assert float(np.abs(np.asarray(res.U) - np.asarray(loose.U)).max()) > 1e-3
 
 
 def test_gather_hstream(setup):

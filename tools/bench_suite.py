@@ -213,6 +213,20 @@ def main() -> None:
     emit("mpc_rollout_solves_per_sec", round(B * ticks / best), "solves/s",
          batch=B, ticks=ticks)
 
+    # Adaptive rollout (in-kernel per-tick early exit; warm ticks converge
+    # in ~2 iterations — check cadence 10 measured optimal, BASELINE.md
+    # round 4). 70 ticks = the reference hovering loop length.
+    from accelerated_tinympc_tpu.api import fused_mpc_rollout
+
+    B, ticks = 4096, 70
+    x0s = perturbed(B)
+    ra = jax.jit(lambda x: fused_mpc_rollout(
+        pp, x, ticks, problem=problem, max_iter=100, batch_tile=512,
+        check_termination=10, abs_pri_tol=1e-3, abs_dua_tol=1e-3))
+    best, _ = best_time(lambda x: ra(x)[0], x0s, reps=3)
+    emit("mpc_rollout_adaptive_solves_per_sec", round(B * ticks / best),
+         "solves/s", batch=B, ticks=ticks, check_every=10, tol=1e-3)
+
     # --- round-2 tiers -------------------------------------------------------
     # Heterogeneous plants (one distinct plant per lane), fixed 100 iters.
     from accelerated_tinympc_tpu.models import random_lti_problem
@@ -284,6 +298,21 @@ def main() -> None:
     best, _ = best_time(lambda _x: hfm().U, 0, reps=3)
     emit("hetero_masked_cone_solves_per_sec", round(Bh / best), "solves/s",
          batch=Bh)
+
+    # Sustained fleet receding-horizon rate: per-instance in-kernel freeze
+    # per tick (check every iteration — per-instance exit granularity makes
+    # the reference-default cadence optimal here, unlike the fused tier).
+    from accelerated_tinympc_tpu.api import fleet_mpc_rollout
+
+    fticks = 20
+    fx0 = jnp.asarray(0.1 * rng.standard_normal((Bh, 12)), jnp.float32)
+    fr = jax.jit(lambda x: fleet_mpc_rollout(
+        hp, prob_h, x, fticks, max_iter=100, check_termination=1,
+        abs_pri_tol=1e-3, abs_dua_tol=1e-3))
+    best, _ = best_time(lambda x: fr(x)[0], fx0, reps=3)
+    emit("fleet_rollout_adaptive_solves_per_sec",
+         round(Bh * fticks / best), "solves/s", batch=Bh, ticks=fticks,
+         check_every=1, tol=1e-3)
 
     # --- streaming tier: in-kernel adaptive vs fixed (round 3) --------------
     # Tile-coherent (difficulty-sorted) batch: the adaptive kernel's early
