@@ -627,6 +627,34 @@ def _cone_fns(rest, nc_u: int, nc_x: int, g: int, Dug: int, Dxp: int,
     return cone_u, cone_x, rest[i:]
 
 
+def _fixed_core(iterate, W3, Wf, carry0, consts, max_iter: int,
+                algo: str, polish: int):
+    """The fixed-iteration loop on VMEM-resident values: ``max_iter - 1``
+    iterations carrying only (D, Y, G, Z, V), then a final f32 iteration
+    keeping the full iterate set. Returns
+    ``(Dn, Yn, Gn, Znew, Vnew, U, X, Zprev, Vprev)`` — the pre-final slacks
+    ``Zprev``/``Vprev`` feed the dual-residual definitions
+    (reference admm.cpp:95-98). Shared by the one-solve kernel and the
+    in-kernel rollout (:mod:`.fused_rollout`)."""
+
+    def make_body(W):
+        def body(_, carry):
+            D, Y, G, Z, V = carry
+            Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W, consts)
+            return (Dn, Yn, Gn, Znew, Vnew)
+        return body
+
+    n3 = max(0, max_iter - max(1, polish)) if algo == "bf16x3" else 0
+    carry = carry0
+    if n3 > 0:
+        carry = jax.lax.fori_loop(0, n3, make_body(W3), carry)
+    D, Y, G, Z, V = jax.lax.fori_loop(
+        n3, max_iter - 1, make_body(Wf), carry
+    )
+    Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, Wf, consts)
+    return Dn, Yn, Gn, Znew, Vnew, U, X, Z, V
+
+
 def _kernel_fixed(
     rho_ref,
     x0_ref, D0_ref, Y0_ref, G0_ref, Z0_ref, V0_ref,
@@ -667,24 +695,10 @@ def _kernel_fixed(
         g, Dug, Dxp, seg_ref, interpret
     )
 
-    def make_body(W):
-        def body(_, carry):
-            D, Y, G, Z, V = carry
-            Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W, consts)
-            return (Dn, Yn, Gn, Znew, Vnew)
-        return body
-
-    n3 = max(0, max_iter - max(1, polish)) if algo == "bf16x3" else 0
-    carry = (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:])
-    if n3 > 0:
-        carry = jax.lax.fori_loop(0, n3, make_body(W3), carry)
-    D, Y, G, Z, V = jax.lax.fori_loop(
-        n3, max_iter - 1, make_body(Wf), carry
+    carry0 = (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:])
+    Dn, Yn, Gn, Znew, Vnew, U, X, Z, V = _fixed_core(
+        iterate, W3, Wf, carry0, consts, max_iter, algo, polish
     )
-    # Final iteration (always f32) keeps the full iterate set for outputs +
-    # residuals (residual definitions per reference admm.cpp:95-98:
-    # pre-projection iterates vs new slacks; old-vs-new slacks scaled by rho).
-    Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, Wf, consts)
     U_out[:] = U
     X_out[:] = X
     D_out[:] = Dn
@@ -692,6 +706,8 @@ def _kernel_fixed(
     G_out[:] = Gn
     Z_out[:] = Znew
     V_out[:] = Vnew
+    # Residual definitions per reference admm.cpp:95-98: pre-projection
+    # iterates vs new slacks; old-vs-new slacks scaled by rho.
     aX, aV = jnp.abs(X - Vnew), jnp.abs(V - Vnew)
     aU, aZ = jnp.abs(U - Znew), jnp.abs(Z - Znew)
     p_s = cat([smx(aX, j) for j in range(g)])
@@ -758,12 +774,37 @@ def _kernel_adaptive(
         u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
     )
     W3, W = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), algo)
-    rho = rho_ref[0, 0]
-    pri_tol = tol_ref[0, 0]
-    dua_tol = tol_ref[0, 1]
-    smd, smx, to_du, to_dx, cat, uncat = _seg_tools(
-        g, Dug, Dxp, seg_ref, interpret
+    segt = _seg_tools(g, Dug, Dxp, seg_ref, interpret)
+    carry0 = (D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:])
+    U, X, D, Y, G, Z, V, itf, done, r0, r1, r2, r3 = _adaptive_core(
+        iterate, W3, W, carry0, consts, rho_ref[0, 0],
+        tol_ref[0, 0], tol_ref[0, 1], segt, g,
+        max_iter=max_iter, check_every=check_every, warmup=warmup,
     )
+    U_out[:] = U
+    X_out[:] = X
+    D_out[:] = D
+    Y_out[:] = Y
+    G_out[:] = G
+    Z_out[:] = Z
+    V_out[:] = V
+    stats_out[:] = (
+        itf * _stats_onehot(0, g) + done * _stats_onehot(1, g)
+        + r0 * _stats_onehot(2, g) + r1 * _stats_onehot(3, g)
+        + r2 * _stats_onehot(4, g) + r3 * _stats_onehot(5, g)
+    )
+
+
+def _adaptive_core(iterate, W3, W, carry0, consts, rho, pri_tol, dua_tol,
+                   segt, g: int, *, max_iter: int, check_every: int,
+                   warmup: int):
+    """The check-block adaptive while-loop on VMEM-resident values (see
+    :func:`_kernel_adaptive` for the semantics). Returns the frozen-picked
+    result set ``(U, X, D, Y, G, Z, V, itf, done, r0, r1, r2, r3)`` where
+    the per-instance bookkeeping arrays are in the concatenated
+    ``(rows, g*LANES)`` layout. Shared by the one-solve kernel and the
+    in-kernel rollout (:mod:`.fused_rollout`)."""
+    smd, smx, to_du, to_dx, cat, uncat = segt
 
     def pick(m, a, b):
         # Exact for binary masks; avoids select_n (unlowerable layouts).
@@ -845,13 +886,11 @@ def _kernel_adaptive(
 
     # Carry inits derive from real ref data (pure constants materialize in a
     # replicated layout that poisons the whole carry chain).
-    zdu = D0_ref[:] * 0.0
-    zdx = G0_ref[:] * 0.0
+    D0, Y0, G0, Z0, V0 = carry0
+    zdu = D0 * 0.0
+    zdx = G0 * 0.0
     z128 = zdu[:, :LANES]
     zcat = z128 if g == 1 else jnp.concatenate([z128] * g, axis=1)
-    D0, Y0, G0, Z0, V0 = (
-        D0_ref[:], Y0_ref[:], G0_ref[:], Z0_ref[:], V0_ref[:]
-    )
     if warmup > 0:
         D0, Y0, G0, Z0, V0 = jax.lax.fori_loop(
             0, warmup, plain_body, (D0, Y0, G0, Z0, V0)
@@ -869,22 +908,12 @@ def _kernel_adaptive(
     dones = [uncat(done, j) for j in range(g)]
     d_du = to_du(dones)
     d_dx = to_dx(dones)
-
-    def pick(m, a, b):
-        return a * m + b * (1.0 - m)
-
-    U_out[:] = pick(d_du, sU, lU)
-    X_out[:] = pick(d_dx, sX, lX)
-    D_out[:] = pick(d_du, sD, D)
-    Y_out[:] = pick(d_du, sY, Y)
-    G_out[:] = pick(d_dx, sG, G)
-    Z_out[:] = pick(d_du, sZ, Z)
-    V_out[:] = pick(d_dx, sV, V)
     itf = pick(done, itf, itf * 0.0 + float(max_iter))
-    stats_out[:] = (
-        itf * _stats_onehot(0, g) + done * _stats_onehot(1, g)
-        + r0 * _stats_onehot(2, g) + r1 * _stats_onehot(3, g)
-        + r2 * _stats_onehot(4, g) + r3 * _stats_onehot(5, g)
+    return (
+        pick(d_du, sU, lU), pick(d_dx, sX, lX),
+        pick(d_du, sD, D), pick(d_du, sY, Y), pick(d_dx, sG, G),
+        pick(d_du, sZ, Z), pick(d_dx, sV, V),
+        itf, done, r0, r1, r2, r3,
     )
 
 
