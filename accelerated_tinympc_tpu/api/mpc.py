@@ -156,16 +156,19 @@ def fused_mpc_rollout(
     tolerances — the reference's own per-tick early exit,
     examples/quadrotor_hovering.cpp:73-78 + admm.cpp:135-144): warm-started
     ticks converge in ~2 iterations and each tile's while-loop exits at the
-    next check multiple. Measured on chip (BASELINE.md round 4,
-    tools/check_rollout_adaptive_chip.py, B=4096, 70 hovering ticks):
-    1.67x the fixed-100 rollout at ``check_termination=10`` — the gain is
-    Amdahl-limited by the ~8-tick cold-start transient that runs to
-    max_iter, and ``check_termination=1`` gives ~1.0x because the per-check
-    residual machinery doubles the cold ticks' cost (prefer 5-10;
-    ``fleet_mpc_rollout``'s per-instance freeze reaches 3.66x). ``algo`` /
-    ``polish`` select the in-loop matmul arithmetic exactly as on
-    :func:`..ops.fused_admm.fused_solve` (``bf16x3`` measured *slower* here
-    — warm ticks never leave the check/polish region).
+    next check multiple. Measured on chip (BASELINE.md round 4, on-device
+    slope protocol, B=4096, 70 hovering ticks): cold-start missions run
+    2.0x the fixed-100 rollout at ``check_termination=10`` (the gain is
+    Amdahl-limited by the ~8-tick cold transient; ``check_termination=1``
+    gives ~1.0x there because the check block costs about an iteration),
+    while warm steady-state missions prefer ``check_termination=1``
+    (30.9 M solves/s sustained). For peak mission rates use the in-kernel
+    variant :func:`..ops.fused_rollout.fused_rollout` — the whole tick
+    loop in one Pallas launch, 1.2-2.6x this scan-of-kernels form (45.2 M
+    solves/s warm sustained). ``algo`` / ``polish`` select the in-loop
+    matmul arithmetic exactly as on :func:`..ops.fused_admm.fused_solve`
+    (``bf16x3`` measured *slower* here — warm ticks never leave the
+    check/polish region).
     """
     from ..ops.fused_admm import (
         FusedCarry, fused_solve, ref_vectors, unpad_controls,

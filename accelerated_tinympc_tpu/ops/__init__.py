@@ -10,6 +10,13 @@ from .fused_admm import (  # noqa: F401
     unpad_controls,
     unpad_states,
 )
+from .fused_rollout import (  # noqa: F401
+    RolloutOps,
+    RolloutResult,
+    fused_rollout,
+    rollout_const_seq,
+    rollout_ops,
+)
 from .hetero_admm import (  # noqa: F401
     HeteroCarry,
     HeteroProblem,

@@ -2,17 +2,24 @@
 Pallas kernel launch.
 
 The scan-of-kernels rollout (:func:`..api.mpc.fused_mpc_rollout`) pays a
-per-tick floor — kernel launch, operator re-fetch, and a full HBM round-trip
-of every warm-start carry — that dominates once the adaptive mode cuts warm
-ticks to ~2 iterations (measured ~0.6-0.9 ms/tick regardless of iteration
-count, BASELINE.md round 4). Here the tick loop itself runs inside the
-kernel: the warm-start carry (x0, D, Z, V) lives in VMEM *scratch* across
-grid steps, each tick resets the duals, runs the shared fixed/adaptive
-iteration core (:func:`.fused_admm._fixed_core` /
-:func:`.fused_admm._adaptive_core`), applies the pre-projection first-knot
-control to the plant in-kernel, and writes one 128-lane trace block (packed
-u0 + per-instance iteration counts) per tick. HBM traffic per tick is that
-single trace block — not eight carry arrays.
+per-tick cost — kernel setup/teardown and a full HBM round-trip of every
+warm-start carry — that matters once the adaptive mode cuts warm ticks to
+~2 iterations. Here the tick loop itself runs inside the kernel: the
+warm-start carry (x0, D, Z, V) lives in VMEM *scratch* across grid steps,
+each tick resets the duals, runs the shared fixed/adaptive iteration core
+(:func:`.fused_admm._fixed_core` / :func:`.fused_admm._adaptive_core`),
+applies the pre-projection first-knot control to the plant in-kernel, and
+writes one 128-lane trace block (packed u0 + per-instance iteration
+counts) per tick. HBM traffic per tick is that single trace block — not
+eight carry arrays.
+
+Measured on chip (BASELINE.md round 4, on-device slope protocol, B=4096,
+70 hovering ticks, tol 1e-3): cold-start missions 7.12 M solves/s at
+``check_termination=10`` (2.36x the fixed-100 mission, 1.23x the
+scan-of-kernels rollout); warm steady-state missions 45.2 M solves/s at
+``check_termination=1`` (~90 us per 4096-wide fleet tick; 1.46-2.59x the
+scan-of-kernels form — the advantage is largest exactly where ticks are
+shortest).
 
 Per-tick semantics are exactly the reference receding-horizon loop
 (reference: examples/quadrotor_hovering.cpp:90-114): measurement into

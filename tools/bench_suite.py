@@ -213,19 +213,68 @@ def main() -> None:
     emit("mpc_rollout_solves_per_sec", round(B * ticks / best), "solves/s",
          batch=B, ticks=ticks)
 
-    # Adaptive rollout (in-kernel per-tick early exit; warm ticks converge
-    # in ~2 iterations — check cadence 10 measured optimal, BASELINE.md
-    # round 4). 70 ticks = the reference hovering loop length.
+    # Adaptive + in-kernel rollouts, timed with the in-jit repeat SLOPE
+    # method (dispatch latency through the relay is sticky per executable,
+    # 0.1-25 ms — single-dispatch walls are unusable below ~50 ms of device
+    # work; see CLAUDE.md). 70 ticks = the reference hovering loop length.
     from accelerated_tinympc_tpu.api import fused_mpc_rollout
+    from accelerated_tinympc_tpu.ops.fused_rollout import (
+        fused_rollout, rollout_ops,
+    )
 
     B, ticks = 4096, 70
     x0s = perturbed(B)
-    ra = jax.jit(lambda x: fused_mpc_rollout(
-        pp, x, ticks, problem=problem, max_iter=100, batch_tile=512,
-        check_termination=10, abs_pri_tol=1e-3, abs_dua_tol=1e-3))
-    best, _ = best_time(lambda x: ra(x)[0], x0s, reps=3)
-    emit("mpc_rollout_adaptive_solves_per_sec", round(B * ticks / best),
-         "solves/s", batch=B, ticks=ticks, check_every=10, tol=1e-3)
+    rops = rollout_ops(problem, pp)
+
+    def k_mission(x, c, check):
+        res = fused_rollout(x, c, pp, rops, ticks, max_iter=100,
+                            check_termination=check,
+                            abs_pri_tol=1e-3, abs_dua_tol=1e-3)
+        return res.x_final, res.final.carry
+
+    def w_mission(x, c, check):
+        xf, _us, cf = fused_mpc_rollout(
+            pp, x, ticks, problem=problem, max_iter=100,
+            check_termination=check, carry=c,
+            abs_pri_tol=1e-3, abs_dua_tol=1e-3)
+        return xf, cf
+
+    def slope(mission, x, c, cold, check):
+        def reps(n):
+            @jax.jit
+            def f(x0_, c0_):
+                def step(carry, _):
+                    xx, cc = carry
+                    xf, cf = mission(xx, cc, check)
+                    if cold:
+                        xf = x0_ + xf.sum() * 1e-30
+                        cf = c0_
+                    return (xf, cf), None
+                out, _ = jax.lax.scan(step, (x0_, c0_), None, length=n)
+                return out[0]
+            return f
+        f1, f5 = reps(1), reps(5)
+        t1, _ = best_time(f1, x, c, reps=3)
+        t5, _ = best_time(f5, x, c, reps=3)
+        return (t5 - t1) / 4
+
+    cz = FusedCarry.zeros(B, pp)
+    s = slope(w_mission, x0s, cz, True, 10)
+    emit("mpc_rollout_adaptive_solves_per_sec", round(B * ticks / s),
+         "solves/s", batch=B, ticks=ticks, check_every=10, tol=1e-3,
+         timing="on-device slope")
+    s = slope(k_mission, x0s, cz, True, 10)
+    emit("mpc_rollout_inkernel_solves_per_sec", round(B * ticks / s),
+         "solves/s", batch=B, ticks=ticks, check_every=10, tol=1e-3,
+         timing="on-device slope")
+    # warm steady-state (hover-hold): the sustained receding-horizon rate
+    rw = jax.jit(lambda x: fused_rollout(
+        x, cz, pp, rops, 30, max_iter=100, check_termination=1))
+    rr = jax.block_until_ready(rw(x0s))
+    s = slope(k_mission, rr.x_final, rr.final.carry, False, 1)
+    emit("mpc_rollout_warm_sustained_solves_per_sec", round(B * ticks / s),
+         "solves/s", batch=B, ticks=ticks, check_every=1, tol=1e-3,
+         timing="on-device slope", state="warm steady-state")
 
     # --- round-2 tiers -------------------------------------------------------
     # Heterogeneous plants (one distinct plant per lane), fixed 100 iters.
