@@ -213,6 +213,75 @@ def sharded_fused_solve(
     return jax.jit(mapped)
 
 
+def sharded_fused_rollout(
+    mesh: Mesh,
+    pp,
+    rops,
+    n_ticks: int,
+    *,
+    max_iter: int = 100,
+    check_termination: int = 0,
+    abs_pri_tol: float = 1e-3,
+    abs_dua_tol: float = 1e-3,
+    batch_tile: int = 512,
+    interpret: bool = False,
+    const_seq: jax.Array | None = None,
+):
+    """The in-kernel receding-horizon mission (:func:`..ops.fused_rollout.
+    fused_rollout`) per shard under ``shard_map``: each device runs its
+    local batch's entire K-tick MPC mission in one Pallas launch — ticks
+    are plant-local, so the mission needs **zero** cross-device traffic;
+    only per-mission iteration stats are psum'd (the reference's host MPC
+    loop, examples/quadrotor_hovering.cpp:90-114, made fleet-wide).
+
+    Returns a jitted ``(x0s, carry) -> (RolloutResult, stats)``; ``x0s``
+    and carry leaves batch-sharded, ``us``/``iters`` sharded on their
+    batch (second) axis.
+    """
+    from ..ops.fused_rollout import fused_rollout
+
+    def shard_fn(x0s, carry):
+        res = fused_rollout(
+            x0s, carry, pp, rops, n_ticks, max_iter=max_iter,
+            check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            batch_tile=batch_tile, interpret=interpret,
+            const_seq=const_seq,
+        )
+        stats = {
+            "n_total": jax.lax.psum(
+                jnp.asarray(res.x_final.shape[0], jnp.float32), BATCH_AXIS
+            ),
+            "iterations_sum": jax.lax.psum(jnp.sum(res.iters), BATCH_AXIS),
+            "iterations_max": jax.lax.pmax(jnp.max(res.iters), BATCH_AXIS),
+            "last_tick_iterations_mean": jax.lax.pmean(
+                jnp.mean(res.iters[-1]), BATCH_AXIS
+            ),
+        }
+        return res, stats
+
+    batch_spec = P(BATCH_AXIS)
+    tick_batch = P(None, BATCH_AXIS)
+    from ..ops.fused_rollout import RolloutResult
+    from ..ops.fused_admm import FusedCarry, FusedResult
+
+    res_spec = RolloutResult(
+        x_final=batch_spec, us=tick_batch, iters=tick_batch,
+        final=FusedResult(
+            U=batch_spec, X=batch_spec,
+            carry=FusedCarry(*([batch_spec] * 5)), stats=batch_spec,
+        ),
+    )
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec),
+        out_specs=(res_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_hetero_solve(
     mesh: Mesh,
     *,

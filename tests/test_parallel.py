@@ -132,3 +132,49 @@ def test_sharded_fused_solve(setup):
     np.testing.assert_allclose(
         np.asarray(res.U), np.asarray(want.U), rtol=0, atol=1e-5
     )
+
+
+def test_sharded_fused_rollout(setup):
+    """Whole K-tick in-kernel missions per shard: matches the unsharded
+    in-kernel rollout; tick traces shard on their batch axis."""
+    from accelerated_tinympc_tpu.ops import FusedCarry, pad_problem
+    from accelerated_tinympc_tpu.ops.fused_rollout import (
+        fused_rollout, rollout_ops,
+    )
+    from accelerated_tinympc_tpu.parallel import sharded_fused_rollout
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    problem, cache, x0s = setup
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    mesh = make_batch_mesh(8)
+    T = 4
+    roll = sharded_fused_rollout(
+        mesh, pp, rollout_ops(problem, pp), T, max_iter=15,
+        check_termination=1, batch_tile=2, interpret=True,
+    )
+    carry = FusedCarry.zeros(B, pp)
+    res, stats = roll(shard_batch(x0s, mesh), shard_batch(carry, mesh))
+    assert res.x_final.sharding.spec[0] == BATCH_AXIS
+    assert res.us.sharding.spec[1] == BATCH_AXIS
+    assert float(stats["n_total"]) == B
+    want = fused_rollout(
+        x0s, carry, pp, rollout_ops(problem, pp), T, max_iter=15,
+        check_termination=1, batch_tile=2, interpret=True,
+    )
+    # interpret-mode XLA CPU FMA-contracts per graph shape, so the sharded
+    # (2-instance) and unsharded (16-instance) graphs drift ~1e-6 and
+    # knife-edge checks can shift one tick's count (CLAUDE.md); on chip
+    # Mosaic is bit-stable across tile shapes.
+    np.testing.assert_allclose(
+        np.asarray(res.us), np.asarray(want.us), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x_final), np.asarray(want.x_final), rtol=0, atol=1e-4
+    )
+    agree = float(
+        (np.asarray(res.iters) == np.asarray(want.iters)).mean()
+    )
+    assert agree > 0.9, agree
