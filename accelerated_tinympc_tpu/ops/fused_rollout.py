@@ -157,10 +157,16 @@ def _kernel_rollout(
     Y0 = D0 * 0.0
     G0 = V0 * 0.0
 
+    # const_d arrives (1, Dug) baked (hovering) or as a (1, 8, Dug) block of
+    # the (T, 8, Dug) per-tick stream (tracking; the row is replicated on 8
+    # sublanes because Mosaic rejects 1-sublane blocks of multi-row arrays).
+    cd = const_ref[:]
+    if cd.ndim == 3:
+        cd = cd.reshape(8, cd.shape[-1])[:1, :]
     Xb = dot(x0v, w_fx_ref[:])
     Ub = dot(x0v, w_gx_ref[:])
     consts = (
-        Xb, Ub, const_ref[:],
+        Xb, Ub, cd,
         u_min_ref[:], u_max_ref[:], x_min_ref[:], x_max_ref[:],
     )
     W3, Wf = _make_ws((w_fd_ref, w_gd_ref, w_q_ref, w_r_ref), algo)
@@ -367,7 +373,10 @@ def fused_rollout(
         batch_spec(nxg), batch_spec(Dug), batch_spec(Dug), batch_spec(gDxp),
     ]
     if tracking:
-        const_d_spec = pl.BlockSpec((1, Dug), lambda i, t: (t, 0),
+        # (T, 8, Dug): tick rows replicated over 8 sublanes so the per-tick
+        # block satisfies Mosaic's (8, 128)-divisibility rule.
+        const_d = jnp.broadcast_to(const_d[:, None, :], (T, 8, Dug))
+        const_d_spec = pl.BlockSpec((1, 8, Dug), lambda i, t: (t, 0, 0),
                                     memory_space=pltpu.VMEM)
     else:
         const_d_spec = const_spec((1, Dug))
