@@ -135,6 +135,7 @@ def fused_mpc_rollout(
     abs_dua_tol: float = 1e-3,
     algo: str = "f32",
     polish: int = 8,
+    in_kernel: bool = False,
 ):
     """Receding-horizon rollout on the fused Pallas tier: ``n_ticks`` of
     (dual reset -> fused solve -> apply pre-projection u0 -> plant step) under
@@ -180,6 +181,31 @@ def fused_mpc_rollout(
     if Xref_total is not None and Pinf is None:
         raise ValueError("tracking mode needs the cache Pinf for ref_vectors")
     N = problem.horizon
+
+    if in_kernel:
+        # Route through the in-kernel mission (ops/fused_rollout.py): the
+        # whole tick loop in one Pallas launch. Same per-tick semantics;
+        # returns match this function's (x_final, us, carry) contract.
+        if cone_ops is not None:
+            raise ValueError(
+                "in_kernel=True does not support cone_ops; use the "
+                "scan-of-kernels form (in_kernel=False)")
+        from ..ops.fused_rollout import (
+            fused_rollout, rollout_const_seq, rollout_ops,
+        )
+        const_seq = None
+        if Xref_total is not None:
+            const_seq = rollout_const_seq(
+                pp, problem.Q, Pinf, Xref_total, n_ticks
+            )
+        res = fused_rollout(
+            x0, carry, pp, rollout_ops(problem, pp), n_ticks,
+            max_iter=max_iter, check_termination=check_termination,
+            abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
+            batch_tile=batch_tile, interpret=interpret,
+            const_seq=const_seq, algo=algo, polish=polish,
+        )
+        return res.x_final, res.us, res.final.carry
 
     def tick(c, k):
         x, cy = c

@@ -258,6 +258,32 @@ class TestFusedRollout:
             np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
         )
 
+    def test_in_kernel_flag_matches_scan_of_kernels(self):
+        # in_kernel=True routes the whole mission through
+        # ops/fused_rollout.py; surface contract identical.
+        from accelerated_tinympc_tpu.api import fused_mpc_rollout
+        from accelerated_tinympc_tpu.ops import pad_problem
+        from accelerated_tinympc_tpu.precompute import condensed_operators
+
+        problem, cache, x0 = quadrotor_hovering_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        x0s = jnp.tile(jnp.asarray(x0, jnp.float32), (3, 1))
+        a = fused_mpc_rollout(pp, x0s, 4, problem=problem, max_iter=15,
+                              batch_tile=3, interpret=True)
+        b = fused_mpc_rollout(pp, x0s, 4, problem=problem, max_iter=15,
+                              batch_tile=3, interpret=True, in_kernel=True)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=0, atol=1e-4)
+        for la, lb in zip(a[2], b[2]):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=0, atol=1e-4)
+
     def test_fused_tracking_matches_jnp(self):
         from accelerated_tinympc_tpu.api import fused_mpc_rollout
         from accelerated_tinympc_tpu.models import quadrotor_tracking_setup

@@ -148,6 +148,45 @@ def test_continuation_equals_one_run(quad):
     )
 
 
+@pytest.mark.parametrize("nx,nu,N", [
+    (4, 1, 12),    # cartpole-like: g capped at MAX_PACK? Du=11 -> g=8
+    (6, 2, 9),     # Du=16, g=8
+    (12, 4, 10),   # flagship, g=3
+    (8, 3, 24),    # Du=69 -> g=1, Dug=128
+    (5, 4, 40),    # Du=156 -> g=1, Dug=256 (wide input space)
+])
+def test_shape_fuzz_matches_wrapper(nx, nu, N):
+    """The in-kernel mission across packing regimes (g=8/3/1, Dug up to
+    256): parity with the scan-of-kernels rollout on every shape."""
+    from accelerated_tinympc_tpu.precompute import riccati_cache
+
+    problem, rho = random_lti_problem(seed=nx * 100 + nu, nx=nx, nu=nu,
+                                      horizon=N)
+    cache = riccati_cache(
+        np.asarray(problem.A), np.asarray(problem.B),
+        np.asarray(problem.Q), np.asarray(problem.R), rho,
+    )
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    rops = rollout_ops(problem, pp)
+    rng = np.random.default_rng(1)
+    B, T = 7, 3
+    x0s = jnp.asarray(0.2 * rng.standard_normal((B, nx)), jnp.float32)
+    res = fused_rollout(x0s, FusedCarry.zeros(B, pp), pp, rops, T,
+                        max_iter=12, check_termination=2,
+                        interpret=True, batch_tile=8)
+    xf, us, _ = fused_mpc_rollout(
+        pp, x0s, T, problem=problem, max_iter=12, check_termination=2,
+        batch_tile=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(res.us), np.asarray(us),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.x_final), np.asarray(xf),
+                               rtol=0, atol=1e-4)
+
+
 def test_unpacked_g1_and_batch_padding():
     """g=1 layout (Du > 64) plus a batch that is not a tile multiple."""
     from accelerated_tinympc_tpu.precompute import riccati_cache

@@ -116,6 +116,35 @@ def main() -> None:
         emit("fused_fixed100_solves_per_sec", round(B / best), "solves/s",
              batch=B)
 
+    # On-device single-solve throughput at small batch (slope method — the
+    # wall numbers above include a sticky 0.1-25 ms relay dispatch, which
+    # dominates at B=4096; a co-located control loop sees the slope rate).
+    B = 4096
+    x0s = perturbed(B)
+
+    def chain(n):
+        @jax.jit
+        def f(x, c):
+            def step(carry, _):
+                xx, cc = carry
+                res = fused_solve(xx, cc, pp, max_iter=100,
+                                  check_termination=0, batch_tile=512)
+                u0 = unpad_controls(res, pp)
+                xn = (jnp.matmul(xx, problem.A.T)
+                      + jnp.matmul(u0, problem.B.T))
+                return (xn, res.carry), None
+            out, _ = jax.lax.scan(step, (x, c), None, length=n)
+            return out[0]
+        return f
+
+    c0 = FusedCarry.zeros(B, pp)
+    t1, _ = best_time(chain(1), x0s, c0, reps=3)
+    t5, _ = best_time(chain(5), x0s, c0, reps=3)
+    s = (t5 - t1) / 4
+    emit("fused_fixed100_ondevice_solves_per_sec", round(B / s), "solves/s",
+         batch=B, timing="on-device slope",
+         note="wall metric above includes per-dispatch relay latency")
+
     # --- MFU / roofline audit (fused kernel family) --------------------------
     # Useful = the reference math's 5 contractions per iteration
     # (admm.cpp:15-37 folded, see utils/profiling.solver_cost); issued = the
