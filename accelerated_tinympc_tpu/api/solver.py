@@ -398,6 +398,68 @@ class TinyMPC:
             batch_stats(self.state, self.settings).items()
         }
 
+    def rollout(
+        self,
+        n_ticks: int,
+        *,
+        Xref_total: jax.Array | None = None,
+        in_kernel: bool = False,
+    ):
+        """Run ``n_ticks`` of the reference's receding-horizon loop fully on
+        device from the current ``x0`` (reference:
+        examples/quadrotor_hovering.cpp:90-114 — dual reset, warm-started
+        solve, pre-projection u0 applied, plant step; tracking with
+        ``Xref_total`` slides the window per tick,
+        quadrotor_tracking.cpp:101). Uses this object's settings
+        (``max_iter``/``check_termination``/tolerances) per tick.
+
+        Returns ``(x_final, us)`` with the leading batch axis dropped for
+        single-instance solvers; the solver's warm-start state advances to
+        the end of the rollout (continuations compose). On the fused tier
+        ``in_kernel=True`` runs the whole mission inside one Pallas launch
+        (:func:`..ops.fused_rollout.fused_rollout`; no cones).
+        """
+        from .mpc import fused_mpc_rollout, mpc_rollout
+
+        single = self.batch is None
+        x0 = self.state.x[..., 0, :]
+        if self.tier == "fused":
+            if single:
+                x0 = x0[None]
+            xf, us, carry = fused_mpc_rollout(
+                self._pp, x0, n_ticks, problem=self.problem,
+                max_iter=self.settings.max_iter,
+                check_termination=self.settings.check_termination,
+                abs_pri_tol=float(self.settings.abs_pri_tol),
+                abs_dua_tol=float(self.settings.abs_dua_tol),
+                batch_tile=min(DEFAULT_BATCH_TILE, x0.shape[0]),
+                carry=self._fused_carry, interpret=self.interpret,
+                Xref_total=Xref_total,
+                Pinf=self.cache.Pinf if Xref_total is not None else None,
+                cone_ops=self._cone_ops, algo=self.algo,
+                in_kernel=in_kernel,
+            )
+            self._fused_carry = carry
+            self.state = self.state.replace(
+                x=self.state.x.at[..., 0, :].set(xf[0] if single else xf)
+            )
+            if single:
+                return xf[0], us[:, 0]
+            return xf, us
+        if in_kernel:
+            raise ValueError("in_kernel rollout requires tier='fused'")
+        if self.cones is not None:
+            raise ValueError(
+                "rollout with cones is supported on tier='fused' "
+                "(in-kernel cone projection); scan-tier coned rollouts: "
+                "drive the tick loop with solve()/reset_duals()")
+        st, xf, trace = mpc_rollout(
+            self.problem, self.cache, self.settings, x0, n_ticks,
+            Xref_total=Xref_total, state=self.state, batched=not single,
+        )
+        self.state = st.replace(x=st.x.at[..., 0, :].set(xf))
+        return xf, trace.u
+
     def _solve_condensed(self) -> dict[str, Any]:
         from ..solver.condensed import (
             flat_from_state,

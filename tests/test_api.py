@@ -258,6 +258,33 @@ class TestFusedRollout:
             np.asarray(xf[0]), np.asarray(xf_ref), rtol=0, atol=1e-4
         )
 
+    def test_tinympc_rollout_method(self):
+        # TinyMPC.rollout drives the reference loop from the object surface
+        # on both tiers; warm state advances (continuations compose).
+        problem, cache, x0 = quadrotor_hovering_setup()
+        x0 = jnp.asarray(x0, jnp.float32)
+        sets = atm.Settings(max_iter=40, check_termination=1)
+        m = atm.TinyMPC.from_parts(problem, cache, settings=sets)
+        m.set_x0(x0)
+        xf, us = m.rollout(70)
+        assert us.shape == (70, 4)
+        assert float(jnp.linalg.norm(xf - problem.Xref[1])) < 0.01
+        xf2, us2 = m.rollout(5)   # warm continuation
+        assert us2.shape == (5, 4)
+
+        m2 = atm.TinyMPC.from_parts(problem, cache, settings=sets,
+                                    tier="fused", interpret=True, batch=4)
+        m2.set_x0(jnp.tile(x0, (4, 1)))
+        xf3, us3 = m2.rollout(6, in_kernel=True)
+        m3 = atm.TinyMPC.from_parts(problem, cache, settings=sets,
+                                    tier="fused", interpret=True, batch=4)
+        m3.set_x0(jnp.tile(x0, (4, 1)))
+        xf4, us4 = m3.rollout(6)
+        np.testing.assert_allclose(np.asarray(us3), np.asarray(us4),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(xf3), np.asarray(xf4),
+                                   rtol=0, atol=1e-4)
+
     def test_in_kernel_flag_matches_scan_of_kernels(self):
         # in_kernel=True routes the whole mission through
         # ops/fused_rollout.py; surface contract identical.
