@@ -266,12 +266,13 @@ def fleet_mpc_rollout(
 
     ``check_termination > 0`` switches each tick to the hetero kernel's
     adaptive freezing mode (per-instance early exit at the given
-    tolerances) — warm-started fleet ticks converge in a few iterations
-    (~3.7 measured), so this is the sustained-fleet-rate configuration:
-    3.66x the fixed-100 rollout = 6.43 M fleet solves/s on one chip at
-    B=16384 (BASELINE.md round 4, tools/check_rollout_adaptive_chip.py).
-    Per-instance freezing beats the fused tier's per-tile exit granularity
-    here — ``check_termination=1`` is the right setting, not 5-10.
+    tolerances) — warm-started fleet ticks converge in a few iterations,
+    so this is the sustained-fleet-rate configuration: **23.3 M fleet
+    solves/s on one chip** at B=16384 warm steady state, 11.7x the
+    fixed-100 rollout (~0.7 ms per 16k-plant fleet tick; on-device slope
+    protocol, BASELINE.md round 4). Per-instance freezing beats the fused
+    tier's per-tile exit granularity here — ``check_termination=1`` is
+    the right setting, not 5-10.
     """
     from ..ops.hetero_admm import HeteroCarry, hetero_solve
 
