@@ -122,24 +122,24 @@ def main() -> None:
     B = 4096
     x0s = perturbed(B)
 
-    def chain(n):
-        @jax.jit
-        def f(x, c):
-            def step(carry, _):
-                xx, cc = carry
-                res = fused_solve(xx, cc, pp, max_iter=100,
-                                  check_termination=0, batch_tile=512)
-                u0 = unpad_controls(res, pp)
-                xn = (jnp.matmul(xx, problem.A.T)
-                      + jnp.matmul(u0, problem.B.T))
-                return (xn, res.carry), None
-            out, _ = jax.lax.scan(step, (x, c), None, length=n)
-            return out[0]
-        return f
+    # ONE executable with a runtime repeat count: sticky dispatch latency
+    # is per-executable, so a two-executable (scan-length) slope can carry
+    # different dispatches and bias the difference.
+    @jax.jit
+    def chain(x, c, n):
+        def body(_, carry):
+            xx, cc = carry
+            res = fused_solve(xx, cc, pp, max_iter=100,
+                              check_termination=0, batch_tile=512)
+            u0 = unpad_controls(res, pp)
+            xn = (jnp.matmul(xx, problem.A.T)
+                  + jnp.matmul(u0, problem.B.T))
+            return (xn, res.carry)
+        return jax.lax.fori_loop(0, n, body, (x, c))[0]
 
     c0 = FusedCarry.zeros(B, pp)
-    t1, _ = best_time(chain(1), x0s, c0, reps=3)
-    t5, _ = best_time(chain(5), x0s, c0, reps=3)
+    t1, _ = best_time(chain, x0s, c0, jnp.int32(1), reps=3)
+    t5, _ = best_time(chain, x0s, c0, jnp.int32(5), reps=3)
     s = (t5 - t1) / 4
     emit("fused_fixed100_ondevice_solves_per_sec", round(B / s), "solves/s",
          batch=B, timing="on-device slope",
@@ -269,22 +269,19 @@ def main() -> None:
         return xf, cf
 
     def slope(mission, x, c, cold, check):
-        def reps(n):
-            @jax.jit
-            def f(x0_, c0_):
-                def step(carry, _):
-                    xx, cc = carry
-                    xf, cf = mission(xx, cc, check)
-                    if cold:
-                        xf = x0_ + xf.sum() * 1e-30
-                        cf = c0_
-                    return (xf, cf), None
-                out, _ = jax.lax.scan(step, (x0_, c0_), None, length=n)
-                return out[0]
-            return f
-        f1, f5 = reps(1), reps(5)
-        t1, _ = best_time(f1, x, c, reps=3)
-        t5, _ = best_time(f5, x, c, reps=3)
+        # single executable + runtime repeat count (dispatch cancels)
+        @jax.jit
+        def f(x0_, c0_, n):
+            def body(_, carry):
+                xx, cc = carry
+                xf, cf = mission(xx, cc, check)
+                if cold:
+                    xf = x0_ + xf.sum() * 1e-30
+                    cf = c0_
+                return (xf, cf)
+            return jax.lax.fori_loop(0, n, body, (x0_, c0_))[0]
+        t1, _ = best_time(f, x, c, jnp.int32(1), reps=3)
+        t5, _ = best_time(f, x, c, jnp.int32(5), reps=3)
         return (t5 - t1) / 4
 
     cz = FusedCarry.zeros(B, pp)
@@ -333,16 +330,29 @@ def main() -> None:
     prob_h, cache_h = stk(probs), stk(caches)
     hp = jax.jit(pad_hetero_problem)(prob_h, cache_h)
     hx0 = perturbed(Bh)[:, :12]
-    hf = lambda: hetero_solve(hx0, HeteroCarry.zeros(hp), hp, max_iter=100)
-    best, _ = best_time(lambda _x: hf().U, 0, reps=3)
-    emit("hetero_solves_per_sec", round(Bh / best), "solves/s", batch=Bh)
+
+    @jax.jit
+    def hchain(x, n):
+        def body(_, xx):
+            res = hetero_solve(xx, HeteroCarry.zeros(hp), hp, max_iter=100)
+            return xx + res.U.sum() * 1e-30
+        return jax.lax.fori_loop(0, n, body, x)
+
+    t1, _ = best_time(hchain, hx0, jnp.int32(1), reps=3)
+    t4, _ = best_time(hchain, hx0, jnp.int32(4), reps=3)
+    best = (t4 - t1) / 3
+    emit("hetero_solves_per_sec", round(Bh / best), "solves/s", batch=Bh,
+         timing="on-device slope")
 
     # Hetero-family roofline audit: per-lane VPU FMAs (no MXU — a distinct
     # matrix per lane has nothing for the systolic array to share).
     from accelerated_tinympc_tpu.utils.profiling import hetero_cost
 
     hc = hetero_cost(12, 4, 10, 100)
-    PEAK_VPU = 1.9e12   # v5e VPU: 8x128 lanes x 2 flop (FMA) x ~0.94 GHz
+    # v5e VPU: (8, 128) vregs x 4 ALUs x 2 flop (FMA) x ~0.94 GHz. (An
+    # earlier 1-ALU figure of 1.9e12 was falsified in round 4: the
+    # slope-measured hetero rate exceeds it 2x.)
+    PEAK_VPU = 7.7e12
     h_sps = Bh / best
     emit("hetero_roofline", round(h_sps), "solves/s", batch=Bh,
          vpu_flops_per_sec=f"{hc['vpu_flops'] * h_sps:.3e}",
@@ -388,23 +398,20 @@ def main() -> None:
     fticks = 20
     fx0 = jnp.asarray(0.1 * rng.standard_normal((Bh, 12)), jnp.float32)
 
-    def fleet_reps(n):
-        @jax.jit
-        def f(x, c):
-            def step(carry, _):
-                xx, cc = carry
-                xf, _us, cf = fleet_mpc_rollout(
-                    hp, prob_h, xx, fticks, max_iter=100,
-                    check_termination=1, abs_pri_tol=1e-3,
-                    abs_dua_tol=1e-3, carry=cc)
-                return (xf, cf), None
-            out, _ = jax.lax.scan(step, (x, c), None, length=n)
-            return out[0]
-        return f
+    @jax.jit
+    def fleet_chain(x, c, n):
+        def body(_, carry):
+            xx, cc = carry
+            xf, _us, cf = fleet_mpc_rollout(
+                hp, prob_h, xx, fticks, max_iter=100,
+                check_termination=1, abs_pri_tol=1e-3,
+                abs_dua_tol=1e-3, carry=cc)
+            return (xf, cf)
+        return jax.lax.fori_loop(0, n, body, (x, c))[0]
 
     c0 = HeteroCarry.zeros(hp)
-    t1, _ = best_time(fleet_reps(1), fx0, c0, reps=3)
-    t3, _ = best_time(fleet_reps(3), fx0, c0, reps=3)
+    t1, _ = best_time(fleet_chain, fx0, c0, jnp.int32(1), reps=3)
+    t3, _ = best_time(fleet_chain, fx0, c0, jnp.int32(3), reps=3)
     s = (t3 - t1) / 2
     emit("fleet_rollout_adaptive_solves_per_sec",
          round(Bh * fticks / s), "solves/s", batch=Bh, ticks=fticks,

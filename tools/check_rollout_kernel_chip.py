@@ -79,23 +79,23 @@ def main():
         """On-device ms per mission. ``cold=True`` re-enters each mission
         from the original (x, c) — threading only a tiny data dependence —
         so every repeat is a cold-start mission; ``cold=False`` threads
-        (x, carry) so repeats are warm steady-state continuations."""
-        def reps(n):
-            @jax.jit
-            def f(x0_, c0_):
-                def step(carry, _):
-                    xx, cc = carry
-                    xf, cf = mission(xx, cc, max_iter, check)
-                    if cold:
-                        # fresh mission, dependence kept (don't let XLA DCE)
-                        xf = x0_ + xf.sum() * 1e-30
-                        cf = c0_
-                    return (xf, cf), None
-                out, _ = jax.lax.scan(step, (x0_, c0_), None, length=n)
-                return out[0]
-            return f
-        f1, f5 = reps(1), reps(5)
-        return (timed(f5, x, c) - timed(f1, x, c)) / 4
+        (x, carry) so repeats are warm steady-state continuations. ONE
+        executable with a runtime repeat count: sticky dispatch latency is
+        per-executable, so a two-executable slope could carry two
+        different dispatches and bias the difference."""
+        @jax.jit
+        def f(x0_, c0_, n):
+            def body(_, carry):
+                xx, cc = carry
+                xf, cf = mission(xx, cc, max_iter, check)
+                if cold:
+                    # fresh mission, dependence kept (don't let XLA DCE)
+                    xf = x0_ + xf.sum() * 1e-30
+                    cf = c0_
+                return (xf, cf)
+            return jax.lax.fori_loop(0, n, body, (x0_, c0_))[0]
+        return (timed(f, x, c, jnp.int32(5))
+                - timed(f, x, c, jnp.int32(1))) / 4
 
     cz = FusedCarry.zeros(B, pp)
     print(f"--- cold 70-tick missions (B={B}) ------------- on-device slope")
