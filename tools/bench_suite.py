@@ -138,8 +138,8 @@ def main() -> None:
         return jax.lax.fori_loop(0, n, body, (x, c))[0]
 
     c0 = FusedCarry.zeros(B, pp)
-    t1, _ = best_time(chain, x0s, c0, jnp.int32(1), reps=3)
-    t5, _ = best_time(chain, x0s, c0, jnp.int32(5), reps=3)
+    t1, _ = best_time(chain, x0s, c0, jnp.int32(1), reps=5)
+    t5, _ = best_time(chain, x0s, c0, jnp.int32(5), reps=5)
     s = (t5 - t1) / 4
     emit("fused_fixed100_ondevice_solves_per_sec", round(B / s), "solves/s",
          batch=B, timing="on-device slope",
@@ -280,8 +280,8 @@ def main() -> None:
                     cf = c0_
                 return (xf, cf)
             return jax.lax.fori_loop(0, n, body, (x0_, c0_))[0]
-        t1, _ = best_time(f, x, c, jnp.int32(1), reps=3)
-        t5, _ = best_time(f, x, c, jnp.int32(5), reps=3)
+        t1, _ = best_time(f, x, c, jnp.int32(1), reps=5)
+        t5, _ = best_time(f, x, c, jnp.int32(5), reps=5)
         return (t5 - t1) / 4
 
     cz = FusedCarry.zeros(B, pp)
@@ -338,8 +338,8 @@ def main() -> None:
             return xx + res.U.sum() * 1e-30
         return jax.lax.fori_loop(0, n, body, x)
 
-    t1, _ = best_time(hchain, hx0, jnp.int32(1), reps=3)
-    t4, _ = best_time(hchain, hx0, jnp.int32(4), reps=3)
+    t1, _ = best_time(hchain, hx0, jnp.int32(1), reps=5)
+    t4, _ = best_time(hchain, hx0, jnp.int32(4), reps=5)
     best = (t4 - t1) / 3
     emit("hetero_solves_per_sec", round(Bh / best), "solves/s", batch=Bh,
          timing="on-device slope")
@@ -410,8 +410,8 @@ def main() -> None:
         return jax.lax.fori_loop(0, n, body, (x, c))[0]
 
     c0 = HeteroCarry.zeros(hp)
-    t1, _ = best_time(fleet_chain, fx0, c0, jnp.int32(1), reps=3)
-    t3, _ = best_time(fleet_chain, fx0, c0, jnp.int32(3), reps=3)
+    t1, _ = best_time(fleet_chain, fx0, c0, jnp.int32(1), reps=5)
+    t3, _ = best_time(fleet_chain, fx0, c0, jnp.int32(3), reps=5)
     s = (t3 - t1) / 2
     emit("fleet_rollout_adaptive_solves_per_sec",
          round(Bh * fticks / s), "solves/s", batch=Bh, ticks=fticks,
