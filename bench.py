@@ -6,9 +6,20 @@ Workload (BASELINE.md protocol): the reference's hovering problem shape
 examples/quadrotor_hovering.cpp:75 — fixed-iteration for determinism),
 vmapped over perturbed initial states, steady-state throughput.
 
+Timing protocol (BASELINE.md "Slope-corrected tier rates"): dispatch
+latency through this deployment's TPU relay is sticky *per compiled
+executable* (0.1-25 ms, not washed out by min-of-reps), so the headline
+is measured with the in-jit runtime-repeat slope — ONE jitted function
+chains n dependent solve+plant-step rounds via ``lax.fori_loop`` (n an
+int32 operand, so both timings share one executable and the dispatch
+term cancels exactly); rate = batch * 4 / (t(5) - t(1)). That is the
+chip's steady-state solver throughput, what a co-located control loop
+sees. The single-dispatch wall rate (includes the relay's per-call
+latency) is reported alongside as ``wall_solves_per_sec``.
+
 Prints ONE JSON line:
   {"metric": "hovering_solves_per_sec", "value": N, "unit": "solves/s",
-   "vs_baseline": N / 100000}
+   "vs_baseline": N / 100000, "wall_solves_per_sec": M, ...}
 (baseline = BASELINE.json north-star target of 100k solves/s/chip).
 """
 
@@ -87,58 +98,91 @@ def main() -> None:
             problem.horizon,
         )
         pp = pad_problem(problem, cache, ops)
+        from accelerated_tinympc_tpu.ops import unpad_controls
         carry = FusedCarry.zeros(batch, pp)
+        A_T = jnp.asarray(problem.A).T
+        B_T = jnp.asarray(problem.B).T
+
         # algo="bf16x3": 3-pass split-operand bf16 matmuls with an f32 polish
         # tail — validated on-chip at 2.8e-5 control error vs the scan tier
         # at polish=6 (inside the 1e-4 golden-parity bar; round-3 sweep:
         # tile 1024 + polish 6 is the measured plateau, BASELINE.md).
-        fn = jax.jit(
-            lambda x, c: fused_solve(
-                x, c, pp, max_iter=max_iter, check_termination=0,
-                batch_tile=1024, algo="bf16x3", polish=6,
-            )
-        )
-        return fn, (make_x0s(batch), carry)
+        # The fori body threads a real data dependence between rounds (the
+        # receding-horizon plant step) so XLA cannot hoist or fold rounds.
+        @jax.jit
+        def chain(x, c, n):
+            def body(_, carry_):
+                xx, cc = carry_
+                res = fused_solve(
+                    xx, cc, pp, max_iter=max_iter, check_termination=0,
+                    batch_tile=1024, algo="bf16x3", polish=6,
+                )
+                u0 = unpad_controls(res, pp)
+                return (xx @ A_T + u0 @ B_T, res.carry)
+            return jax.lax.fori_loop(0, n, body, (x, c))
+        return chain, (make_x0s(batch), carry)
 
+    def best_time(fn, *args):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    extra = {}
     if on_cpu:
         batch = 8192
         fn, args = build_jnp(batch)
         out = jax.block_until_ready(fn(*args))
+        value = batch / best_time(fn, *args)
     else:
         # Batch cascade: bigger batches amortize dispatch overhead toward the
         # on-silicon kernel rate; back off on OOM/compile failure.
-        fn = args = out = None
+        chain = args = out = None
         for batch in (1048576, 262144, 65536):
             try:
-                fn, args = build_fused(batch)
-                out = jax.block_until_ready(fn(*args))
+                chain, args = build_fused(batch)
+                out = jax.block_until_ready(chain(*args, jnp.int32(1)))
                 break
             except Exception as exc:
                 print(f"fused batch {batch} unavailable ({exc})",
                       file=sys.stderr)
                 # drop the failed batch's device buffers before retrying
-                fn = args = out = None
-        if fn is None:  # Pallas path dead everywhere: jnp tier
+                chain = args = out = None
+        if chain is None:  # Pallas path dead everywhere: jnp tier
             batch = 65536
             fn, args = build_jnp(batch)
             out = jax.block_until_ready(fn(*args))
+            value = batch / best_time(fn, *args)
+        else:
+            t1 = best_time(chain, *args, jnp.int32(1))
+            t5 = best_time(chain, *args, jnp.int32(5))
+            slope = (t5 - t1) / 4
+            wall = batch / t1
+            if slope > 0:
+                value = batch / slope
+                extra = {
+                    "wall_solves_per_sec": round(wall),
+                    "timing": "on-device slope (single-executable "
+                              "runtime-repeat; wall includes relay "
+                              "dispatch latency)",
+                }
+            else:  # relay noise swamped the slope: report the honest wall
+                value = wall
+                extra = {"timing": "single-dispatch wall (slope "
+                                   "measurement was non-positive)"}
 
     # Correctness guard: solver outputs must be finite.
     first = jax.tree.leaves(out)[0]
     assert bool(jnp.all(jnp.isfinite(first))), "non-finite solver output"
 
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.time() - t0)
-
-    value = batch / best
     print(json.dumps({
         "metric": "hovering_solves_per_sec",
         "value": round(value),
         "unit": "solves/s",
         "vs_baseline": round(value / 100_000, 3),
+        **extra,
     }))
 
 
