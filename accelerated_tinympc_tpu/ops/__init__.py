@@ -27,6 +27,10 @@ from .hetero_admm import (  # noqa: F401
     pad_hetero_from_plants,
     pad_hetero_problem,
 )
+from .riccati_kernel import (  # noqa: F401
+    riccati_cache_kernel,
+    riccati_cache_newton,
+)
 from .stream_admm import (  # noqa: F401
     StreamCarry,
     StreamProblem,

@@ -99,14 +99,28 @@ def solve_adaptive_rho_hetero(
     m = N - 1
     nt = -(-batch // LANES)
     check_every = max(1, settings.check_termination)
-    use_kernel = riccati == "kernel" or (
+    use_kernel = riccati in ("kernel", "newton") or (
         riccati == "auto" and nx <= 16 and jax.default_backend() == "tpu"
     )
 
     def build_caches(rho, warm=None):
         if use_kernel:
-            from ..ops.riccati_kernel import riccati_cache_kernel
+            from ..ops.riccati_kernel import (
+                riccati_cache_kernel, riccati_cache_newton,
+            )
 
+            if riccati in ("newton", "auto") and warm is not None:
+                # Newton-Kleinman warm refresh: quadratic outer convergence
+                # from the previous round's gain (always stabilizing —
+                # A - B K is rho-independent). The refresh is 91% of a
+                # round's cost with the fixed-point kernel; Newton cuts it
+                # 102x — whole loop 5.8x, 41.8k adaptive solves/s at B=4096
+                # (BASELINE.md round-4 decomposition). riccati="kernel"
+                # keeps the pure fixed-point refresh (reference-truncated
+                # iterates end to end).
+                return riccati_cache_newton(
+                    A, B, Q, R, rho, warm.Kinf, interpret=interpret,
+                )
             return riccati_cache_kernel(
                 A, B, Q, R, rho,
                 P0=warm.Pinf if warm is not None else None,

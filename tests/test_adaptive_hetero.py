@@ -100,3 +100,32 @@ def test_rescues_misscaled(plants):
         abs_pri_tol=0.02, abs_dua_tol=0.02, interpret=True,
     )
     assert not bool(jnp.all(fixed.stats[2:, 1] > 0.5))
+
+
+def test_newton_refresh_matches_fixed_point(plants):
+    """riccati="newton" (Newton-Kleinman warm refreshes — the round-4 fast
+    path, 5.8x the whole loop on chip, BASELINE.md) reproduces the
+    fixed-point refresh's adaptation outcome: same converged set, same rho
+    decisions at f32 cache-difference scale, iteration counts in the same
+    chunk rounds for nearly all instances."""
+    prob_b, A, Bm, Q, R, x0s = plants
+    rho0 = jnp.asarray([1.0, 1.0, 1e-3, 1e-3, 1e3, 1e3], jnp.float32)
+    settings = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                            check_termination=1)
+    kw = dict(chunk=25, max_rounds=40, interpret=True)
+    fp = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings, riccati="kernel", **kw)
+    nt = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings, riccati="newton", **kw)
+    np.testing.assert_array_equal(np.asarray(nt.solved),
+                                  np.asarray(fp.solved))
+    assert bool(jnp.all(nt.solved))
+    np.testing.assert_allclose(np.asarray(nt.rho), np.asarray(fp.rho),
+                               rtol=5e-2)
+    same_round = np.mean(
+        np.ceil(np.asarray(nt.total_iter) / 25)
+        == np.ceil(np.asarray(fp.total_iter) / 25))
+    assert same_round >= 0.8, (np.asarray(nt.total_iter),
+                               np.asarray(fp.total_iter))
+    np.testing.assert_allclose(np.asarray(nt.U), np.asarray(fp.U),
+                               rtol=0, atol=5e-2)

@@ -12,7 +12,9 @@ import pytest
 
 import accelerated_tinympc_tpu as atm
 from accelerated_tinympc_tpu.models import random_lti_problem
-from accelerated_tinympc_tpu.ops.riccati_kernel import riccati_cache_kernel
+from accelerated_tinympc_tpu.ops.riccati_kernel import (
+    riccati_cache_kernel, riccati_cache_newton,
+)
 from accelerated_tinympc_tpu.precompute import riccati_cache, riccati_cache_jax
 
 B, NX, NU, N = 12, 8, 3, 10
@@ -84,3 +86,65 @@ def test_cache_feeds_solver_to_parity(plants):
     u_k = solve_with(riccati_cache_kernel(A, Bm, Q, R, rho, interpret=True))
     u_j = solve_with(jax.jit(jax.vmap(riccati_cache_jax))(A, Bm, Q, R, rho))
     np.testing.assert_allclose(u_k, u_j, rtol=0, atol=1e-4)
+
+
+def test_newton_matches_fixed_point(plants):
+    """Newton-Kleinman warm solve (riccati_cache_newton — the adaptive-rho
+    refresh fast path, ~102x the fixed-point kernel's refresh cost on chip,
+    BASELINE.md) converges to the same DARE fixed point: warm gain from a
+    different rho, caches vs the tightly-converged fixed point at the
+    target rho within the f32 envelope."""
+    A, Bm, Q, R, rho, _, _ = plants
+    rng = np.random.default_rng(7)
+    jump = jnp.asarray(10.0 ** rng.uniform(-0.7, 0.7, B), jnp.float32)
+    rho_new = jnp.clip(rho * jump, 1e-2, 1e3)
+    warm = riccati_cache_kernel(A, Bm, Q, R, rho, interpret=True)
+    got = riccati_cache_newton(
+        A, Bm, Q, R, rho_new, warm.Kinf, interpret=True
+    )
+    truth = jax.jit(jax.vmap(
+        lambda a, b, q, r, p: riccati_cache_jax(
+            a, b, q, r, p, tol=1e-8, max_iters=5000)
+    ))(A, Bm, Q, R, rho_new)
+    # coeff_d2p is the reference's identically-zero quantity (admm.cpp:20
+    # drops it) — no meaningful scale of its own; skip it here.
+    for f in ("Kinf", "Pinf", "Quu_inv", "AmBKt"):
+        g = np.asarray(getattr(got, f))
+        w = np.asarray(getattr(truth, f))
+        rel = np.max(np.abs(g - w)) / (np.abs(w).max() + 1.0)
+        assert rel < 2e-3, (f, rel)
+    assert np.all(np.isfinite(np.asarray(got.Pinf)))
+
+
+def test_newton_partial_tile_converges():
+    """A batch that is not a lane multiple leaves padded lanes: they must
+    converge immediately (R padded with ones keeps the per-lane Cholesky
+    finite) rather than dragging the tile to the outer-iteration cap, and
+    real lanes must be unaffected."""
+    Bn = 5
+    As, Bs, Qs, Rs, rhos = [], [], [], [], []
+    for s in range(Bn):
+        p, rho = random_lti_problem(seed=100 + s, nx=NX, nu=NU, horizon=N)
+        As.append(np.asarray(p.A)); Bs.append(np.asarray(p.B))
+        Qs.append(np.asarray(p.Q)); Rs.append(np.asarray(p.R))
+        rhos.append(rho)
+    A = jnp.asarray(np.stack(As)); Bm = jnp.asarray(np.stack(Bs))
+    Q = jnp.asarray(np.stack(Qs)); R = jnp.asarray(np.stack(Rs))
+    rho = jnp.asarray(rhos, jnp.float32)
+    warm = riccati_cache_kernel(A, Bm, Q, R, rho, interpret=True)
+    got = riccati_cache_newton(
+        A, Bm, Q, R, rho * 3.0, warm.Kinf, interpret=True
+    )
+    full_warm = riccati_cache_kernel(
+        jnp.tile(A, (26, 1, 1))[:128], jnp.tile(Bm, (26, 1, 1))[:128],
+        jnp.tile(Q, (26, 1))[:128], jnp.tile(R, (26, 1))[:128],
+        jnp.tile(rho, 26)[:128], interpret=True,
+    )
+    full = riccati_cache_newton(
+        jnp.tile(A, (26, 1, 1))[:128], jnp.tile(Bm, (26, 1, 1))[:128],
+        jnp.tile(Q, (26, 1))[:128], jnp.tile(R, (26, 1))[:128],
+        jnp.tile(rho, 26)[:128] * 3.0, full_warm.Kinf, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.Kinf), np.asarray(full.Kinf)[:Bn], rtol=0, atol=1e-6
+    )

@@ -47,7 +47,7 @@ def main():
     n_plants = 32
     As, Bs = [], []
     for i in range(n_plants):
-        p, _ = random_lti_problem(nx, nu, 10, seed=i)
+        p, _ = random_lti_problem(i, nx, nu, 10)
         As.append(np.asarray(p.A))
         Bs.append(np.asarray(p.B))
     reps_t = -(-B // n_plants)

@@ -133,30 +133,35 @@ def main() -> None:
         solve_adaptive_rho_hetero,
     )
 
-    res = solve_adaptive_rho_hetero(
-        x0s, prob_b, A, Bm, Q, R, rho0, settings,
-        chunk=chunk, max_rounds=40, riccati="kernel",
-    )  # compile + warm
-    t = best_of(lambda: solve_adaptive_rho_hetero(
-        x0s, prob_b, A, Bm, Q, R, rho0, settings,
-        chunk=chunk, max_rounds=40, riccati="kernel",
-    ))
-    solved = float(np.asarray(res.solved).mean())
-    n_adapted = int((np.abs(np.log10(
-        np.asarray(res.rho) / np.asarray(rho0))) > 1e-6).sum())
-    print(f"{'hetero':12s}/{'kernel':6s}: {t * 1e3:8.2f} ms  "
-          f"({B / t:,.0f} adaptive solves/s)  solved {solved:.1%}  "
-          f"rounds {res.rounds}  adapted {n_adapted}/{B}  "
-          f"iters p50={np.median(np.asarray(res.total_iter)):.0f}")
+    hetero_res = {}
+    for ric in ("kernel", "newton"):
+        res = solve_adaptive_rho_hetero(
+            x0s, prob_b, A, Bm, Q, R, rho0, settings,
+            chunk=chunk, max_rounds=40, riccati=ric,
+        )  # compile + warm
+        t = best_of(lambda: solve_adaptive_rho_hetero(
+            x0s, prob_b, A, Bm, Q, R, rho0, settings,
+            chunk=chunk, max_rounds=40, riccati=ric,
+        ))
+        hetero_res[ric] = (t, res)
+        solved = float(np.asarray(res.solved).mean())
+        n_adapted = int((np.abs(np.log10(
+            np.asarray(res.rho) / np.asarray(rho0))) > 1e-6).sum())
+        print(f"{'hetero':12s}/{ric:6s}: {t * 1e3:8.2f} ms  "
+              f"({B / t:,.0f} adaptive solves/s)  solved {solved:.1%}  "
+              f"rounds {res.rounds}  adapted {n_adapted}/{B}  "
+              f"iters p50={np.median(np.asarray(res.total_iter)):.0f}")
     ew = results[("exact", "kernel")][1]
-    du = float(np.max(np.abs(
-        np.asarray(res.U).reshape(B, -1) - np.asarray(ew.state.U))))
-    same_rounds = float(np.mean(
-        np.ceil(np.asarray(res.total_iter) / chunk)
-        == np.ceil(np.asarray(ew.total_iter) / chunk)))
-    sp = results[("exact", "kernel")][0] / t
-    print(f"hetero vs einsum exact/kernel: speedup {sp:.2f}x  "
-          f"max|dU| {du:.2e}  same-round fraction {same_rounds:.1%}")
+    for ric in ("kernel", "newton"):
+        t, res = hetero_res[ric]
+        du = float(np.max(np.abs(
+            np.asarray(res.U).reshape(B, -1) - np.asarray(ew.state.U))))
+        same_rounds = float(np.mean(
+            np.ceil(np.asarray(res.total_iter) / chunk)
+            == np.ceil(np.asarray(ew.total_iter) / chunk)))
+        sp = results[("exact", "kernel")][0] / t
+        print(f"hetero/{ric} vs einsum exact/kernel: speedup {sp:.2f}x  "
+              f"max|dU| {du:.2e}  same-round fraction {same_rounds:.1%}")
 
 
 if __name__ == "__main__":
