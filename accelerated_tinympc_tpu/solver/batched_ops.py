@@ -385,7 +385,11 @@ def solve_adaptive_rho_batched(
 
     ``riccati`` selects the cache builder inside refreshes: ``"kernel"``
     (the batched Pallas fixed point, :mod:`..ops.riccati_kernel` — ~5-9x
-    the vmapped path, warm-startable), ``"vmap"``
+    the vmapped path, warm-startable), ``"newton"`` (fixed-point initial
+    build + Newton-Kleinman warm refreshes,
+    :func:`..ops.riccati_kernel.riccati_cache_newton` — ~102x the
+    fixed-point refresh on chip; converges to the true DARE fixed point
+    rather than the reference-truncated iterate), ``"vmap"``
     (:func:`..precompute.riccati_cache_jax`), or ``"auto"`` (kernel on TPU
     for nx <= 16, vmap otherwise).
     """
@@ -401,26 +405,34 @@ def solve_adaptive_rho_batched(
     Dx, Du = N * nx, (N - 1) * nu
     chunk_settings = settings.replace(max_iter=chunk)
     first_order = refresh == "first_order"
-    if riccati not in ("auto", "kernel", "vmap"):
+    if riccati not in ("auto", "kernel", "vmap", "newton"):
         raise ValueError(f"unknown riccati builder {riccati!r}")
-    use_kernel = riccati == "kernel" or (
+    use_kernel = riccati in ("kernel", "newton") or (
         riccati == "auto" and nx <= 16
         and jax.default_backend() == "tpu"
     )
 
     def build(rho, warm=None):
         if use_kernel:
-            from ..ops.riccati_kernel import riccati_cache_kernel
+            from ..ops.riccati_kernel import (
+                riccati_cache_kernel, riccati_cache_newton,
+            )
 
             Ab = jnp.broadcast_to(A, (batch, nx, nx))
             Bb = jnp.broadcast_to(B, (batch, nx, nu))
-            caches = riccati_cache_kernel(
-                Ab, Bb,
-                jnp.broadcast_to(Q, (batch, nx)),
-                jnp.broadcast_to(R, (batch, nu)), rho,
-                P0=warm.Pinf if warm is not None else None,
-                K0=warm.Kinf if warm is not None else None,
-            )
+            Qb = jnp.broadcast_to(Q, (batch, nx))
+            Rb = jnp.broadcast_to(R, (batch, nu))
+            if riccati == "newton" and warm is not None:
+                # Newton-Kleinman warm refresh (ops/riccati_kernel.py —
+                # ~102x the fixed-point refresh on chip, BASELINE.md).
+                caches = riccati_cache_newton(Ab, Bb, Qb, Rb, rho,
+                                              warm.Kinf)
+            else:
+                caches = riccati_cache_kernel(
+                    Ab, Bb, Qb, Rb, rho,
+                    P0=warm.Pinf if warm is not None else None,
+                    K0=warm.Kinf if warm is not None else None,
+                )
         elif warm is None:
             caches = jax.vmap(
                 lambda a, b, q, r, p: riccati_cache_jax(a, b, q, r, p)

@@ -479,6 +479,49 @@ def main() -> None:
         emit("riccati_vmapped_caches_per_sec", round(Br / best), "caches/s",
              batch=Br)
 
+    # --- per-instance adaptive rho, Newton refresh (round 4) ----------------
+    # The tpu_adaptive_bench hard workload (rho mis-scaled up to 3 decades,
+    # tight boxes, 100:0.1 Q:R skew) on the fused hetero round loop with
+    # Newton-Kleinman warm refreshes (riccati="auto" default on TPU).
+    if platform != "cpu":
+        from accelerated_tinympc_tpu.solver.adaptive_hetero import (
+            solve_adaptive_rho_hetero,
+        )
+
+        Ba, nxa, nua, Na = 16384, 8, 3, 10
+        aprobs = []
+        for s_ in range(16):
+            p, _ = random_lti_problem(
+                seed=s_, nx=nxa, nu=nua, horizon=Na,
+                bound=5.0, q_scale=100.0, r_scale=0.1,
+            )
+            aprobs.append(p.replace(
+                u_min=jnp.full_like(p.u_min, -0.3),
+                u_max=jnp.full_like(p.u_max, 0.3),
+            ))
+        repsa = Ba // 16
+        prob_a = jax.tree.map(
+            lambda *xs: jnp.tile(
+                jnp.stack(xs), (repsa,) + (1,) * xs[0].ndim
+            ),
+            *aprobs,
+        )
+        rho0a = jnp.asarray(10.0 ** rng.uniform(-2, 2, Ba), jnp.float32)
+        ax0 = jnp.asarray(rng.standard_normal((Ba, nxa)), jnp.float32)
+        aset = atm.Settings(abs_pri_tol=2e-3, abs_dua_tol=2e-3,
+                            check_termination=1)
+        fa = lambda: solve_adaptive_rho_hetero(
+            ax0, prob_a, prob_a.A, prob_a.B, prob_a.Q, prob_a.R, rho0a,
+            aset, chunk=25, max_rounds=40, riccati="newton",
+        )
+        resa = jax.block_until_ready(fa())
+        best, _ = best_time(lambda _x: fa().U, 0, reps=3)
+        emit("adaptive_rho_newton_solves_per_sec", round(Ba / best),
+             "solves/s", batch=Ba,
+             solved_pct=round(100 * float(np.asarray(resa.solved).mean()), 1),
+             iters_p50=int(np.median(np.asarray(resa.total_iter))),
+             refresh="newton-kleinman (riccati_cache_newton)")
+
 
 if __name__ == "__main__":
     main()
