@@ -478,10 +478,13 @@ class TinyMPCFleet:
         tier (:func:`..solver.batched_ops.solve_adaptive_rho_batched`);
         ``"hetero"`` on the fused single-dispatch hetero-kernel loop
         (:func:`..solver.adaptive_hetero.solve_adaptive_rho_hetero` —
-        2.2-7.3x faster at matched batch on chip, BASELINE.md; identical
-        adaptation decisions, hetero-tier cone operands). ``"auto"`` picks
-        hetero on TPU for the hetero tier (per-instance ``cone_args``
-        overrides are einsum-only), einsum otherwise."""
+        with its default
+        Newton-Kleinman warm refreshes, 70x the einsum tier at B=16k on
+        chip, BASELINE.md; same adaptation decisions at 99.5% same-round
+        agreement, hetero-tier cone operands; pass ``riccati="kernel"``
+        for the pure fixed-point refresh). ``"auto"`` picks hetero on TPU
+        for the hetero tier (per-instance ``cone_args`` overrides are
+        einsum-only), einsum otherwise."""
         if self._x0 is None:
             raise RuntimeError("call set_x0 first")
         nx, nu, N = self.dims

@@ -162,6 +162,7 @@ def solve_adaptive_rho_hetero(
 
     def body(st):
         (rnd, hp, carry, caches, rho, prev_max, solved_in, iters, acc) = st
+        prev = carry
         res = run_chunk(carry, hp)
         stats = res.stats
         solved_now = stats[:, 1] > 0.5
@@ -169,16 +170,18 @@ def solve_adaptive_rho_hetero(
         dua = jnp.maximum(stats[:, 3], stats[:, 5])
 
         # Instances solved in an earlier round stay frozen verbatim (the
-        # kernel re-solves them from the warm carry; discard that).
+        # kernel re-solves them from the warm carry; discard that — the
+        # previous round's merged carry IS the frozen state, so no separate
+        # accumulator copy of the dual/slack fields is carried).
         sin = solved_in.astype(jnp.float32)
         mu_u = pick_rows(sin, m * SU)
         mu_x = pick_rows(sin, N * SX)
         carry = res.carry.replace(
-            d=sel(mu_u, acc["d"], res.carry.d),
-            y=sel(mu_u, acc["y"], res.carry.y),
-            g=sel(mu_x, acc["g"], res.carry.g),
-            z=sel(mu_u, acc["z"], res.carry.z),
-            v=sel(mu_x, acc["v"], res.carry.v),
+            d=sel(mu_u, prev.d, res.carry.d),
+            y=sel(mu_u, prev.y, res.carry.y),
+            g=sel(mu_x, prev.g, res.carry.g),
+            z=sel(mu_u, prev.z, res.carry.z),
+            v=sel(mu_x, prev.v, res.carry.v),
         )
         U = jnp.where(solved_in[:, None, None], acc["U"], res.U)
         X = jnp.where(solved_in[:, None, None], acc["X"], res.X)
@@ -210,8 +213,14 @@ def solve_adaptive_rho_hetero(
             g=carry.g * pick_rows(scale, N * SX),
         )
 
-        # Warm cache refresh + cache-only repack, skipped bit-stably when no
-        # instance's rho changed this round.
+        # Warm cache refresh + cache-only repack. The per-instance `kept`
+        # mask keeps unchanged instances' cache bits verbatim, so a round
+        # where nothing changed leaves every operand bit identical whether
+        # or not the refresh runs (repack is deterministic). With the
+        # Newton refresh the any-changed lax.cond gate is therefore pure
+        # overhead (it forces per-round copies of the full HeteroProblem
+        # operand tree) and is dropped; the expensive fixed-point/vmap
+        # refresh modes keep it.
         def refresh():
             new_caches = build_caches(new_rho, warm=caches)
             kept = jax.tree.map(
@@ -222,13 +231,13 @@ def solve_adaptive_rho_hetero(
             )
             return repack_hetero_caches(hp, kept, prob_b.Xref), kept
 
-        hp2, caches2 = jax.lax.cond(
-            jnp.any(changed), refresh, lambda: (hp, caches)
-        )
-        acc = {
-            "d": carry.d, "y": carry.y, "g": carry.g, "z": carry.z,
-            "v": carry.v, "U": U, "X": X, "pri": r_pri, "dua": r_dua,
-        }
+        if use_kernel and riccati in ("newton", "auto"):
+            hp2, caches2 = refresh()
+        else:
+            hp2, caches2 = jax.lax.cond(
+                jnp.any(changed), refresh, lambda: (hp, caches)
+            )
+        acc = {"U": U, "X": X, "pri": r_pri, "dua": r_dua}
         return (rnd + 1, hp2, carry, caches2, new_rho, prev_max, solved,
                 iters, acc)
 
@@ -239,13 +248,11 @@ def solve_adaptive_rho_hetero(
     carry0 = HeteroCarry.zeros(hp0)
     zb = jnp.zeros((batch,), jnp.float32)
     acc0 = {
-        "d": carry0.d, "y": carry0.y, "g": carry0.g, "z": carry0.z,
-        "v": carry0.v,
         "U": jnp.zeros((batch, m, nu), jnp.float32),
         "X": jnp.zeros((batch, N, nx), jnp.float32),
         "pri": zb, "dua": zb,
     }
-    (rounds, _hp, _carry, caches, rho, _pm, solved, iters, acc) = (
+    (rounds, _hp, fcarry, caches, rho, _pm, solved, iters, acc) = (
         jax.lax.while_loop(
             cond, body,
             (jnp.zeros((), jnp.int32), hp0, carry0, caches0, rho0,
@@ -259,6 +266,6 @@ def solve_adaptive_rho_hetero(
     return AdaptiveHeteroResult(
         U=acc["U"], X=acc["X"], rho=rho, cache=caches, solved=solved,
         total_iter=iters, rounds=rounds,
-        carry=_HC(d=acc["d"], y=acc["y"], g=acc["g"], z=acc["z"],
-                  v=acc["v"]),
+        carry=_HC(d=fcarry.d, y=fcarry.y, g=fcarry.g, z=fcarry.z,
+                  v=fcarry.v),
     )
