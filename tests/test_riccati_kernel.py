@@ -116,6 +116,36 @@ def test_newton_matches_fixed_point(plants):
     assert np.all(np.isfinite(np.asarray(got.Pinf)))
 
 
+@pytest.mark.parametrize("nx,nu", [(4, 1), (12, 4), (16, 5)])
+def test_newton_shape_fuzz(nx, nu):
+    """Newton kernel across packing shapes (odd/boundary dims): caches must
+    agree with the warm fixed point at the same rho within the f32
+    envelope."""
+    Bn = 8
+    As, Bs, Qs, Rs, rhos = [], [], [], [], []
+    for s in range(Bn):
+        p, rho = random_lti_problem(seed=200 + s, nx=nx, nu=nu, horizon=8)
+        As.append(np.asarray(p.A)); Bs.append(np.asarray(p.B))
+        Qs.append(np.asarray(p.Q)); Rs.append(np.asarray(p.R))
+        rhos.append(rho)
+    A = jnp.asarray(np.stack(As)); Bm = jnp.asarray(np.stack(Bs))
+    Q = jnp.asarray(np.stack(Qs)); R = jnp.asarray(np.stack(Rs))
+    rho = jnp.asarray(rhos, jnp.float32)
+    warm = riccati_cache_kernel(A, Bm, Q, R, rho, interpret=True)
+    got = riccati_cache_newton(
+        A, Bm, Q, R, rho * 2.0, warm.Kinf, interpret=True
+    )
+    truth = jax.jit(jax.vmap(
+        lambda a, b, q, r, p_: riccati_cache_jax(
+            a, b, q, r, p_, tol=1e-8, max_iters=5000)
+    ))(A, Bm, Q, R, rho * 2.0)
+    for f in ("Kinf", "Pinf", "Quu_inv", "AmBKt"):
+        g = np.asarray(getattr(got, f))
+        w = np.asarray(getattr(truth, f))
+        rel = np.max(np.abs(g - w)) / (np.abs(w).max() + 1.0)
+        assert rel < 2e-3, (f, rel)
+
+
 def test_newton_partial_tile_converges():
     """A batch that is not a lane multiple leaves padded lanes: they must
     converge immediately (R padded with ones keeps the per-lane Cholesky
