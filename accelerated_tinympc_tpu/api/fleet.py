@@ -311,6 +311,91 @@ class TinyMPCFleet:
         self._build()
         self._carry = carry
 
+    def set_plants(self, A=None, B=None, Q=None, R=None, *,
+                   refresh: str = "newton", polish: bool = False) -> None:
+        """Online model update: replace per-instance dynamics and/or cost
+        diagonals and refresh every Riccati cache on device — the
+        system-identification / slowly-drifting-plant serving loop (no
+        reference analogue: the reference bakes one plant at codegen time,
+        codegen.cpp:245-292).
+
+        ``refresh="newton"`` warm-starts Newton-Kleinman from the current
+        gains (:func:`..ops.riccati_kernel.riccati_cache_newton`, ~102x a
+        fixed-point refresh on chip). Newton requires the updated plant to
+        still be stabilized by the old gain; instances where the drift
+        broke that (the Stein sum diverges to non-finite values — detected
+        per instance) fall back automatically to the warm fixed point, so
+        any drift size is safe and only the speed degrades. ``"kernel"``
+        always uses the warm fixed point. ``polish=True`` adds the f64
+        refinement (setup-grade precision). Carries are reset: duals/slacks
+        against the old model are not warm starts for the new one."""
+        upd = {}
+        if A is not None:
+            upd["A"] = jnp.asarray(A, jnp.float32)
+        if B is not None:
+            upd["B"] = jnp.asarray(B, jnp.float32)
+        if Q is not None:
+            upd["Q"] = jnp.asarray(Q, jnp.float32)
+        if R is not None:
+            upd["R"] = jnp.asarray(R, jnp.float32)
+        if not upd:
+            return
+        self.problem = self.problem.replace(**upd)
+        nx = self.problem.A.shape[-1]
+        rho_b = jnp.asarray(self.cache.rho, jnp.float32).reshape(-1)
+        if refresh == "newton" and nx <= 16:
+            from ..ops.riccati_kernel import (
+                riccati_cache_kernel, riccati_cache_newton,
+            )
+
+            cache = riccati_cache_newton(
+                self.problem.A, self.problem.B, self.problem.Q,
+                self.problem.R, rho_b, self.cache.Kinf,
+                interpret=self.interpret,
+            )
+            bad = ~jnp.isfinite(cache.Kinf).all(axis=(1, 2))
+            if bool(bad.any()):
+                # Drift destabilized these instances' old gains — Newton's
+                # Stein sum diverged. Rebuild via the warm fixed point
+                # (value iteration converges for any stabilizable plant)
+                # and keep Newton's result where it is finite.
+                fb = riccati_cache_kernel(
+                    self.problem.A, self.problem.B, self.problem.Q,
+                    self.problem.R, rho_b, P0=self.cache.Pinf,
+                    K0=self.cache.Kinf, interpret=self.interpret,
+                )
+                cache = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        bad.reshape((-1,) + (1,) * (n.ndim - 1)), o, n
+                    ),
+                    cache, fb,
+                )
+        elif nx <= 16:
+            from ..ops.riccati_kernel import riccati_cache_kernel
+
+            cache = riccati_cache_kernel(
+                self.problem.A, self.problem.B, self.problem.Q,
+                self.problem.R, rho_b, P0=self.cache.Pinf,
+                K0=self.cache.Kinf, interpret=self.interpret,
+            )
+        else:
+            from ..precompute import riccati_cache_jax
+
+            cache = jax.jit(jax.vmap(
+                lambda a, b, q, r, p, P0, K0: riccati_cache_jax(
+                    a, b, q, r, p, P0=P0, K0=K0)
+            ))(self.problem.A, self.problem.B, self.problem.Q,
+               self.problem.R, rho_b, self.cache.Pinf, self.cache.Kinf)
+        if polish:
+            from ..precompute import riccati_polish_f64
+
+            cache = riccati_polish_f64(
+                cache, self.problem.A, self.problem.B, self.problem.Q,
+                self.problem.R, rho_b,
+            )
+        self.cache = cache
+        self._build()
+
     def set_xref(self, Xref) -> None:
         """Per-instance reference trajectories ``(B, N, nx)`` (or a shared
         ``(N, nx)`` broadcast) — the reference FFI's ``set_xref``

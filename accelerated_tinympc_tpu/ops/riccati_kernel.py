@@ -515,7 +515,14 @@ def riccati_cache_newton(
 
     Same arguments/layout as :func:`riccati_cache_kernel` plus a **required**
     stabilizing warm gain ``K0 (B, nu, nx)`` (any previously converged Kinf
-    works at *any* rho: the closed loop A - B K0 does not depend on rho).
+    works at *any* rho: the closed loop A - B K0 does not depend on rho —
+    so rho-only refreshes are unconditionally safe). If ``K0`` does NOT
+    stabilize the given plant (possible when the *plant* changed, e.g.
+    online model drift past the old gain's stability margin), the Stein sum
+    diverges and that instance's outputs come back non-finite — detectable
+    per instance; callers that accept arbitrary plant updates must fall
+    back to the fixed-point kernel for those lanes (see
+    ``TinyMPCFleet.set_plants``).
     Quadratic outer convergence makes a rho refresh ~2-4 outer steps instead
     of the fixed-point kernel's hundreds (measured decomposition in
     BASELINE.md) — each outer solves the Stein equation exactly by

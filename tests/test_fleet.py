@@ -418,3 +418,42 @@ def test_fleet_hstream_tier():
     f.set_x0(x0s)
     out = f.solve()
     assert out["converged_fraction"] > 0
+
+
+def test_fleet_set_plants_online_refresh(plants):
+    """set_plants: online model drift + Newton cache refresh at kernel
+    speed. Drifted caches must match a cold setup of the drifted plants
+    (f32 envelope), and the subsequent solve must equal the cold fleet's
+    solve exactly when caches agree to the bit — here checked at control
+    tolerance."""
+    from accelerated_tinympc_tpu.api.fleet import TinyMPCFleet
+
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=25, check_termination=0)
+    fleet = TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+        polish=False,
+        u_min=np.full((B, NU), -2.0), u_max=np.full((B, NU), 2.0),
+    )
+    rng = np.random.default_rng(11)
+    A2 = A + 0.01 * rng.standard_normal(A.shape).astype(np.float32)
+    B2 = Bm + 0.01 * rng.standard_normal(Bm.shape).astype(np.float32)
+    fleet.set_plants(A=A2, B=B2, refresh="newton")
+    cold = TinyMPCFleet.setup(
+        A2, B2, Q, R, rho=1.0, horizon=N, settings=sets, interpret=True,
+        polish=False,
+        u_min=np.full((B, NU), -2.0), u_max=np.full((B, NU), 2.0),
+    )
+    for f in ("Kinf", "Pinf", "Quu_inv", "AmBKt"):
+        g = np.asarray(getattr(fleet.cache, f))
+        w = np.asarray(getattr(cold.cache, f))
+        rel = np.max(np.abs(g - w)) / (np.abs(w).max() + 1.0)
+        assert rel < 2e-3, (f, rel)
+    fleet.set_x0(x0s)
+    cold.set_x0(x0s)
+    fleet.solve()
+    cold.solve()
+    np.testing.assert_allclose(
+        np.asarray(fleet.get_u()), np.asarray(cold.get_u()),
+        rtol=0, atol=1e-3,
+    )
