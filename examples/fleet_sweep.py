@@ -14,8 +14,14 @@ limit mu, and half the fleet has its thrust axis on a different input
 coordinate (per-instance ball/axis masks — heterogeneous constraint
 structure, not just parameters).
 
+``--drift 0.003`` additionally drifts every plant a little each tick and
+refreshes all caches online through ``TinyMPCFleet.set_plants`` (the
+Newton-Kleinman kernel warm from the current gains; destabilized
+instances fall back to the warm fixed point per lane) — the
+system-identification serving loop.
+
 Run: python examples/fleet_sweep.py [--fleet 512] [--ticks 5]
-     [--compaction 25] [--cones] [--interpret]
+     [--compaction 25] [--cones] [--drift 0.003] [--interpret]
 """
 
 import argparse
@@ -42,6 +48,9 @@ def main() -> None:
                     help="cascade segment length (0 = one adaptive call)")
     ap.add_argument("--cones", action="store_true",
                     help="per-instance thrust-cone geometry (mu + axis)")
+    ap.add_argument("--drift", type=float, default=0.0,
+                    help="per-tick random plant drift scale (online model "
+                         "updates via set_plants + Newton cache refresh)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (env JAX_PLATFORMS is "
@@ -96,7 +105,22 @@ def main() -> None:
     x = rng.standard_normal((B, nx)).astype(np.float32) * 0.5
     norm0 = np.linalg.norm(x, axis=1).mean()
 
+    drift_rng = np.random.default_rng(7)
     for t in range(args.ticks):
+        if args.drift and t > 0:
+            # Online model drift: every plant wanders a little each tick
+            # (the system-identification serving loop). set_plants
+            # refreshes all caches with the Newton-Kleinman kernel warm
+            # from the current gains; instances whose drift destabilized
+            # an old gain fall back to the warm fixed point automatically.
+            A = (A + args.drift
+                 * drift_rng.standard_normal(A.shape).astype(np.float32))
+            Bm = (Bm + args.drift
+                  * drift_rng.standard_normal(Bm.shape).astype(np.float32))
+            td = time.perf_counter()
+            fleet.set_plants(A=A, B=Bm, refresh="newton")
+            print(f"   drift: caches refreshed in "
+                  f"{(time.perf_counter() - td) * 1e3:.1f} ms")
         fleet.set_x0(x)
         t0 = time.perf_counter()
         info = fleet.solve()
@@ -112,8 +136,12 @@ def main() -> None:
 
     # Random near-marginally-stable plants under tight input boxes decay
     # a few percent per tick — check sustained regulation, not touchdown.
-    ok = np.linalg.norm(x, axis=1).mean() < 0.8 * norm0
-    print("FLEET REGULATED" if ok else "CHECK FAILED")
+    # Under --drift the plants keep changing underfoot; the controller's
+    # job is then containment (bounded states with refreshed gains).
+    final = np.linalg.norm(x, axis=1).mean()
+    ok = final < (1.5 * norm0 if args.drift else 0.8 * norm0)
+    print(("FLEET CONTAINED" if args.drift else "FLEET REGULATED")
+          if ok else "CHECK FAILED")
 
 
 if __name__ == "__main__":
