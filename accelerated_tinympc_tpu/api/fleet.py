@@ -14,7 +14,7 @@ surface as :class:`.solver.TinyMPC`:
   fully on-device batched adaptive-rho loop (:meth:`solve_adaptive_rho`).
 
 Caches are built **on device** — by the batched Pallas Riccati kernel
-(:func:`..ops.riccati_kernel.riccati_cache_kernel`, ~9x the vmapped XLA
+(:func:`..ops.riccati_kernel.riccati_cache_kernel`, 16.6x the vmapped XLA
 builder at the flagship shape) for ``nx <= 16``, the vmapped
 :func:`..precompute.riccati_cache_jax` otherwise; pass
 ``host_precompute=True`` for the reference's float64 host path on

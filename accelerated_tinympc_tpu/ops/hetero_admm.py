@@ -445,7 +445,7 @@ def pad_hetero_from_plants(
     ``problem`` supplies batch-leading bounds/Xref. Jittable.
 
     ``riccati``: ``"kernel"`` (batched Pallas fixed point,
-    :mod:`.riccati_kernel` — ~9x the vmapped builder), ``"vmap"``, or
+    :mod:`.riccati_kernel` — 16.6x the vmapped builder, slope-timed), ``"vmap"``, or
     ``"auto"`` (kernel on TPU for nx <= 16)."""
     nx, nu = A.shape[-1], B.shape[-1]
     use_kernel = riccati == "kernel" or (
