@@ -320,15 +320,22 @@ class TinyMPCFleet:
         codegen.cpp:245-292).
 
         ``refresh="newton"`` warm-starts Newton-Kleinman from the current
-        gains (:func:`..ops.riccati_kernel.riccati_cache_newton`, ~102x a
+        gains (:func:`..ops.riccati_kernel.riccati_cache_newton` on the
+        Pallas path for nx<=16, vmapped
+        :func:`..precompute.riccati_newton_jax` above that; ~102x a
         fixed-point refresh on chip). Newton requires the updated plant to
         still be stabilized by the old gain; instances where the drift
         broke that (the Stein sum diverges to non-finite values — detected
-        per instance) fall back automatically to the warm fixed point, so
-        any drift size is safe and only the speed degrades. ``"kernel"``
-        always uses the warm fixed point. ``polish=True`` adds the f64
-        refinement (setup-grade precision). Carries are reset: duals/slacks
-        against the old model are not warm starts for the new one."""
+        per instance over every cache field) fall back automatically to
+        the warm fixed point, so any drift size is safe and only the speed
+        degrades. ``"kernel"`` always uses the warm fixed point.
+        ``polish=True`` adds the f64 refinement (setup-grade precision).
+        Carries are reset: duals/slacks against the old model are not warm
+        starts for the new one."""
+        if refresh not in ("newton", "kernel"):
+            raise ValueError(
+                f"refresh must be 'newton' or 'kernel', got {refresh!r}"
+            )
         upd = {}
         if A is not None:
             upd["A"] = jnp.asarray(A, jnp.float32)
@@ -343,49 +350,60 @@ class TinyMPCFleet:
         self.problem = self.problem.replace(**upd)
         nx = self.problem.A.shape[-1]
         rho_b = jnp.asarray(self.cache.rho, jnp.float32).reshape(-1)
-        if refresh == "newton" and nx <= 16:
-            from ..ops.riccati_kernel import (
-                riccati_cache_kernel, riccati_cache_newton,
-            )
+        def fixed_point_cache():
+            if nx <= 16:
+                from ..ops.riccati_kernel import riccati_cache_kernel
 
-            cache = riccati_cache_newton(
-                self.problem.A, self.problem.B, self.problem.Q,
-                self.problem.R, rho_b, self.cache.Kinf,
-                interpret=self.interpret,
-            )
-            bad = ~jnp.isfinite(cache.Kinf).all(axis=(1, 2))
-            if bool(bad.any()):
-                # Drift destabilized these instances' old gains — Newton's
-                # Stein sum diverged. Rebuild via the warm fixed point
-                # (value iteration converges for any stabilizable plant)
-                # and keep Newton's result where it is finite.
-                fb = riccati_cache_kernel(
+                return riccati_cache_kernel(
                     self.problem.A, self.problem.B, self.problem.Q,
                     self.problem.R, rho_b, P0=self.cache.Pinf,
                     K0=self.cache.Kinf, interpret=self.interpret,
                 )
+            from ..precompute import riccati_cache_jax
+
+            return jax.jit(jax.vmap(
+                lambda a, b, q, r, p, P0, K0: riccati_cache_jax(
+                    a, b, q, r, p, P0=P0, K0=K0)
+            ))(self.problem.A, self.problem.B, self.problem.Q,
+               self.problem.R, rho_b, self.cache.Pinf, self.cache.Kinf)
+
+        if refresh == "newton":
+            if nx <= 16:
+                from ..ops.riccati_kernel import riccati_cache_newton
+
+                cache = riccati_cache_newton(
+                    self.problem.A, self.problem.B, self.problem.Q,
+                    self.problem.R, rho_b, self.cache.Kinf,
+                    interpret=self.interpret,
+                )
+            else:
+                from ..precompute import riccati_newton_jax
+
+                cache = jax.jit(jax.vmap(
+                    lambda a, b, q, r, p, K0: riccati_newton_jax(
+                        a, b, q, r, p, K0, tol=1e-6)
+                ))(self.problem.A, self.problem.B, self.problem.Q,
+                   self.problem.R, rho_b, self.cache.Kinf)
+            # Non-finite in ANY cache field means drift destabilized that
+            # instance's old gain (Newton's Stein sum diverged) — or the
+            # overflow was confined to a derived term like the Quu solve.
+            # Either way, rebuild via the warm fixed point (value iteration
+            # converges for any stabilizable plant) and keep Newton's
+            # result only where every field is finite.
+            bad = ~jnp.stack([
+                jnp.isfinite(leaf.reshape(leaf.shape[0], -1)).all(axis=1)
+                for leaf in jax.tree.leaves(cache)
+            ]).all(axis=0)
+            if bool(bad.any()):
+                fb = fixed_point_cache()
                 cache = jax.tree.map(
                     lambda n, o: jnp.where(
                         bad.reshape((-1,) + (1,) * (n.ndim - 1)), o, n
                     ),
                     cache, fb,
                 )
-        elif nx <= 16:
-            from ..ops.riccati_kernel import riccati_cache_kernel
-
-            cache = riccati_cache_kernel(
-                self.problem.A, self.problem.B, self.problem.Q,
-                self.problem.R, rho_b, P0=self.cache.Pinf,
-                K0=self.cache.Kinf, interpret=self.interpret,
-            )
         else:
-            from ..precompute import riccati_cache_jax
-
-            cache = jax.jit(jax.vmap(
-                lambda a, b, q, r, p, P0, K0: riccati_cache_jax(
-                    a, b, q, r, p, P0=P0, K0=K0)
-            ))(self.problem.A, self.problem.B, self.problem.Q,
-               self.problem.R, rho_b, self.cache.Pinf, self.cache.Kinf)
+            cache = fixed_point_cache()
         if polish:
             from ..precompute import riccati_polish_f64
 

@@ -367,7 +367,10 @@ def riccati_polish_f64(
                 f64(Ab), f64(Bb), f64(Qb), f64(Rb), f64(rb), f64(K0b),
                 tol=tol,
             )
-            bad = ~jnp.isfinite(out.Kinf).all(axis=(1, 2))
+            bad = ~jnp.stack([
+                jnp.isfinite(lf.reshape(lf.shape[0], -1)).all(axis=1)
+                for lf in jax.tree.leaves(out)
+            ]).all(axis=0)
             if bool(bad.any()):
                 fb = _riccati_polish_jit(
                     f64(Ab), f64(Bb), f64(Qb), f64(Rb), f64(rb),
