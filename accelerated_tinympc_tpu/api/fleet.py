@@ -573,7 +573,8 @@ class TinyMPCFleet:
             raise RuntimeError("no solve yet")
         return self._last[1]
 
-    def solve_adaptive_rho(self, engine: str = "auto", **kw) -> dict[str, Any]:
+    def solve_adaptive_rho(self, engine: str = "auto", mesh=None,
+                           **kw) -> dict[str, Any]:
         """Per-instance on-device rho adaptation; adopts the adapted caches
         for subsequent solves.
 
@@ -587,15 +588,65 @@ class TinyMPCFleet:
         agreement, hetero-tier cone operands; pass ``riccati="kernel"``
         for the pure fixed-point refresh). ``"auto"`` picks hetero on TPU
         for the hetero tier (per-instance ``cone_args`` overrides are
-        einsum-only), einsum otherwise."""
+        einsum-only), einsum otherwise.
+
+        ``mesh`` (a :func:`..parallel.make_batch_mesh` mesh) shards the
+        fused hetero loop over devices
+        (:func:`..parallel.sharded_adaptive_hetero`: shard-local rho and
+        while_loop, communication-free adaptation; batch divisible by the
+        mesh size — per-instance cone params/masks are single-device
+        only)."""
         if self._x0 is None:
             raise RuntimeError("call set_x0 first")
         nx, nu, N = self.dims
-        use_hetero = engine == "hetero" or (
+        use_hetero = mesh is not None or engine == "hetero" or (
             engine == "auto" and self.tier == "hetero"
             and self.cone_args is None
             and jax.default_backend() == "tpu"
         )
+        if mesh is not None:
+            if self.cone_params is not None or self.cone_masks is not None:
+                raise ValueError(
+                    "per-instance cone params/masks are single-device only "
+                    "(lane packing is shard-local); drop mesh= or the "
+                    "per-instance cone overrides"
+                )
+            from ..parallel.mesh import (
+                shard_batch, sharded_adaptive_hetero,
+            )
+
+            solve = sharded_adaptive_hetero(
+                mesh, self.settings, cones=self.cones,
+                interpret=self.interpret, **kw,
+            )
+            rho0 = jnp.broadcast_to(
+                jnp.asarray(self.cache.rho, jnp.float32).reshape(-1),
+                (self.batch,),
+            )
+            res, stats = solve(
+                shard_batch(self._x0, mesh),
+                shard_batch(self.problem, mesh),
+                shard_batch(self.problem.A, mesh),
+                shard_batch(self.problem.B, mesh),
+                shard_batch(self.problem.Q, mesh),
+                shard_batch(self.problem.R, mesh),
+                shard_batch(rho0, mesh),
+            )
+            # Adopt as unsharded arrays: the fleet's repack (_build) uses
+            # scatter-style lane packing whose output sharding cannot be
+            # inferred from batch-sharded operands.
+            self.cache = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a)), res["cache"]
+            )
+            self._build()
+            self._last = (jnp.asarray(np.asarray(res["U"])),
+                          jnp.asarray(np.asarray(res["X"])))
+            return {
+                "rho": np.asarray(res["rho"]),
+                "iterations": np.asarray(res["total_iter"], np.int64),
+                "solved": np.asarray(res["solved"]),
+                "rounds": int(stats["rounds_max"]),
+            }
         if use_hetero:
             from ..solver.adaptive_hetero import solve_adaptive_rho_hetero
 

@@ -186,10 +186,6 @@ def fused_mpc_rollout(
         # Route through the in-kernel mission (ops/fused_rollout.py): the
         # whole tick loop in one Pallas launch. Same per-tick semantics;
         # returns match this function's (x_final, us, carry) contract.
-        if cone_ops is not None:
-            raise ValueError(
-                "in_kernel=True does not support cone_ops; use the "
-                "scan-of-kernels form (in_kernel=False)")
         from ..ops.fused_rollout import (
             fused_rollout, rollout_const_seq, rollout_ops,
         )
@@ -204,6 +200,7 @@ def fused_mpc_rollout(
             abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             batch_tile=batch_tile, interpret=interpret,
             const_seq=const_seq, algo=algo, polish=polish,
+            cone_ops=cone_ops,
         )
         return res.x_final, res.us, res.final.carry
 

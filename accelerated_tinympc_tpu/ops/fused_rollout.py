@@ -35,8 +35,10 @@ changed, so per-tile operands and initial carries are fetched once per tile
 while the tick dimension streams trace blocks out and (in tracking mode)
 ``const_d`` rows in.
 
-SOC cones are not supported in-kernel here (use the scan-of-kernels rollout
-with ``cone_ops``).
+SOC cones (``cone_ops`` from :func:`.fused_admm.pad_cones`) run inside the
+tick core exactly as in the one-solve kernel (:func:`.fused_admm._cone_apply`
+after the box clip each iteration) — coned missions (powered descent,
+examples/soc_landing.py --mission) keep the one-launch warm-tick advantage.
 """
 
 from __future__ import annotations
@@ -56,9 +58,11 @@ from .fused_admm import (
     LANES,
     STATS,
     FusedCarry,
+    FusedConeOps,
     FusedResult,
     PaddedProblem,
     _adaptive_core,
+    _cone_fns,
     _fixed_core,
     _iteration,
     _lane_onehot,
@@ -124,12 +128,10 @@ def _kernel_rollout(
     const_ref, u_min_ref, u_max_ref, x_min_ref, x_max_ref, seg_ref,
     w_fx_ref, w_fd_ref, w_gx_ref, w_gd_ref, w_q_ref, w_r_ref,
     w_A_ref, w_B0_ref, w_sel_ref,
-    trace_out, xf_out,
-    U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
-    x0_s, D_s, Z_s, V_s,
-    *,
+    *rest,
     ticks: int, max_iter: int, check_every: int, warmup: int,
     g: int, nu: int, interpret: bool, algo: str, polish: int,
+    nc_u: int = 0, nc_x: int = 0,
     _ablate: tuple = (),
 ):
     """One tick of the in-kernel rollout (grid dim 1 = tick index)."""
@@ -139,6 +141,11 @@ def _kernel_rollout(
     )
     Dug = D0_ref.shape[-1]
     Dxp = V0_ref.shape[-1] // g
+    cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp)
+    (trace_out, xf_out,
+     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
+     x0_s, D_s, Z_s, V_s) = outs
+    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
 
     @pl.when(t == 0)
     def _init():
@@ -177,13 +184,13 @@ def _kernel_rollout(
 
     if check_every > 0:
         U, X, D, Y, G, Z, V, itf, done, r0, r1, r2, r3 = _adaptive_core(
-            _iteration, W3, Wf, carry0, consts, rho,
+            iterate, W3, Wf, carry0, consts, rho,
             tol_ref[0, 0], tol_ref[0, 1], segt, g,
             max_iter=max_iter, check_every=check_every, warmup=warmup,
         )
     else:
         Dn, Yn, Gn, Znew, Vnew, U, X, Zp_, Vp_ = _fixed_core(
-            _iteration, W3, Wf, carry0, consts, max_iter, algo, polish
+            iterate, W3, Wf, carry0, consts, max_iter, algo, polish
         )
         D, Y, G, Z, V = Dn, Yn, Gn, Znew, Vnew
         if "no_stats" in _ablate:
@@ -267,6 +274,7 @@ def fused_rollout(
     const_seq: jax.Array | None = None,
     algo: str = "f32",
     polish: int = 8,
+    cone_ops: FusedConeOps | None = None,
     _ablate: tuple = (),
 ) -> RolloutResult:
     """Run ``n_ticks`` receding-horizon MPC ticks in one kernel launch.
@@ -276,7 +284,10 @@ def fused_rollout(
     uses the problem's baked constant (hovering). ``check_termination > 0``
     runs each tick's solve in the adaptive freezing core at the given
     tolerances (the warm-tick fast path); 0 = fixed ``max_iter`` iterations
-    per tick. Semantics per tick match
+    per tick. ``cone_ops`` (:func:`.fused_admm.pad_cones`) appends exact
+    second-order-cone projections to every tick's slack stage — identical
+    composition to :func:`.fused_admm.fused_solve` (coned powered-descent
+    missions in one launch). Semantics per tick match
     :func:`..api.mpc.fused_mpc_rollout` exactly (which is the
     scan-of-kernels implementation of the same loop).
     """
@@ -313,11 +324,21 @@ def fused_rollout(
         const_d = const_seq
         tracking = True
 
+    nc_u = cone_ops.nc_u if cone_ops is not None else 0
+    nc_x = cone_ops.nc_x if cone_ops is not None else 0
+    cone_args: tuple = ()
+    if nc_u:
+        cone_args += (cone_ops.cu_gather, cone_ops.cu_scatter,
+                      cone_ops.cu_vec)
+    if nc_x:
+        cone_args += (cone_ops.cx_gather, cone_ops.cx_scatter,
+                      cone_ops.cx_vec)
+
     # Tile sizing: the one-solve kernel's footprint plus the persistent
     # scratch (x0, D, Z, V) and the double-buffered trace block.
     w_args = (pp.W_fx, pp.W_fd, pp.W_gx, pp.W_gd, pp.W_q, pp.W_r,
               rops.W_A, rops.W_B0, rops.W_sel)
-    w_bytes = sum(int(np.prod(w.shape)) * 4 for w in w_args)
+    w_bytes = sum(int(np.prod(w.shape)) * 4 for w in w_args + cone_args)
     per_row = 4 * (
         2 * (nxg + 3 * Dug + 2 * gDxp)
         + 2 * (4 * Dug + 3 * gDxp + g * STATS + nxg + LANES)
@@ -326,6 +347,10 @@ def fused_rollout(
     )
     if check_termination > 0:
         per_row += 4 * (6 * g * LANES + 5 * Dug + 5 * gDxp)
+    # Cone projection temporaries (same accounting as fused_solve — the
+    # adaptive+state-cone configuration OOMs VMEM at the default tile
+    # without this term).
+    per_row += 4 * 10 * (nc_u * Dug + nc_x * gDxp)
     budget = 12 * 1024 * 1024 - w_bytes
     rows_cap = max(8, (budget // per_row) // 8 * 8)
     rows_want = max(8, (-(-min(batch_tile, max(B, 1)) // g) + 7) // 8 * 8)
@@ -387,6 +412,7 @@ def fused_rollout(
         const_spec(pp.seg.shape),
     ]
     w_specs = [const_spec(w.shape) for w in w_args]
+    cone_specs = [const_spec(a.shape) for a in cone_args]
     out_shape = [
         jax.ShapeDtypeStruct((R, T * LANES), jnp.float32),   # trace
         jax.ShapeDtypeStruct((R, nxg), dtype),               # x_final
@@ -413,12 +439,13 @@ def fused_rollout(
     flops_iter = 2 * R * (
         Dug * gDxp + Dug * Dug + gDxp * Dug + Dug * Dug
         + nxg * gDxp + nxg * Dug
+        + nc_u * 2 * Dug * Dug + nc_x * 2 * gDxp * gDxp
     )
     cost = pl.CostEstimate(
         flops=flops_iter * max_iter * T,
         bytes_accessed=(
             sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                for a in state_args + vec_args + w_args)
+                for a in state_args + vec_args + w_args + cone_args)
             + sum(int(np.prod(s.shape)) * s.dtype.itemsize for s in out_shape)
         ),
         transcendentals=0,
@@ -427,12 +454,14 @@ def fused_rollout(
         _kernel_rollout,
         ticks=T, max_iter=max_iter, check_every=check_termination,
         warmup=min(warmup_iters, max_iter - 1), g=g, nu=nu,
-        interpret=interpret, algo=algo, polish=polish, _ablate=_ablate,
+        interpret=interpret, algo=algo, polish=polish,
+        nc_u=nc_u, nc_x=nc_x, _ablate=_ablate,
     )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=scalar_specs + state_specs + vec_specs + w_specs,
+        in_specs=scalar_specs + state_specs + vec_specs + w_specs
+        + cone_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -446,7 +475,7 @@ def fused_rollout(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(pp.rho, tols, *state_args, *vec_args, *w_args)
+    )(pp.rho, tols, *state_args, *vec_args, *w_args, *cone_args)
 
     trace, xfp, Up, Xp, Dp, Yp, Gp, Zp, Vp, stats_p = outs
     U = _unpack_du(Up, g, Du, Dup)

@@ -6,6 +6,7 @@ from .mesh import (  # noqa: F401
     make_batch_mesh,
     replicate,
     shard_batch,
+    sharded_adaptive_hetero,
     sharded_fused_rollout,
     sharded_fused_solve,
     sharded_hetero_solve,

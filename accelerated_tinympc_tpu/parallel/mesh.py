@@ -345,6 +345,85 @@ def sharded_hetero_solve(
     return jax.jit(mapped)
 
 
+def sharded_adaptive_hetero(
+    mesh: Mesh,
+    settings: Settings,
+    *,
+    chunk: int = 25,
+    max_rounds: int = 40,
+    adapt_factor: float = 5.0,
+    stall_factor: float = 1.5,
+    rho_min: float = 1e-2,
+    rho_max: float = 1e3,
+    riccati: str = "auto",
+    interpret: bool = False,
+    cones=None,
+):
+    """Per-instance adaptive rho at hetero-kernel speed under a device mesh
+    — the flagship fused adaptation loop
+    (:func:`..solver.adaptive_hetero.solve_adaptive_rho_hetero`: chunked
+    hetero-kernel iterations + Newton-Kleinman/fixed-point Riccati
+    refreshes in ONE ``lax.while_loop``) sharded over the batch axis
+    (reference rho-in-the-cache anchor: src/tinympc/codegen.cpp:254-292).
+
+    Per-instance rho is shard-local state, so the whole adaptation loop is
+    communication-free: each shard runs its own fused while_loop and exits
+    when *its* instances converge (a globally-synchronized loop would add
+    a psum per round for zero benefit — rounds after an instance converges
+    freeze it verbatim, so shard-local exit is decision-for-decision
+    identical per instance; pinned in tests/test_parallel.py). Collectives
+    appear only in the returned summary stats.
+
+    Returns a jitted
+    ``(x0s, problem_b, A, B, Q, R, rho0) -> (result_dict, stats)``.
+    Every argument is a GLOBAL batch-leading array (``B`` divisible by the
+    mesh size; divisible by ``128 * n_devices`` keeps shard-local lane
+    packing identical to the unsharded loop's, giving per-instance
+    schedule parity). ``result_dict`` holds the
+    :class:`..solver.adaptive_hetero.AdaptiveHeteroResult` fields
+    batch-stitched (``rounds`` becomes the per-shard maximum, in
+    ``stats``); ``cones`` is a static shared :class:`ConeSet` (per-instance
+    cone params need lane-packed operands whose global layout matches the
+    128-aligned shard split — use the unsharded loop or pack per shard).
+    """
+    from ..solver.adaptive_hetero import solve_adaptive_rho_hetero
+
+    def shard_fn(x0s, prob_b, A, B_, Q, R, rho0):
+        res = solve_adaptive_rho_hetero(
+            x0s, prob_b, A, B_, Q, R, rho0, settings,
+            chunk=chunk, max_rounds=max_rounds,
+            adapt_factor=adapt_factor, stall_factor=stall_factor,
+            rho_min=rho_min, rho_max=rho_max, riccati=riccati,
+            interpret=interpret, cones=cones,
+        )
+        n_local = jnp.asarray(x0s.shape[0], jnp.float32)
+        solved_local = jnp.sum(res.solved.astype(jnp.float32))
+        stats = {
+            "n_total": jax.lax.psum(n_local, BATCH_AXIS),
+            "n_solved": jax.lax.psum(solved_local, BATCH_AXIS),
+            "rounds_max": jax.lax.pmax(res.rounds, BATCH_AXIS),
+            "iterations_max": jax.lax.pmax(
+                jnp.max(res.total_iter), BATCH_AXIS
+            ),
+        }
+        out = {
+            "U": res.U, "X": res.X, "rho": res.rho, "cache": res.cache,
+            "solved": res.solved, "total_iter": res.total_iter,
+            "carry": res.carry,
+        }
+        return out, stats
+
+    batch_spec = P(BATCH_AXIS)
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec,) * 7,
+        out_specs=(batch_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_hstream_solve(
     mesh: Mesh,
     *,

@@ -20,7 +20,13 @@ Pallas dispatch with the SOC projections *inside the kernel*
 (ops/fused_admm.py pad_cones) — the scenario-MPC shape: one kernel call,
 every instance's thrust-tilt and glideslope cones enforced on-chip.
 
+``--fleet N --mission`` runs the whole receding-horizon descent of the
+fleet as ONE Pallas launch (ops/fused_rollout.py with cone_ops — round 5):
+per-tick dual reset, coned adaptive solve, and plant step all in-kernel,
+warm carries living in VMEM scratch between ticks.
+
 Run: python examples/soc_landing.py [--ticks 60] [--horizon 15] [--fleet 0]
+     [--mission]
 """
 
 import argparse
@@ -97,6 +103,48 @@ def fleet_solve(problem, cache, cones, n: int, iters: int,
           f"max={it.max():.0f}  worst in-kernel tilt violation {tilt_v:.2e}")
 
 
+def fleet_mission(problem, cache, cones, n: int, ticks: int, iters: int,
+                  interpret: bool) -> None:
+    """Whole coned descent mission of an n-lander fleet in ONE kernel
+    launch (in-kernel rollout, round 5)."""
+    from accelerated_tinympc_tpu.ops.fused_admm import (
+        FusedCarry, pad_cones, pad_problem,
+    )
+    from accelerated_tinympc_tpu.ops.fused_rollout import (
+        fused_rollout, rollout_ops,
+    )
+    from accelerated_tinympc_tpu.precompute import condensed_operators
+
+    ops = condensed_operators(
+        cache, np.asarray(problem.A), np.asarray(problem.B), problem.horizon
+    )
+    pp = pad_problem(problem, cache, ops)
+    cone_ops = pad_cones(pp, cones)
+    rops = rollout_ops(problem, pp)
+    rng = np.random.default_rng(0)
+    base = np.asarray([3.0, -2.0, 6.0, 1.0, 0.5, -1.0])
+    x0s = jnp.asarray(
+        base[None] + rng.standard_normal((n, 6)) * 0.3, jnp.float32
+    )
+    res = jax.block_until_ready(fused_rollout(
+        x0s, FusedCarry.zeros(n, pp), pp, rops, ticks,
+        max_iter=iters, check_termination=2, cone_ops=cone_ops,
+        interpret=interpret,
+    ))
+    us = np.asarray(res.us)                       # (T, n, 3)
+    tilt_v = float(cone_violation(jnp.asarray(us), cones.input_cones[0]))
+    m = problem.horizon - 1
+    Z = np.asarray(res.final.carry.Z[:, : m * 3]).reshape(n, m, 3)
+    slack_v = float(cone_violation(jnp.asarray(Z), cones.input_cones[0]))
+    pos = np.linalg.norm(np.asarray(res.x_final)[:, :3], axis=1)
+    it = np.asarray(res.iters)
+    print(f"mission fleet {n} x {ticks} ticks (one launch): "
+          f"final |pos| p50={np.median(pos):.3f} max={pos.max():.3f}  "
+          f"iters/tick p50={np.median(it):.0f}  "
+          f"in-kernel slack tilt violation {slack_v:.2e}  "
+          f"applied-u (pre-projection) tilt violation {tilt_v:.2e}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ticks", type=int, default=60)
@@ -104,6 +152,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--fleet", type=int, default=0,
                     help="solve a fleet of this size in one fused dispatch")
+    ap.add_argument("--mission", action="store_true",
+                    help="with --fleet: whole receding-horizon descent in "
+                         "ONE in-kernel rollout launch")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpreter (CPU) for the fleet mode")
     args = ap.parse_args()
@@ -121,11 +172,13 @@ def main() -> None:
     )
 
     if args.fleet:
-        fleet_solve(
-            problem, cache,
-            ConeSet(input_cones=(tilt,), state_cones=(glide,)),
-            args.fleet, args.iters, args.interpret,
-        )
+        cset = ConeSet(input_cones=(tilt,), state_cones=(glide,))
+        if args.mission:
+            fleet_mission(problem, cache, cset, args.fleet, args.ticks,
+                          min(args.iters, 100), args.interpret)
+        else:
+            fleet_solve(problem, cache, cset, args.fleet, args.iters,
+                        args.interpret)
         return
 
     x0 = jnp.asarray([3.0, -2.0, 6.0, 1.0, 0.5, -1.0], jnp.float32)

@@ -457,3 +457,46 @@ def test_fleet_set_plants_online_refresh(plants):
         np.asarray(fleet.get_u()), np.asarray(cold.get_u()),
         rtol=0, atol=1e-3,
     )
+
+
+def test_fleet_adaptive_rho_mesh(plants):
+    """solve_adaptive_rho(mesh=...) shards the fused hetero adaptation loop
+    (parallel.sharded_adaptive_hetero, round 5) and matches the unsharded
+    engine="hetero" loop's per-instance decisions."""
+    from accelerated_tinympc_tpu.parallel import make_batch_mesh
+
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                        check_termination=1)
+    rho0 = np.asarray([1.0] * 6 + [1e-3] * 3 + [1e3] * 3, np.float32)
+    kw = dict(chunk=25, max_rounds=40, riccati="vmap")
+
+    f0 = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=rho0, horizon=N, settings=sets, tier="hetero",
+        interpret=True, polish=False,
+    )
+    f0.set_x0(x0s)
+    want = f0.solve_adaptive_rho(engine="hetero", **kw)
+
+    mesh = make_batch_mesh(4)  # B=12 -> 3 instances/device
+    f1 = atm.TinyMPCFleet.setup(
+        A, Bm, Q, R, rho=rho0, horizon=N, settings=sets, tier="hetero",
+        interpret=True, polish=False,
+    )
+    f1.set_x0(x0s)
+    got = f1.solve_adaptive_rho(mesh=mesh, **kw)
+
+    np.testing.assert_array_equal(got["solved"], want["solved"])
+    assert bool(np.all(got["solved"]))
+    np.testing.assert_allclose(got["rho"], want["rho"], rtol=5e-2)
+    got_rounds = np.ceil(got["iterations"] / kw["chunk"])
+    want_rounds = np.ceil(want["iterations"] / kw["chunk"])
+    np.testing.assert_array_equal(got_rounds, want_rounds)
+    # Adopted caches drive matching subsequent solves.
+    np.testing.assert_allclose(
+        np.asarray(f1.cache.Kinf), np.asarray(f0.cache.Kinf),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1.get_u()), np.asarray(f0.get_u()), rtol=0, atol=5e-2
+    )

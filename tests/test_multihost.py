@@ -86,3 +86,18 @@ def test_two_process_sharded_solve():
     assert itsum == pytest.approx(
         float(ref["iterations_mean"]) * B, rel=1e-6
     )
+
+    # Pallas sharded path across the process boundary: both workers ran
+    # sharded_fused_solve over the same global mesh and checked their
+    # addressable output shards against an unsharded fused solve.
+    fused = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("FUSED"):
+                _tag, pid, n, rows, diff = line.split()
+                fused[int(pid)] = (float(n), int(rows), float(diff))
+    assert set(fused) == {0, 1}, outs
+    for pid, (n, rows, diff) in fused.items():
+        assert n == B, (pid, n)
+        assert rows == B // 2, (pid, rows)  # half the batch lives here
+        assert diff < 1e-5, (pid, diff)

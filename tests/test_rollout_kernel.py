@@ -215,3 +215,77 @@ def test_unpacked_g1_and_batch_padding():
                                rtol=0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.x_final), np.asarray(xf),
                                rtol=0, atol=1e-4)
+
+
+class TestConedMission:
+    """SOC cones inside the in-kernel mission (round-5: cone_ops threaded
+    through the tick core — reference projection stage admm.cpp:45-61
+    applied every iteration of every tick, one Pallas launch)."""
+
+    def _setup(self):
+        from accelerated_tinympc_tpu.ops.fused_admm import pad_cones
+        from accelerated_tinympc_tpu.solver.cones import Cone, ConeSet
+
+        problem, cache, x0 = atm.models.quadrotor_hovering_setup()
+        ops = condensed_operators(
+            cache, np.asarray(problem.A), np.asarray(problem.B),
+            problem.horizon,
+        )
+        pp = pad_problem(problem, cache, ops)
+        rops = rollout_ops(problem, pp)
+        cones = ConeSet(
+            input_cones=(Cone(ball=(0, 1), axis=2, mu=1.0),),
+            state_cones=(Cone(ball=(0, 1), axis=2, mu=2.0, shift=0.5),),
+        )
+        cone_ops = pad_cones(pp, cones)
+        rng = np.random.default_rng(7)
+        x0s = jnp.asarray(
+            np.asarray(x0)[None] + 0.05 * rng.standard_normal((5, 12)),
+            jnp.float32,
+        )
+        return problem, pp, rops, cone_ops, x0s
+
+    @pytest.mark.parametrize("check", [0, 2])
+    def test_matches_scan_of_kernels(self, check):
+        problem, pp, rops, cone_ops, x0s = self._setup()
+        B, T = x0s.shape[0], 5
+        res = fused_rollout(
+            x0s, FusedCarry.zeros(B, pp), pp, rops, T,
+            max_iter=20, check_termination=check, cone_ops=cone_ops,
+            interpret=True, batch_tile=B,
+        )
+        xf, us, carry = fused_mpc_rollout(
+            pp, x0s, T, problem=problem, max_iter=20,
+            check_termination=check, cone_ops=cone_ops,
+            batch_tile=B, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(res.us), np.asarray(us),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.x_final), np.asarray(xf),
+                                   rtol=0, atol=1e-4)
+        for a, b in zip(res.final.carry, carry):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-4)
+
+    def test_cone_actually_binds(self):
+        """The coned mission's slacks satisfy the input cone and differ
+        from the unconed mission (the projection is live, not a no-op)."""
+        from accelerated_tinympc_tpu.solver.cones import Cone, cone_violation
+
+        problem, pp, rops, cone_ops, x0s = self._setup()
+        B, T = x0s.shape[0], 4
+        coned = fused_rollout(
+            x0s, FusedCarry.zeros(B, pp), pp, rops, T,
+            max_iter=25, cone_ops=cone_ops, interpret=True, batch_tile=B,
+        )
+        plain = fused_rollout(
+            x0s, FusedCarry.zeros(B, pp), pp, rops, T,
+            max_iter=25, interpret=True, batch_tile=B,
+        )
+        nu = 4
+        Z = np.asarray(coned.final.carry.Z)[:, : (pp.dims[2] - 1) * nu]
+        Z = Z.reshape(B, -1, nu)
+        cone = Cone(ball=(0, 1), axis=2, mu=1.0)
+        viol = float(np.max(np.asarray(cone_violation(jnp.asarray(Z), cone))))
+        assert viol < 1e-5, viol
+        assert float(np.abs(np.asarray(coned.us) - np.asarray(plain.us)).max()) > 1e-4
