@@ -136,6 +136,7 @@ def fused_mpc_rollout(
     algo: str = "f32",
     polish: int = 8,
     in_kernel: bool = False,
+    alpha: float = 1.0,
 ):
     """Receding-horizon rollout on the fused Pallas tier: ``n_ticks`` of
     (dual reset -> fused solve -> apply pre-projection u0 -> plant step) under
@@ -200,7 +201,7 @@ def fused_mpc_rollout(
             abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             batch_tile=batch_tile, interpret=interpret,
             const_seq=const_seq, algo=algo, polish=polish,
-            cone_ops=cone_ops,
+            cone_ops=cone_ops, alpha=alpha,
         )
         return res.x_final, res.us, res.final.carry
 
@@ -216,7 +217,7 @@ def fused_mpc_rollout(
             check_termination=check_termination,
             abs_pri_tol=abs_pri_tol, abs_dua_tol=abs_dua_tol,
             batch_tile=min(batch_tile, x.shape[0]), interpret=interpret,
-            algo=algo, polish=polish,
+            algo=algo, polish=polish, alpha=alpha,
             cone_ops=cone_ops, **refs,
         )
         u0 = unpad_controls(res, pp)

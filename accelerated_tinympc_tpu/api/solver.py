@@ -76,7 +76,7 @@ def _jit_solve_condensed(cones=None, nu=None):
 
 @functools.lru_cache(maxsize=16)
 def _jit_fused(max_iter, check_termination, batch_tile, interpret,
-               algo="f32"):
+               algo="f32", alpha=1.0):
     # Tolerances are *traced* operands of the kernel (SMEM), so they stay out
     # of the cache key — changing tolerances never recompiles. cone_ops is a
     # pytree operand (its static cone counts key the jit cache internally).
@@ -88,7 +88,7 @@ def _jit_fused(max_iter, check_termination, batch_tile, interpret,
             check_termination=check_termination,
             abs_pri_tol=pri_tol, abs_dua_tol=dua_tol,
             batch_tile=batch_tile, interpret=interpret, algo=algo,
-            cone_ops=cone_ops,
+            alpha=alpha, cone_ops=cone_ops,
             cone_mu_u=cone_mu_u, cone_shift_u=cone_shift_u,
             cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
         )
@@ -516,7 +516,7 @@ class TinyMPC:
             res = _jit_fused(
                 self.settings.max_iter, self.settings.check_termination,
                 min(DEFAULT_BATCH_TILE, x0.shape[0]), self.interpret,
-                self.algo,
+                self.algo, self.settings.alpha,
             )(
                 x0, self._fused_carry, self._pp,
                 jnp.float32(self.settings.abs_pri_tol),

@@ -478,7 +478,8 @@ def _make_ws(w_refs, algo: str) -> tuple["_W", "_W"]:
     return Wf, Wf
 
 
-def _iteration(D, Y, G, W, consts, cone_u=None, cone_x=None):
+def _iteration(D, Y, G, W, consts, cone_u=None, cone_x=None,
+               alpha: float = 1.0, Z=None, V=None):
     """One folded condensed ADMM iteration on VMEM-resident packed values.
 
     Stage order is the reference's (src/tinympc/admm.cpp:117-150): forward
@@ -486,6 +487,12 @@ def _iteration(D, Y, G, W, consts, cone_u=None, cone_x=None):
     projection (admm.cpp:45-61), dual ascent (admm.cpp:67-71), then the
     linear-cost + backward stages folded into the single ``W_q``/``W_r``
     contraction (see module docstring; admm.cpp:77-85 + 15-22).
+
+    ``alpha != 1`` applies OSQP-style over-relaxation (beyond-reference,
+    static opt-in — see ``Settings.alpha``): the slack/dual stages see
+    ``alpha * U + (1 - alpha) * Z`` (previous slacks ``Z``/``V`` supplied
+    by the loop carries); the returned true iterates ``U``/``X`` — and so
+    the residual definitions downstream — are untouched.
 
     Matmul arithmetic is either 6-pass f32 (``precision=HIGHEST`` — the
     default single-pass bf16 loses ~3 decimal digits per iteration and
@@ -497,14 +504,19 @@ def _iteration(D, Y, G, W, consts, cone_u=None, cone_x=None):
     (Xb, Ub, const_d, u_min, u_max, x_min, x_max) = consts
     X = Xb + _dot_op(D, W.W_fd)
     U = Ub + _dot_op(D, W.W_gd)
-    S = U + Y
+    if alpha != 1.0:
+        Ur = alpha * U + (1.0 - alpha) * Z
+        Xr = alpha * X + (1.0 - alpha) * V
+    else:
+        Ur, Xr = U, X
+    S = Ur + Y
     Znew = jnp.clip(S, u_min, u_max)
     if cone_u is not None:
         # SOC projection composes after the box clip, exactly as the scan
         # tier's cone_slack_update (solver/cones.py).
         Znew = cone_u(Znew)
     Yn = S - Znew
-    T = X + G
+    T = Xr + G
     Vnew = jnp.clip(T, x_min, x_max)
     if cone_x is not None:
         Vnew = cone_x(Vnew)
@@ -640,7 +652,9 @@ def _fixed_core(iterate, W3, Wf, carry0, consts, max_iter: int,
     def make_body(W):
         def body(_, carry):
             D, Y, G, Z, V = carry
-            Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W, consts)
+            Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(
+                D, Y, G, W, consts, Z=Z, V=V
+            )
             return (Dn, Yn, Gn, Znew, Vnew)
         return body
 
@@ -651,7 +665,7 @@ def _fixed_core(iterate, W3, Wf, carry0, consts, max_iter: int,
     D, Y, G, Z, V = jax.lax.fori_loop(
         n3, max_iter - 1, make_body(Wf), carry
     )
-    Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, Wf, consts)
+    Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, Wf, consts, Z=Z, V=V)
     return Dn, Yn, Gn, Znew, Vnew, U, X, Z, V
 
 
@@ -663,7 +677,7 @@ def _kernel_fixed(
     *rest,
     max_iter: int, g: int, interpret: bool,
     algo: str = "f32", polish: int = 8, nc_u: int = 0, nc_x: int = 0,
-    has_pu: bool = False, has_px: bool = False,
+    has_pu: bool = False, has_px: bool = False, alpha: float = 1.0,
 ):
     """Fixed-iteration fused solve (deterministic tier; reference with
     termination checks disabled). Residual stats lanes are still filled from
@@ -682,7 +696,8 @@ def _kernel_fixed(
     cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp,
                                      has_pu=has_pu, has_px=has_px)
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out = outs
-    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
+    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x,
+                                alpha=alpha)
     Xb = dot(x0_ref[:], w_fx_ref[:])
     Ub = dot(x0_ref[:], w_gx_ref[:])
     consts = (
@@ -730,7 +745,7 @@ def _kernel_adaptive(
     *rest,
     max_iter: int, check_every: int, warmup: int, g: int, interpret: bool,
     algo: str = "f32", nc_u: int = 0, nc_x: int = 0,
-    has_pu: bool = False, has_px: bool = False,
+    has_pu: bool = False, has_px: bool = False, alpha: float = 1.0,
 ):
     """Adaptive fused solve with per-instance convergence freezing.
 
@@ -766,7 +781,8 @@ def _kernel_adaptive(
     cone_u, cone_x, outs = _cone_fns(rest, nc_u, nc_x, g, Dug, Dxp,
                                      has_pu=has_pu, has_px=has_px)
     U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out = outs
-    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
+    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x,
+                                alpha=alpha)
     Xb = dot(x0_ref[:], w_fx_ref[:])
     Ub = dot(x0_ref[:], w_gx_ref[:])
     consts = (
@@ -815,7 +831,9 @@ def _adaptive_core(iterate, W3, W, carry0, consts, rho, pri_tol, dua_tol,
         # check iteration below always contracts in f32 so the residuals
         # that gate freezing are exact for the snapshotted iterates.
         D, Y, G, Z, V = c
-        Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(D, Y, G, W3, consts)
+        Dn, Yn, Gn, Znew, Vnew, _U, _X = iterate(
+            D, Y, G, W3, consts, Z=Z, V=V
+        )
         return (Dn, Yn, Gn, Znew, Vnew)
 
     def cond(st):
@@ -839,7 +857,7 @@ def _adaptive_core(iterate, W3, W, carry0, consts, rho, pri_tol, dua_tol,
             kc = k + 1
         # The check iteration. D/Z/V going in are the pre-backward /
         # pre-slack-save values a newly-frozen instance must keep.
-        Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, W, consts)
+        Dn, Yn, Gn, Znew, Vnew, U, X = iterate(D, Y, G, W, consts, Z=Z, V=V)
         is_check = jnp.remainder(kc, check_every) == 0
         chk = is_check.astype(jnp.float32)
         aX, aV = jnp.abs(X - Vnew), jnp.abs(V - Vnew)
@@ -974,6 +992,7 @@ def fused_solve(
     cone_shift_u: jax.Array | None = None,
     cone_mu_x: jax.Array | None = None,
     cone_shift_x: jax.Array | None = None,
+    alpha: float = 1.0,
 ) -> FusedResult:
     """Run the fused whole-solve kernel over a batch.
 
@@ -1239,7 +1258,7 @@ def fused_solve(
         kernel = functools.partial(
             _kernel_fixed, max_iter=max_iter, g=g, interpret=interpret,
             algo=algo, polish=polish, nc_u=nc_u, nc_x=nc_x,
-            has_pu=has_pu, has_px=has_px,
+            has_pu=has_pu, has_px=has_px, alpha=alpha,
         )
         scalar_args = (pp.rho,)
         scalar_specs = [smem_spec]
@@ -1249,6 +1268,7 @@ def fused_solve(
             check_every=check_termination,
             warmup=min(warmup_iters, max_iter - 1), g=g, interpret=interpret,
             algo=algo, nc_u=nc_u, nc_x=nc_x, has_pu=has_pu, has_px=has_px,
+            alpha=alpha,
         )
         tols = jnp.stack([
             jnp.asarray(abs_pri_tol, jnp.float32).reshape(()),

@@ -131,7 +131,7 @@ def _kernel_rollout(
     *rest,
     ticks: int, max_iter: int, check_every: int, warmup: int,
     g: int, nu: int, interpret: bool, algo: str, polish: int,
-    nc_u: int = 0, nc_x: int = 0,
+    nc_u: int = 0, nc_x: int = 0, alpha: float = 1.0,
     _ablate: tuple = (),
 ):
     """One tick of the in-kernel rollout (grid dim 1 = tick index)."""
@@ -145,7 +145,8 @@ def _kernel_rollout(
     (trace_out, xf_out,
      U_out, X_out, D_out, Y_out, G_out, Z_out, V_out, stats_out,
      x0_s, D_s, Z_s, V_s) = outs
-    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x)
+    iterate = functools.partial(_iteration, cone_u=cone_u, cone_x=cone_x,
+                                alpha=alpha)
 
     @pl.when(t == 0)
     def _init():
@@ -275,6 +276,7 @@ def fused_rollout(
     algo: str = "f32",
     polish: int = 8,
     cone_ops: FusedConeOps | None = None,
+    alpha: float = 1.0,
     _ablate: tuple = (),
 ) -> RolloutResult:
     """Run ``n_ticks`` receding-horizon MPC ticks in one kernel launch.
@@ -455,7 +457,7 @@ def fused_rollout(
         ticks=T, max_iter=max_iter, check_every=check_termination,
         warmup=min(warmup_iters, max_iter - 1), g=g, nu=nu,
         interpret=interpret, algo=algo, polish=polish,
-        nc_u=nc_u, nc_x=nc_x, _ablate=_ablate,
+        nc_u=nc_u, nc_x=nc_x, alpha=alpha, _ablate=_ablate,
     )
     outs = pl.pallas_call(
         kernel,

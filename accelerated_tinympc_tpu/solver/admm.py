@@ -162,8 +162,27 @@ def admm_iteration(
     project = project or update_slack
     state = state.replace(iter=state.iter + 1)
     state = forward(state, problem, cache)
-    state = project(state, problem, settings)
-    state = update_dual(state)
+    if settings.alpha != 1.0:
+        # OSQP-style over-relaxation (beyond-reference, opt-in — the
+        # reference's dual ascent is the alpha=1 case, admm.cpp:67-71):
+        # the slack projection and dual update see the relaxed iterate
+        # alpha*u + (1-alpha)*z_old; the true iterates (and hence the
+        # residual definitions, linear-cost stage, and backward pass)
+        # are untouched.
+        a = settings.alpha
+        relaxed = state.replace(
+            u=a * state.u + (1.0 - a) * state.z,
+            x=a * state.x + (1.0 - a) * state.v,
+        )
+        relaxed = project(relaxed, problem, settings)
+        relaxed = update_dual(relaxed)
+        state = state.replace(
+            znew=relaxed.znew, vnew=relaxed.vnew,
+            y=relaxed.y, g=relaxed.g,
+        )
+    else:
+        state = project(state, problem, settings)
+        state = update_dual(state)
     state = update_linear_cost(state, problem, cache)
 
     if settings.check_termination > 0:

@@ -66,6 +66,18 @@ class Settings:
     recompilation. ``check_termination == 0`` disables the termination check
     entirely (fixed-iteration mode, used for deterministic benchmarking and
     golden-parity runs).
+
+    ``alpha`` is OSQP-style over-relaxation (beyond-reference, off by
+    default: 1.0 reproduces the reference schedule bit-for-bit). With
+    ``alpha != 1`` the slack/dual stages see the relaxed iterate
+    ``alpha * u + (1 - alpha) * z_old`` (likewise for states). Measured on
+    chip (BASELINE.md round 5, B=2048): alpha=1.6 rescues *constraint-
+    bound* workloads where plain ADMM stalls — cold hovering at tol 0.01
+    goes from 0.6% to 56.9% solved within 500 iterations — but SLOWS easy
+    solves whose constraints are inactive (the slack settle becomes a
+    ``|1-alpha|`` geometric filter: ~3 -> ~9 iterations on the random-LTI
+    population) — use it where ADMM stalls, not as a blanket default.
+    Static metadata — changing it recompiles.
     """
 
     abs_pri_tol: Array = struct.field(default=1e-3)
@@ -74,6 +86,7 @@ class Settings:
     check_termination: int = struct.field(pytree_node=False, default=1)
     en_state_bound: bool = struct.field(pytree_node=False, default=True)
     en_input_bound: bool = struct.field(pytree_node=False, default=True)
+    alpha: float = struct.field(pytree_node=False, default=1.0)
 
 
 @struct.dataclass

@@ -189,33 +189,105 @@ def main() -> None:
 
     # --- small-batch latency vs the reference real-time budgets --------------
     # Measured INSIDE one device program (a chain of dependent solves under
-    # lax.scan): host->device dispatch over this environment's relay adds tens
-    # of ms per call and is not part of the per-solve latency a control loop
-    # co-located with the chip would see.
+    # lax.scan) with the round-4 SLOPE protocol: one executable, a RUNTIME
+    # repeat count of whole 100-solve chains — dispatch latency (sticky per
+    # executable on this relay, 0.1-40 ms for identical work) CANCELS in the
+    # slope instead of being amortized into the number (VERDICT r4 item 3).
     CHAIN = 100
-    for B in (1, 128):
+    for B in (1, 8, 128):
         x0s = perturbed(B)
 
-        @jax.jit
-        def chain(x0s):
+        def chain_step(x, B=B):
             # A real MPC chain (solve -> apply u0 -> plant -> next solve):
             # each solve genuinely depends on the previous one.
-            def step(x, _):
-                res = fused_solve(
-                    x, FusedCarry.zeros(B, pp), pp, max_iter=100,
-                    check_termination=0, batch_tile=min(128, B),
+            res = fused_solve(
+                x, FusedCarry.zeros(B, pp), pp, max_iter=100,
+                check_termination=0, batch_tile=min(128, B),
+            )
+            u0 = unpad_controls(res, pp)
+            return (jnp.matmul(x, problem.A.T)
+                    + jnp.matmul(u0, problem.B.T))
+
+        @jax.jit
+        def chains(x0_, n):
+            def body(_, x):
+                x, _ = jax.lax.scan(
+                    lambda xx, _: (chain_step(xx), None), x, None,
+                    length=CHAIN,
                 )
-                u0 = unpad_controls(res, pp)
-                x_next = (jnp.matmul(x, problem.A.T)
-                          + jnp.matmul(u0, problem.B.T))
-                return x_next, None
+                return x
+            return jax.lax.fori_loop(0, n, body, x0_)
 
-            x, _ = jax.lax.scan(step, x0s, None, length=CHAIN)
-            return x
+        t1, _ = best_time(chains, x0s, jnp.int32(1), reps=5)
+        t5, _ = best_time(chains, x0s, jnp.int32(5), reps=5)
+        s = (t5 - t1) / 4
+        emit("fused_fixed100_latency_per_solve", round(s / CHAIN * 1e3, 4),
+             "ms", batch=B, budget_100hz_ms=10.0, chained=CHAIN,
+             timing="on-device slope")
 
-        best, _ = best_time(chain, x0s, reps=3)
-        emit("fused_fixed100_latency_per_solve", round(best / CHAIN * 1e3, 3),
-             "ms", batch=B, budget_100hz_ms=10.0, chained=CHAIN)
+    # --- adaptive-mission per-tick latency (cold + warm, p50/p99) -----------
+    # Direct slope measurements of a 1-tick in-kernel mission give the cold
+    # and warm per-tick latencies; fixed-iteration 1-tick missions at 10 vs
+    # 100 iterations calibrate (t_overhead, t_per_iter), from which the
+    # per-tick latency DISTRIBUTION across an adaptive mission is derived
+    # via the recorded per-tick iteration counts (labeled derived).
+    from accelerated_tinympc_tpu.ops.fused_rollout import (
+        fused_rollout, rollout_ops,
+    )
+
+    B = 128
+    x0s = perturbed(B)
+    rops_l = rollout_ops(problem, pp)
+    czl = FusedCarry.zeros(B, pp)
+
+    def tick1(x, c, check, mi=100):
+        res = fused_rollout(x, c, pp, rops_l, 1, max_iter=mi,
+                            check_termination=check,
+                            abs_pri_tol=1e-3, abs_dua_tol=1e-3,
+                            batch_tile=128)
+        return res.x_final, res.final.carry
+
+    def slope1(x, c, cold, check, mi=100):
+        @jax.jit
+        def f(x0_, c0_, n):
+            def body(_, carry):
+                xx, cc = carry
+                xf, cf = tick1(xx, cc, check, mi)
+                if cold:
+                    xf = x0_ + xf.sum() * 1e-30
+                    cf = c0_
+                return (xf, cf)
+            return jax.lax.fori_loop(0, n, body, (x0_, c0_))[0]
+        t1, _ = best_time(f, x, c, jnp.int32(1), reps=5)
+        t5, _ = best_time(f, x, c, jnp.int32(5), reps=5)
+        return (t5 - t1) / 4
+
+    t_cold = slope1(x0s, czl, True, 1)
+    warm = jax.block_until_ready(fused_rollout(
+        x0s, czl, pp, rops_l, 30, max_iter=100, check_termination=1,
+        batch_tile=128))
+    t_warm = slope1(warm.x_final, warm.final.carry, False, 1)
+    emit("mission_tick_latency_cold", round(t_cold * 1e3, 4), "ms",
+         batch=B, check_every=1, timing="on-device slope")
+    emit("mission_tick_latency_warm", round(t_warm * 1e3, 4), "ms",
+         batch=B, check_every=1, timing="on-device slope")
+    t10 = slope1(x0s, czl, True, 0, mi=10)
+    t100 = slope1(x0s, czl, True, 0, mi=100)
+    t_iter = max((t100 - t10) / 90, 0.0)
+    t_over = max(t10 - 10 * t_iter, 0.0)
+    mission = jax.block_until_ready(fused_rollout(
+        x0s, czl, pp, rops_l, 70, max_iter=100, check_termination=1,
+        batch_tile=128))
+    # A tile's tick latency is set by its slowest instance (lanes iterate
+    # until every instance in the tile freezes) — take the per-tick max.
+    it_t = np.asarray(mission.iters).max(axis=1)
+    lat_t = (t_over + it_t * t_iter) * 1e3
+    emit("mission_tick_latency_p50", round(float(np.percentile(lat_t, 50)), 4),
+         "ms", batch=B, ticks=70, budget_100hz_ms=10.0,
+         timing="derived: slope-calibrated t_overhead + iters*t_iter")
+    emit("mission_tick_latency_p99", round(float(np.percentile(lat_t, 99)), 4),
+         "ms", batch=B, ticks=70, budget_100hz_ms=10.0,
+         timing="derived: slope-calibrated t_overhead + iters*t_iter")
 
     # --- on-device MPC rollout (scenario MPC) --------------------------------
     B, ticks = 4096, 20
