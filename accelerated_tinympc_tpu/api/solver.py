@@ -39,7 +39,7 @@ from ..ops.fused_admm import (
     unpad_states,
 )
 
-TIERS = ("scan", "condensed", "fused")
+TIERS = ("scan", "condensed", "fused", "block")
 
 # Module-level jitted entry points: stable function identity keeps the jit
 # cache warm across TinyMPC.solve() calls (tracing the while_loop tiers
@@ -133,7 +133,12 @@ class TinyMPC:
     # cascade (solver/cascade.py) with this segment length (must be a
     # multiple of check_termination). 0 = one monolithic adaptive call.
     compaction_segment: int = 0
+    # Block-condensed tier (tier="block"): knots per dense block — the
+    # long-horizon MXU tier (solver/block_condensed.py, 1.8x scan at N=1024
+    # on chip, BASELINE.md round 5).
+    block: int = 32
     # tier-internal precompute (built lazily)
+    _block_fn: Any = None
     _ops: CondensedOperators | None = None
     _pp: PaddedProblem | None = None
     _cone_ops: Any = None
@@ -168,6 +173,7 @@ class TinyMPC:
         cone_mu_x=None,
         cone_shift_x=None,
         compaction_segment: int = 0,
+        block: int = 32,
     ) -> "TinyMPC":
         """Construct + precompute. Bounds default to ±inf (disabled in
         Settings when not provided, mirroring the reference's nullptr-enable
@@ -210,7 +216,7 @@ class TinyMPC:
             interpret=interpret, cones=cones,
             cone_mu=cone_mu, cone_shift=cone_shift,
             cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
-            compaction_segment=compaction_segment,
+            compaction_segment=compaction_segment, block=block,
         )
 
     @classmethod
@@ -230,6 +236,7 @@ class TinyMPC:
         cone_mu_x=None,
         cone_shift_x=None,
         compaction_segment: int = 0,
+        block: int = 32,
     ) -> "TinyMPC":
         if tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {tier!r}")
@@ -253,7 +260,7 @@ class TinyMPC:
             cones=cones,
             cone_mu=cone_mu, cone_shift=cone_shift,
             cone_mu_x=cone_mu_x, cone_shift_x=cone_shift_x,
-            compaction_segment=compaction_segment,
+            compaction_segment=compaction_segment, block=block,
         )
         self._reset_state()
         return self
@@ -374,6 +381,8 @@ class TinyMPC:
             return self._solve_fused()
         if self.tier == "condensed":
             return self._solve_condensed()
+        if self.tier == "block":
+            return self._solve_block()
         if self.batch is None:
             fn = (
                 _jit_solve_cones(self.cones, batched=False)
@@ -489,6 +498,64 @@ class TinyMPC:
         return {
             k: np.asarray(v) for k, v in
             batch_stats(state, self.settings).items()
+        }
+
+    def _solve_block(self) -> dict[str, Any]:
+        """Block-condensed long-horizon sweeps (solver/block_condensed.py):
+        scan-tier semantics, MXU-sized per-block contractions — the
+        shared-plant long-horizon tier (1.8-2.1x scan at N>=256 on chip,
+        BASELINE.md round 5)."""
+        if self._block_fn is None:
+            from ..solver.block_condensed import block_sweeps
+            from ..solver.cones import cone_slack_update
+
+            fwd, bwd = block_sweeps(
+                self.cache, self.problem.A, self.problem.B,
+                self.problem.horizon, self.block,
+            )
+            project = (cone_slack_update(self.cones)
+                       if self.cones is not None else None)
+            if self.batch is None:
+                from ..types import SOLVED, UNSOLVED
+
+                def single(st, p, c, settings):
+                    st = st.replace(
+                        status=jnp.asarray(UNSOLVED, st.status.dtype),
+                        iter=jnp.zeros_like(st.iter),
+                    )
+                    step = lambda s: admm.admm_iteration(
+                        s, p, c, settings,
+                        forward=fwd, backward=bwd, project=project,
+                    )
+                    if settings.check_termination <= 0:
+                        return jax.lax.fori_loop(
+                            0, settings.max_iter, lambda _, s: step(s), st
+                        )
+                    return jax.lax.while_loop(
+                        lambda s: (s.iter < settings.max_iter)
+                        & (s.status != SOLVED),
+                        step, st,
+                    )
+
+                self._block_fn = jax.jit(single)
+            else:
+                self._block_fn = jax.jit(
+                    lambda st, p, c, settings: solve_batched(
+                        st, p, c, settings, project=project,
+                        forward=fwd, backward=bwd,
+                    )
+                )
+        self.state = self._block_fn(
+            self.state, self.problem, self.cache, self.settings
+        )
+        if self.batch is None:
+            return {
+                "iterations": int(self.state.iter),
+                "solved": bool(self.state.status == 1),
+            }
+        return {
+            k: np.asarray(v) for k, v in
+            batch_stats(self.state, self.settings).items()
         }
 
     def _solve_fused(self) -> dict[str, Any]:

@@ -59,6 +59,8 @@ def solve_batched(
     problem_axes=SHARED,
     cache_axes=SHARED,
     project=None,
+    forward=None,
+    backward=None,
 ) -> State:
     """Solve a batch of instances; each instance's trajectory through the ADMM
     loop is identical to its standalone :func:`..solver.admm.solve`.
@@ -73,7 +75,10 @@ def solve_batched(
     over the whole batch (deterministic benchmarking mode).
     """
     iterate = jax.vmap(
-        lambda s, p, c: admm_iteration(s, p, c, settings, project=project),
+        lambda s, p, c: admm_iteration(
+            s, p, c, settings, project=project,
+            forward=forward, backward=backward,
+        ),
         in_axes=(0, problem_axes, cache_axes),
     )
 

@@ -1,0 +1,182 @@
+"""Block-condensed horizon sweeps: the MXU-fed long-horizon tier (round 5).
+
+The matched long-horizon head-to-head (BASELINE.md round 5) showed the plain
+scan tier degrading with N (425 M -> 258 M knot-iterations/s from N=256 to
+N=1024) while remaining ahead of the streaming kernel: both spend the
+sequential sweeps issuing O(N) *tiny* contractions (an (nx, nx) matvec per
+knot has contraction depth 8 against the MXU's 128), so the sweeps are
+op-issue-latency-bound, not FLOP-bound. This tier removes that bound the
+TPU way: condense each *block* of ``kb`` knots into dense affine operators
+(the :class:`..precompute.CondensedOperators` math restricted to a block —
+reference recursions: src/tinympc/admm.cpp:27-37 forward rollout, :15-22
+backward gradient) and run the sweeps as ``lax.scan`` over N/kb blocks of
+MXU-sized matmuls — ``(B, kb*nu) @ (kb*nu, kb*nx)`` contractions with
+depth 48-128 instead of 8, and kb-times fewer sequential steps.
+
+The arithmetic inflates by ~kb*nu/nx per forward block (dense block
+operator vs sparse knot recurrence) — the classic TPU trade: pay zero-FLOPs
+to buy systolic-array shape. Iterates, elementwise stages, and the ADMM
+loop semantics are exactly :mod:`.admm`'s (this module only overrides the
+two horizon sweeps through :func:`..solver.admm.admm_iteration`'s
+``forward``/``backward`` hooks, like the associative-scan tier); block
+boundaries change only the floating-point summation order (parity within
+the usual FMA band, pinned in tests/test_block_condensed.py).
+
+Use when N is large and the plant is shared (per-instance plants at long
+horizon: :mod:`..ops.hstream_admm`). ``block=16`` covers N-1 with a tail
+block when ``kb`` does not divide N-1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Cache, Problem, Settings, State
+from .admm import admm_iteration
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class _BlockOps(NamedTuple):
+    """Sliced condensed operators for one block size ``s`` (horizon s+1):
+    forward ``x_{1..s} = Fx x_start + Fd d_blk``, ``u = Gx x_start + Gd
+    d_blk``; backward ``d_blk = Eq q_blk + Er r_blk + Ep p_end``,
+    ``p_{0..s-1} = Hq q_blk + Hr r_blk + Hp p_end``."""
+
+    Fx: jax.Array  # (s*nx, nx)
+    Fd: jax.Array  # (s*nx, s*nu)
+    Gx: jax.Array  # (s*nu, nx)
+    Gd: jax.Array  # (s*nu, s*nu)
+    Hq: jax.Array  # (s*nx, s*nx)
+    Hr: jax.Array  # (s*nx, s*nu)
+    Hp: jax.Array  # (s*nx, nx)
+    Eq: jax.Array  # (s*nu, s*nx)
+    Er: jax.Array  # (s*nu, s*nu)
+    Ep: jax.Array  # (s*nu, nx)
+
+
+def _ops_for_size(cache: Cache, A, B, s: int) -> _BlockOps:
+    from ..precompute import condensed_operators
+
+    nx = np.asarray(A).shape[0]
+    o = condensed_operators(cache, np.asarray(A), np.asarray(B), s + 1)
+    j = jnp.asarray
+    return _BlockOps(
+        Fx=j(o.Fx0[nx:]), Fd=j(o.Fd[nx:]), Gx=j(o.Gx0), Gd=j(o.Gd),
+        Hq=j(o.Hq[: s * nx]), Hr=j(o.Hr[: s * nx]), Hp=j(o.Hp[: s * nx]),
+        Eq=j(o.Eq), Er=j(o.Er), Ep=j(o.Ep),
+    )
+
+
+def block_sweeps(cache: Cache, A, B, horizon: int, block: int = 16):
+    """Build ``(forward, backward)`` sweep overrides for
+    :func:`..solver.admm.admm_iteration` (single-instance ``State``; vmap
+    for batches — the block matmuls then become ``(B, kb*nu) @ ...`` MXU
+    contractions)."""
+    N = int(horizon)
+    m = N - 1
+    kb = max(1, min(int(block), m))
+    q, r = divmod(m, kb)
+    nx, nu = np.asarray(B).shape
+    ops_main = _ops_for_size(cache, A, B, kb) if q else None
+    ops_tail = _ops_for_size(cache, A, B, r) if r else None
+    mv = functools.partial(jnp.matmul, precision=_HI)
+
+    def forward(state: State, problem: Problem, cache_: Cache) -> State:
+        d = state.d
+        x_start = state.x[0]
+        xs = [state.x[:1]]
+        us = []
+        if q:
+            o = ops_main
+            d_main = d[: q * kb].reshape(q, kb * nu)
+
+            def step(xc, db):
+                U = mv(o.Gx, xc) + mv(o.Gd, db)
+                X = mv(o.Fx, xc) + mv(o.Fd, db)
+                return X[-nx:], (U, X)
+
+            x_start, (U_m, X_m) = jax.lax.scan(step, x_start, d_main)
+            us.append(U_m.reshape(q * kb, nu))
+            xs.append(X_m.reshape(q * kb, nx))
+        if r:
+            o = ops_tail
+            db = d[q * kb:].reshape(r * nu)
+            us.append((mv(o.Gx, x_start) + mv(o.Gd, db)).reshape(r, nu))
+            xs.append((mv(o.Fx, x_start) + mv(o.Fd, db)).reshape(r, nx))
+        return state.replace(
+            u=jnp.concatenate(us, axis=0), x=jnp.concatenate(xs, axis=0)
+        )
+
+    def backward(state: State, problem: Problem, cache_: Cache) -> State:
+        qv, rv = state.q, state.r
+        p_end = state.p[-1]
+        tail = None
+        if r:
+            o = ops_tail
+            Qb = qv[m - r: m].reshape(r * nx)
+            Rb = rv[m - r:].reshape(r * nu)
+            D = mv(o.Eq, Qb) + mv(o.Er, Rb) + mv(o.Ep, p_end)
+            P = mv(o.Hq, Qb) + mv(o.Hr, Rb) + mv(o.Hp, p_end)
+            tail = (D.reshape(r, nu), P.reshape(r, nx))
+            p_carry = P[:nx]
+        else:
+            p_carry = p_end
+        main = None
+        if q:
+            o = ops_main
+            Q_main = qv[: q * kb].reshape(q, kb * nx)
+            R_main = rv[: q * kb].reshape(q, kb * nu)
+
+            def step(pc, inp):
+                Qb, Rb = inp
+                D = mv(o.Eq, Qb) + mv(o.Er, Rb) + mv(o.Ep, pc)
+                P = mv(o.Hq, Qb) + mv(o.Hr, Rb) + mv(o.Hp, pc)
+                return P[:nx], (D, P)
+
+            _, (D_m, P_m) = jax.lax.scan(
+                step, p_carry, (Q_main, R_main), reverse=True
+            )
+            main = (D_m.reshape(q * kb, nu), P_m.reshape(q * kb, nx))
+        ds = [b[0] for b in (main, tail) if b is not None]
+        ps = [b[1] for b in (main, tail) if b is not None]
+        return state.replace(
+            d=jnp.concatenate(ds, axis=0),
+            p=jnp.concatenate(ps + [state.p[-1:]], axis=0),
+        )
+
+    return forward, backward
+
+
+def solve_block(
+    state: State, problem: Problem, cache: Cache, settings: Settings,
+    *, block: int = 16, project=None,
+) -> State:
+    """ADMM loop with block-condensed sweeps (same loop semantics as
+    :func:`..solver.admm.solve`; reference src/tinympc/admm.cpp:111-152)."""
+    from ..types import SOLVED, UNSOLVED
+
+    N = state.x.shape[-2]
+    forward, backward = block_sweeps(cache, problem.A, problem.B, N, block)
+    state = state.replace(
+        status=jnp.asarray(UNSOLVED, state.status.dtype),
+        iter=jnp.zeros_like(state.iter),
+    )
+    step = lambda s: admm_iteration(
+        s, problem, cache, settings,
+        forward=forward, backward=backward, project=project,
+    )
+    if settings.check_termination <= 0:
+        return jax.lax.fori_loop(
+            0, settings.max_iter, lambda _, s: step(s), state
+        )
+
+    def cond(s: State):
+        return (s.iter < settings.max_iter) & (s.status != SOLVED)
+
+    return jax.lax.while_loop(cond, step, state)

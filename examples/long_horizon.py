@@ -8,9 +8,13 @@ thousands of knots three ways and reports per-solve time:
 
 * ``scan``   — `lax.scan` sweeps (`solver/admm.py`), vmapped
 * ``assoc``  — O(log N) associative-scan sweeps (`solver/assoc_scan.py`)
+* ``block``  — block-condensed MXU sweeps (`solver/block_condensed.py`,
+  round 5): dense per-block operators under `lax.scan` — the measured
+  long-horizon fast path (1.5-1.8x scan at N=1024 on chip, BASELINE.md)
 * ``stream`` — the fused streaming Pallas kernel (`ops/stream_admm.py`),
   horizon blocks double-buffered HBM<->VMEM (TPU only; interpreted on CPU
-  it is correctness-only).
+  it is correctness-only) — the low-VMEM / in-kernel-early-termination
+  capability tier.
 
 Run: python examples/long_horizon.py [--horizon 1024] [--batch 256]
 """
@@ -78,6 +82,15 @@ def main() -> None:
     a, t_assoc = timeit(f_assoc, st)
     print(f"assoc  tier: {t_assoc/B*1e6:9.1f} us/solve "
           f"({B/t_assoc:8.0f} solves/s)")
+
+    from accelerated_tinympc_tpu.solver.block_condensed import solve_block
+
+    f_block = jax.jit(jax.vmap(
+        lambda s: solve_block(s, problem, cache, settings, block=32)))
+    b, t_block = timeit(f_block, st)
+    err_b = float(jnp.max(jnp.abs(b.u - w.u)))
+    print(f"block  tier: {t_block/B*1e6:9.1f} us/solve "
+          f"({B/t_block:8.0f} solves/s)  vs-scan err {err_b:.1e}")
 
     sp = pad_stream_problem(problem, cache)
     f_stream = jax.jit(lambda x, c: stream_solve(

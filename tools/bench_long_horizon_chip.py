@@ -37,7 +37,7 @@ from accelerated_tinympc_tpu.precompute import riccati_cache
 from accelerated_tinympc_tpu.solver.batched import init_state_batched, solve_batched
 
 
-def timed(fn, reps=3):
+def timed(fn, reps=2):
     jax.block_until_ready(fn())
     best = np.inf
     for _ in range(reps):
@@ -61,7 +61,10 @@ def main():
     print("devices:", jax.devices())
     jax.jit(lambda a: (a @ a.T).sum())(jnp.ones((8, 128))).block_until_ready()
 
-    for N, B in ((256, 2048), (1024, 512), (1024, 2048)):
+    import ast
+    shapes = (ast.literal_eval(sys.argv[2]) if len(sys.argv) > 2
+              else [(256, 2048), (1024, 512)])
+    for N, B in shapes:
         p, cache = make_problem(N)
         nx, nu = 8, 3
         rng = np.random.default_rng(0)
@@ -74,6 +77,19 @@ def main():
         st0 = st0.replace(x=st0.x.at[:, 0, :].set(x0s))
         scan_fn = jax.jit(lambda s: solve_batched(s, p, cache, settings))
         t_scan = timed(lambda: scan_fn(st0))
+
+        # Block-condensed tier (round 5): MXU-sized block contractions.
+        from accelerated_tinympc_tpu.solver.block_condensed import solve_block
+
+        best_block = (np.inf, None)
+        for kb in (16, 32, 64):
+            bfn = jax.jit(jax.vmap(
+                lambda s, kb=kb: solve_block(s, p, cache, settings, block=kb),
+            ))
+            t = timed(lambda: bfn(st0))
+            if t < best_block[0]:
+                best_block = (t, kb)
+        t_blk, kbb = best_block
 
         sp = pad_stream_problem(p, cache)
         carry0 = StreamCarry.zeros(B, sp)
@@ -93,10 +109,19 @@ def main():
                 x, c, sp, max_iter=iters, knot_block=kb))(x0s, carry0))
         du = float(np.abs(np.asarray(rv.U)[:, :, :nu] - su).max())
 
+        # Block-tier parity at matched iterations.
+        bu = np.asarray(jax.block_until_ready(jax.jit(jax.vmap(
+            lambda s: solve_block(s, p, cache, settings, block=kbb)
+        ))(st0)).u)
+        du_b = float(np.abs(bu - su).max())
+
         its = B * iters
         print(f"N={N} B={B} iters={iters}: "
               f"scan {t_scan * 1e3:8.1f} ms ({its / t_scan / 1e6:6.2f} M iters/s, "
               f"{B / t_scan:8.0f} solves/s)   "
+              f"block(kb={kbb}) {t_blk * 1e3:8.1f} ms "
+              f"({B / t_blk:8.0f} solves/s, {t_scan / t_blk:.2f}x scan, "
+              f"parity {du_b:.1e})   "
               f"stream(kb={kb}) {t_stream * 1e3:8.1f} ms "
               f"({its / t_stream / 1e6:6.2f} M iters/s, {B / t_stream:8.0f} solves/s)   "
               f"stream/scan {t_scan / t_stream:.2f}x   parity {du:.1e}")
