@@ -34,7 +34,7 @@ import numpy as np
 
 from ..types import Problem, Settings
 
-FLEET_TIERS = ("hetero", "instance_ops", "hstream")
+FLEET_TIERS = ("hetero", "instance_ops", "hstream", "block")
 
 
 @dataclasses.dataclass
@@ -60,6 +60,8 @@ class TinyMPCFleet:
     # hetero adaptive mode only: > 0 runs the compaction cascade with this
     # segment length (multiple of check_termination).
     compaction_segment: int = 0
+    # tier="block": knots per dense block (solver/block_condensed.py).
+    block: int = 16
     # internals
     _hp: Any = None
     _ops: Any = None
@@ -90,6 +92,7 @@ class TinyMPCFleet:
         compaction_segment: int = 0,
         host_precompute: bool = False,
         polish: bool = True,
+        block: int = 16,
     ) -> "TinyMPCFleet":
         """Construct from per-instance plants: ``A (B, nx, nx)``,
         ``B (B, nx, nu)``, ``Q (B, nx)`` / ``R (B, nu)`` raw cost diagonals
@@ -106,7 +109,9 @@ class TinyMPCFleet:
 
         ``tier="hstream"`` selects the long-horizon per-instance-plant
         kernel (knots streamed, plants resident; time-uniform bounds;
-        adaptive mode = the segment-level cascade).
+        adaptive mode = the segment-level cascade); ``tier="block"`` the
+        per-instance block-condensed MXU tier (round 5 — the measured
+        long-horizon fast path, ``block=`` knots per dense block).
 
         ``cones`` adds static SOC constraints; ``cone_mu``/``cone_shift``
         (``(n_input_cones, B)``) override the parameters per instance and
@@ -218,7 +223,7 @@ class TinyMPCFleet:
             problem=problem, cache=cache, settings=settings, tier=tier,
             interpret=interpret, cones=cones, cone_params=cone_params,
             cone_masks=cone_masks, cone_args=cone_args,
-            compaction_segment=compaction_segment,
+            compaction_segment=compaction_segment, block=block,
         )
         self._build()
         return self
@@ -236,6 +241,16 @@ class TinyMPCFleet:
 
             self._hp = jax.jit(pad_hstream_problem)(self.problem, self.cache)
             self._carry = hstream_carry_zeros(self.batch, self._hp)
+        elif self.tier == "block":
+            from ..solver.batched import init_state_batched
+            from ..solver.block_condensed import block_ops_batched
+
+            nx, nu = self.problem.A.shape[-1], self.problem.B.shape[-1]
+            N = self.problem.Xref.shape[-2]
+            self._ops = block_ops_batched(
+                self.cache, self.problem.A, self.problem.B, N, self.block
+            )
+            self._carry = init_state_batched(self.batch, nx, nu, N)
         else:
             from ..solver.batched_ops import OpsState, build_instance_ops
 
@@ -270,7 +285,12 @@ class TinyMPCFleet:
     def reset_duals(self) -> None:
         """Re-solve protocol: duals zeroed, slacks kept (reference:
         examples/quadrotor_hovering.cpp:99-104)."""
-        self._carry = self._carry.reset_duals()
+        if self.tier == "block":
+            from ..types import reset_duals as _rd
+
+            self._carry = _rd(self._carry)
+        else:
+            self._carry = self._carry.reset_duals()
 
     def set_bounds(self, u_min=None, u_max=None, x_min=None,
                    x_max=None) -> None:
@@ -490,6 +510,41 @@ class TinyMPCFleet:
                 "dual_residual_state_max": float(stats[:, 3].max()),
                 "primal_residual_input_max": float(stats[:, 4].max()),
                 "dual_residual_input_max": float(stats[:, 5].max()),
+            }
+        if self.tier == "block":
+            # Fleet long-horizon MXU tier (round 5): per-instance block-
+            # condensed operators (solver/block_condensed.py) — schedule-
+            # identical to the vmapped scan tier, 1.5-1.8x faster at long
+            # horizons on chip (shared-plant measurement, BASELINE.md).
+            from ..solver.block_condensed import solve_block_batched
+            from ..solver.cones import cone_slack_update
+
+            if self.cone_params is not None or self.cone_masks is not None:
+                raise ValueError(
+                    "per-instance cone params/masks are hetero-tier "
+                    "operands; tier='block' supports a shared ConeSet"
+                )
+            nx, nu, N = self.dims
+            st = self._carry.replace(
+                x=self._carry.x.at[:, 0, :].set(self._x0)
+            )
+            project = (cone_slack_update(self.cones)
+                       if self.cones is not None else None)
+            st = jax.jit(
+                lambda ss: solve_block_batched(
+                    ss, self.problem, self.cache, s,
+                    block=self.block, project=project, ops=self._ops,
+                )
+            )(st)
+            self._carry = st
+            self._last = (st.u, st.x)
+            return {
+                "iterations": np.asarray(st.iter, np.int64),
+                "solved": np.asarray(st.status) == 1,
+                "iterations_mean": float(np.asarray(st.iter).mean()),
+                "converged_fraction": float(
+                    (np.asarray(st.status) == 1).mean()
+                ),
             }
         if self.tier == "hetero":
             from ..ops.hetero_admm import hetero_solve

@@ -20,7 +20,12 @@ from .batched_ops import (  # noqa: F401
     solve_instance_ops,
 )
 from .assoc_scan import solve_assoc  # noqa: F401
-from .block_condensed import block_sweeps, solve_block  # noqa: F401
+from .block_condensed import (  # noqa: F401
+    block_ops_batched,
+    block_sweeps,
+    solve_block,
+    solve_block_batched,
+)
 from .cascade import (  # noqa: F401
     cascade_solve,
     hetero_cascade_solve,

@@ -60,31 +60,39 @@ class _BlockOps(NamedTuple):
     Ep: jax.Array  # (s*nu, nx)
 
 
+def _slice_ops(o, s: int, nx: int) -> _BlockOps:
+    return _BlockOps(
+        Fx=o.Fx0[nx:], Fd=o.Fd[nx:], Gx=o.Gx0, Gd=o.Gd,
+        Hq=o.Hq[: s * nx], Hr=o.Hr[: s * nx], Hp=o.Hp[: s * nx],
+        Eq=o.Eq, Er=o.Er, Ep=o.Ep,
+    )
+
+
 def _ops_for_size(cache: Cache, A, B, s: int) -> _BlockOps:
     from ..precompute import condensed_operators
 
     nx = np.asarray(A).shape[0]
     o = condensed_operators(cache, np.asarray(A), np.asarray(B), s + 1)
-    j = jnp.asarray
-    return _BlockOps(
-        Fx=j(o.Fx0[nx:]), Fd=j(o.Fd[nx:]), Gx=j(o.Gx0), Gd=j(o.Gd),
-        Hq=j(o.Hq[: s * nx]), Hr=j(o.Hr[: s * nx]), Hp=j(o.Hp[: s * nx]),
-        Eq=j(o.Eq), Er=j(o.Er), Ep=j(o.Ep),
-    )
+    return jax.tree.map(jnp.asarray, _slice_ops(o, s, nx))
 
 
-def block_sweeps(cache: Cache, A, B, horizon: int, block: int = 16):
-    """Build ``(forward, backward)`` sweep overrides for
-    :func:`..solver.admm.admm_iteration` (single-instance ``State``; vmap
-    for batches — the block matmuls then become ``(B, kb*nu) @ ...`` MXU
-    contractions)."""
-    N = int(horizon)
-    m = N - 1
+def block_sizes(horizon: int, block: int) -> tuple[int, int, int]:
+    """``(kb, q, r)``: m = N-1 covered by q blocks of kb knots + a tail of
+    r (kb clamped to m)."""
+    m = int(horizon) - 1
     kb = max(1, min(int(block), m))
     q, r = divmod(m, kb)
-    nx, nu = np.asarray(B).shape
-    ops_main = _ops_for_size(cache, A, B, kb) if q else None
-    ops_tail = _ops_for_size(cache, A, B, r) if r else None
+    return kb, q, r
+
+
+def _make_sweeps(ops_main, ops_tail, horizon: int, kb: int,
+                 nx: int, nu: int):
+    """``(forward, backward)`` sweep overrides from unbatched block
+    operators (for per-instance plants the overrides are built inside the
+    vmap, so the operator leaves arrive unbatched here)."""
+    N = int(horizon)
+    m = N - 1
+    q, r = divmod(m, kb)
     mv = functools.partial(jnp.matmul, precision=_HI)
 
     def forward(state: State, problem: Problem, cache_: Cache) -> State:
@@ -151,6 +159,101 @@ def block_sweeps(cache: Cache, A, B, horizon: int, block: int = 16):
         )
 
     return forward, backward
+
+
+def block_sweeps(cache: Cache, A, B, horizon: int, block: int = 16):
+    """Build ``(forward, backward)`` sweep overrides for
+    :func:`..solver.admm.admm_iteration` — shared plant, operators built
+    host-side in float64 (single-instance ``State``; vmap for batches —
+    the block matmuls then become ``(B, kb*nu) @ ...`` MXU
+    contractions)."""
+    kb, q, r = block_sizes(horizon, block)
+    nx, nu = np.asarray(B).shape
+    ops_main = _ops_for_size(cache, A, B, kb) if q else None
+    ops_tail = _ops_for_size(cache, A, B, r) if r else None
+    return _make_sweeps(ops_main, ops_tail, horizon, kb, nx, nu)
+
+
+def block_ops_batched(cache_b: Cache, A_b, B_b, horizon: int,
+                      block: int = 16):
+    """Per-instance block operators, built ON DEVICE (vmapped
+    :func:`..precompute.condensed_operators_jax` per block size) — the
+    fleet long-horizon path. Returns ``(ops_main_b, ops_tail_b, kb)``
+    with a leading batch axis on every operator leaf (either entry None
+    when that size is absent). Memory: the dominant leaf is
+    ``Hq (B, kb*nx, kb*nx)`` — size kb to taste."""
+    from ..precompute import condensed_operators_jax
+
+    kb, q, r = block_sizes(horizon, block)
+    nx = A_b.shape[-1]
+
+    def build(s):
+        return jax.jit(jax.vmap(
+            lambda c, a, b: _slice_ops(
+                condensed_operators_jax(c, a, b, s + 1), s, nx
+            )
+        ))(cache_b, A_b, B_b)
+
+    return (build(kb) if q else None), (build(r) if r else None), kb
+
+
+def solve_block_batched(
+    state: State, problem_b: Problem, cache_b: Cache, settings: Settings,
+    *, block: int = 16, project=None, ops=None,
+) -> State:
+    """Batched per-instance-plant solve with block-condensed sweeps —
+    the fleet long-horizon tier (semantics per instance identical to
+    :func:`..solver.batched.solve_batched` with ``problem_axes=0``; the
+    per-instance sweeps are built inside the vmap from the batched
+    operators of :func:`block_ops_batched`, which ``ops`` can supply
+    prebuilt to amortize across solves)."""
+    from ..types import SOLVED, UNSOLVED
+    from .batched import _freeze
+
+    N = state.x.shape[-2]
+    nx, nu = problem_b.B.shape[-2:]
+    if ops is None:
+        ops = block_ops_batched(cache_b, problem_b.A, problem_b.B, N, block)
+    ops_main_b, ops_tail_b, kb = ops
+
+    extra = [o for o in (ops_main_b, ops_tail_b) if o is not None]
+    have = (ops_main_b is not None, ops_tail_b is not None)
+
+    def one(s, p, c, *opsx):
+        i = 0
+        om = ot = None
+        if have[0]:
+            om = opsx[i]
+            i += 1
+        if have[1]:
+            ot = opsx[i]
+        fwd, bwd = _make_sweeps(om, ot, N, kb, nx, nu)
+        return admm_iteration(
+            s, p, c, settings, forward=fwd, backward=bwd, project=project
+        )
+
+    iterate = jax.vmap(one, in_axes=(0,) * (3 + len(extra)))
+
+    batch = state.iter.shape[0]
+    state = state.replace(
+        status=jnp.full((batch,), UNSOLVED, state.status.dtype),
+        iter=jnp.zeros((batch,), state.iter.dtype),
+    )
+    if settings.check_termination <= 0:
+        return jax.lax.fori_loop(
+            0, settings.max_iter,
+            lambda _, s: iterate(s, problem_b, cache_b, *extra),
+            state,
+        )
+
+    def body(s: State) -> State:
+        done = s.status == SOLVED
+        return _freeze(done, s, iterate(s, problem_b, cache_b, *extra))
+
+    def cond(s: State) -> jax.Array:
+        return jnp.any((s.iter < settings.max_iter) & (s.status != SOLVED))
+
+    return jax.lax.while_loop(cond, body, state)
 
 
 def solve_block(

@@ -96,3 +96,49 @@ def test_cones_and_relaxation_compose():
     assert int(a.iter) == int(b.iter)
     np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
                                rtol=0, atol=1e-5)
+
+
+def test_per_instance_plants_matches_batched_scan():
+    """solve_block_batched (device-built per-instance block operators,
+    round 5): schedule-identical to solve_batched(problem_axes=0) with
+    parity at the device-f32-operator scale."""
+    from accelerated_tinympc_tpu.solver.batched import (
+        init_state_batched, solve_batched,
+    )
+    from accelerated_tinympc_tpu.solver.block_condensed import (
+        block_ops_batched, solve_block_batched,
+    )
+
+    B, N, nx, nu = 5, 65, 8, 3
+    probs, caches = [], []
+    for s in range(B):
+        p, rho = random_lti_problem(seed=s, nx=nx, nu=nu, horizon=N)
+        probs.append(p)
+        caches.append(riccati_cache(
+            np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q),
+            np.asarray(p.R), rho))
+    prob_b = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    cache_b = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *caches)
+    x0s = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, nx)) * 0.3, jnp.float32)
+    st = init_state_batched(B, nx, nu, N)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    s = atm.Settings(max_iter=25, check_termination=1)
+    a = jax.jit(lambda ss: solve_batched(
+        ss, prob_b, cache_b, s, problem_axes=0, cache_axes=0))(st)
+    b = jax.jit(lambda ss: solve_block_batched(
+        ss, prob_b, cache_b, s, block=16))(st)
+    np.testing.assert_array_equal(np.asarray(a.iter), np.asarray(b.iter))
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                               rtol=0, atol=1e-4)
+    # prebuilt ops path (amortized across solves): same schedules; values
+    # within the cross-graph FMA band (ops built in a separate jit —
+    # XLA CPU contracts FMAs per graph shape, CLAUDE.md).
+    ops = block_ops_batched(cache_b, prob_b.A, prob_b.B, N, 16)
+    c = jax.jit(lambda ss: solve_block_batched(
+        ss, prob_b, cache_b, s, block=16, ops=ops))(st)
+    np.testing.assert_array_equal(np.asarray(b.iter), np.asarray(c.iter))
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(c.u),
+                               rtol=0, atol=1e-5)

@@ -500,3 +500,32 @@ def test_fleet_adaptive_rho_mesh(plants):
     np.testing.assert_allclose(
         np.asarray(f1.get_u()), np.asarray(f0.get_u()), rtol=0, atol=5e-2
     )
+
+
+def test_fleet_block_tier(plants):
+    """tier="block" (round 5): per-instance block-condensed MXU sweeps
+    behind the fleet surface — schedule-identical to the instance_ops
+    tier, warm re-solve protocol composes."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=40, check_termination=1)
+    outs = {}
+    for tier in ("block", "instance_ops"):
+        f = atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=1.0, horizon=N, u_min=-2.0, u_max=2.0,
+            settings=sets, tier=tier, interpret=True, polish=False,
+            block=4,
+        )
+        f.set_x0(x0s)
+        outs[tier] = (f, f.solve())
+    fb, ib = outs["block"]
+    fo, io = outs["instance_ops"]
+    np.testing.assert_array_equal(ib["iterations"], io["iterations"])
+    np.testing.assert_array_equal(ib["solved"], io["solved"])
+    np.testing.assert_allclose(
+        np.asarray(fb.get_u()), np.asarray(fo.get_u()), rtol=0, atol=1e-4
+    )
+    # warm re-solve: duals reset, slacks kept -> immediate convergence
+    fb.reset_duals()
+    fb.set_x0(x0s)
+    i2 = fb.solve()
+    assert int(np.asarray(i2["iterations"]).max()) <= 5
