@@ -529,6 +529,23 @@ def main() -> None:
              mean_iters=round(float(np.asarray(sres.stats[:, 0]).mean()), 1),
              layout="difficulty-sorted (tile-coherent)")
 
+        # Block-condensed long-horizon tier (round 5): the matched-shape
+        # fast path at the same (N, B) and matched 100 fixed iterations.
+        from accelerated_tinympc_tpu.solver.batched import (
+            init_state_batched as _isb,
+        )
+        from accelerated_tinympc_tpu.solver.block_condensed import solve_block
+
+        sset = atm.Settings(max_iter=100, check_termination=0)
+        sst = _isb(Bs, 12, 4, Ns)
+        sst = sst.replace(x=sst.x.at[:, 0, :].set(sx0))
+        bfn = jax.jit(jax.vmap(
+            lambda s: solve_block(s, sprob, cache, sset, block=16)))
+        best, _ = best_time(lambda _x: bfn(sst).u, 0, reps=3)
+        emit("blockcond_fixed_solves_per_sec", round(Bs / best), "solves/s",
+             batch=Bs, horizon=Ns, iters=100, block=16,
+             note="matched-shape long-horizon fast path (BASELINE r5)")
+
     # Batched Pallas Riccati precompute at the flagship shape.
     Br = 4096
     Ah = jnp.tile(jnp.stack([jnp.asarray(p.A) for p in probs]),
