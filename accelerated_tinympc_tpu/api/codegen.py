@@ -100,8 +100,17 @@ def tiny_codegen(
     augment_Q: bool = True,
     scalar_type: str = "float",
     cones=None,
+    editable: bool = False,
 ) -> pathlib.Path:
     """Generate the standalone project. Returns the output directory.
+
+    ``editable=True`` marks the emitted solver source as user-editable and
+    makes re-generation *preserve* an existing ``src/tiny_solver.cpp``
+    while refreshing the data/dims/build files — the reference's
+    modify-the-solver-on-target deployment workflow (its codegen copies
+    the library's own solver sources into the output,
+    reference: src/tinympc/codegen.cpp:615-654; here the emitted source
+    plays that role, and problem-data updates never clobber user edits).
 
     ``cones`` (a :class:`..solver.cones.ConeSet`) emits second-order-cone
     projections into the generated solver's slack stage — the
@@ -208,7 +217,18 @@ enum {{
     )
     (out / "src" / "tiny_data.cpp").write_text(data_cpp)
 
-    (out / "src" / "tiny_solver.cpp").write_text(_SOLVER_CPP)
+    solver_path = out / "src" / "tiny_solver.cpp"
+    if editable:
+        if not solver_path.exists():
+            solver_path.write_text(
+                "// User-editable solver source (generated once by\n"
+                "// accelerated_tinympc_tpu.api.codegen; re-running\n"
+                "// tiny_codegen(editable=True) preserves this file while\n"
+                "// regenerating data/dims/build files).\n"
+                + _SOLVER_CPP.split("\n", 1)[1]
+            )
+    else:
+        solver_path.write_text(_SOLVER_CPP)
     (out / "src" / "tiny_main.cpp").write_text(_MAIN_CPP)
     if gen_wrapper:
         (out / "src" / "tiny_api.cpp").write_text(_API_CPP)

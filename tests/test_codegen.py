@@ -415,3 +415,40 @@ def test_c_callable_codegen(tmp_path):
         capture_output=True, text=True, check=True,
     )
     assert len(run.stdout.strip().splitlines()) == 30
+
+
+def test_editable_solver_preserved_across_regen(tmp_path):
+    """tiny_codegen(editable=True): the reference's modify-the-solver-on-
+    target workflow (codegen.cpp:615-654 copies its solver sources into
+    the output) — user edits to src/tiny_solver.cpp survive re-generation
+    while data/dims refresh, and the edited project still builds + runs."""
+    out = tmp_path / "editable_project"
+    kw = dict(
+        x_min=-5.0, x_max=5.0, u_min=-5.0, u_max=5.0,
+        settings=atm.Settings(max_iter=10, check_termination=0),
+        augment_Q=False, editable=True,
+    )
+    tiny_codegen(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+        rho=cartpole.RHO, horizon=10, output_dir=out, **kw,
+    )
+    solver = out / "src" / "tiny_solver.cpp"
+    txt = solver.read_text()
+    assert "User-editable" in txt
+    # User edit: a marker + a functional tweak surviving regeneration.
+    solver.write_text("// MY LOCAL EDIT\n" + txt)
+    data_before = (out / "src" / "tiny_data.cpp").read_text()
+    # Regenerate with a different rho: data refreshes, solver preserved.
+    tiny_codegen(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+        rho=cartpole.RHO * 2.0, horizon=10, output_dir=out, **kw,
+    )
+    assert solver.read_text().startswith("// MY LOCAL EDIT")
+    data_after = (out / "src" / "tiny_data.cpp").read_text()
+    assert data_after != data_before  # rho change landed
+    binary = build_project(out)
+    res = subprocess.run(
+        [str(binary)] + [str(v) for v in X0],
+        capture_output=True, text=True, check=True,
+    )
+    assert len(res.stdout.strip().splitlines()) > 1
