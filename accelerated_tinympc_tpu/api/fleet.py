@@ -34,7 +34,7 @@ import numpy as np
 
 from ..types import Problem, Settings
 
-FLEET_TIERS = ("hetero", "instance_ops", "hstream", "block")
+FLEET_TIERS = ("hetero", "instance_ops", "hstream", "block", "scan")
 
 
 @dataclasses.dataclass
@@ -107,11 +107,15 @@ class TinyMPCFleet:
         parity bar; pass False to keep the raw f32 kernel caches (setup
         latency over precision).
 
-        ``tier="hstream"`` selects the long-horizon per-instance-plant
-        kernel (knots streamed, plants resident; time-uniform bounds;
-        adaptive mode = the segment-level cascade); ``tier="block"`` the
-        per-instance block-condensed MXU tier (round 5 — the measured
-        long-horizon fast path, ``block=`` knots per dense block).
+        ``tier="scan"`` (round 5) selects the vmapped lax.scan sweeps
+        with per-instance plants — the MEASURED per-instance long-horizon
+        fast path (BASELINE.md round-5 matched table); ``tier="hstream"``
+        the streaming kernel (knots streamed, plants resident; time-
+        uniform bounds; minimal VMEM; adaptive mode = the segment-level
+        cascade); ``tier="block"`` the per-instance block-condensed tier
+        (measured negative at fleet scale — per-instance operators stream
+        from HBM each iteration; see BASELINE.md; block condensation wins
+        when the plant is shared: ``TinyMPC(tier="block")``).
 
         ``cones`` adds static SOC constraints; ``cone_mu``/``cone_shift``
         (``(n_input_cones, B)``) override the parameters per instance and
@@ -251,6 +255,12 @@ class TinyMPCFleet:
                 self.cache, self.problem.A, self.problem.B, N, self.block
             )
             self._carry = init_state_batched(self.batch, nx, nu, N)
+        elif self.tier == "scan":
+            from ..solver.batched import init_state_batched
+
+            nx, nu = self.problem.A.shape[-1], self.problem.B.shape[-1]
+            N = self.problem.Xref.shape[-2]
+            self._carry = init_state_batched(self.batch, nx, nu, N)
         else:
             from ..solver.batched_ops import OpsState, build_instance_ops
 
@@ -285,7 +295,7 @@ class TinyMPCFleet:
     def reset_duals(self) -> None:
         """Re-solve protocol: duals zeroed, slacks kept (reference:
         examples/quadrotor_hovering.cpp:99-104)."""
-        if self.tier == "block":
+        if self.tier in ("block", "scan"):
             from ..types import reset_duals as _rd
 
             self._carry = _rd(self._carry)
@@ -511,18 +521,22 @@ class TinyMPCFleet:
                 "primal_residual_input_max": float(stats[:, 4].max()),
                 "dual_residual_input_max": float(stats[:, 5].max()),
             }
-        if self.tier == "block":
-            # Fleet long-horizon MXU tier (round 5): per-instance block-
-            # condensed operators (solver/block_condensed.py) — schedule-
-            # identical to the vmapped scan tier, 1.5-1.8x faster at long
-            # horizons on chip (shared-plant measurement, BASELINE.md).
-            from ..solver.block_condensed import solve_block_batched
+        if self.tier in ("block", "scan"):
+            # Batched-State fleet tiers. tier="scan" (vmapped lax.scan
+            # sweeps, per-instance plants) is the MEASURED per-instance
+            # long-horizon fast path (27k solves/s at N=256/B=1024 on chip
+            # — BASELINE.md round 5). tier="block" (per-instance dense
+            # block operators) is a measured NEGATIVE at fleet scale
+            # (0.10-0.38x scan: every instance's block operators stream
+            # from HBM each iteration; kept for completeness/parity —
+            # block condensation wins only when the plant is SHARED and
+            # the operators stay resident: TinyMPC(tier='block')).
             from ..solver.cones import cone_slack_update
 
             if self.cone_params is not None or self.cone_masks is not None:
                 raise ValueError(
                     "per-instance cone params/masks are hetero-tier "
-                    "operands; tier='block' supports a shared ConeSet"
+                    "operands; this tier supports a shared ConeSet"
                 )
             nx, nu, N = self.dims
             st = self._carry.replace(
@@ -530,12 +544,38 @@ class TinyMPCFleet:
             )
             project = (cone_slack_update(self.cones)
                        if self.cones is not None else None)
-            st = jax.jit(
-                lambda ss: solve_block_batched(
-                    ss, self.problem, self.cache, s,
-                    block=self.block, project=project, ops=self._ops,
-                )
-            )(st)
+            if self.tier == "scan":
+                from ..solver.batched import solve_batched
+
+                st = jax.jit(
+                    lambda ss: solve_batched(
+                        ss, self.problem, self.cache, s,
+                        problem_axes=0, cache_axes=0, project=project,
+                    )
+                )(st)
+            else:
+                from ..solver.block_condensed import solve_block_batched
+
+                # ops pass as traced args (closure capture would bake the
+                # per-instance operator tree into the HLO as constants —
+                # the relay compile-payload ceiling, BASELINE.md).
+                om, ot, kb = self._ops
+                extra = tuple(o for o in (om, ot) if o is not None)
+
+                def run(ss, *opsx):
+                    i = 0
+                    m2 = t2 = None
+                    if om is not None:
+                        m2 = opsx[i]
+                        i += 1
+                    if ot is not None:
+                        t2 = opsx[i]
+                    return solve_block_batched(
+                        ss, self.problem, self.cache, s,
+                        block=self.block, project=project, ops=(m2, t2, kb),
+                    )
+
+                st = jax.jit(run)(st, *extra)
             self._carry = st
             self._last = (st.u, st.x)
             return {

@@ -22,9 +22,13 @@ two horizon sweeps through :func:`..solver.admm.admm_iteration`'s
 boundaries change only the floating-point summation order (parity within
 the usual FMA band, pinned in tests/test_block_condensed.py).
 
-Use when N is large and the plant is shared (per-instance plants at long
-horizon: :mod:`..ops.hstream_admm`). ``block=16`` covers N-1 with a tail
-block when ``kb`` does not divide N-1.
+Use when N is large and the plant is SHARED across the batch (the
+operators then stay VMEM/cache-resident and amortize over every
+instance). For per-instance plants the same construction is a measured
+negative — each instance's operator tree streams from HBM every
+iteration; the vmapped scan tier wins there (BASELINE.md round 5,
+``TinyMPCFleet(tier="scan")``). ``block=16`` covers N-1 with a tail block
+when ``kb`` does not divide N-1.
 """
 
 from __future__ import annotations
@@ -201,12 +205,21 @@ def solve_block_batched(
     state: State, problem_b: Problem, cache_b: Cache, settings: Settings,
     *, block: int = 16, project=None, ops=None,
 ) -> State:
-    """Batched per-instance-plant solve with block-condensed sweeps —
-    the fleet long-horizon tier (semantics per instance identical to
+    """Batched per-instance-plant solve with block-condensed sweeps
+    (semantics per instance identical to
     :func:`..solver.batched.solve_batched` with ``problem_axes=0``; the
     per-instance sweeps are built inside the vmap from the batched
     operators of :func:`block_ops_batched`, which ``ops`` can supply
-    prebuilt to amortize across solves)."""
+    prebuilt to amortize across solves).
+
+    **Measured NEGATIVE at fleet scale** (BASELINE.md round 5): with
+    per-instance plants the block operators cannot stay resident — every
+    instance's ~kb^2-scaled operator tree streams from HBM each
+    iteration, and the vmapped scan tier wins 2.6-10x at N=256/B=1024 on
+    chip. Block condensation pays off when the plant is SHARED
+    (:func:`solve_block`); for fleets use
+    ``TinyMPCFleet(tier="scan")``. Kept for completeness and parity
+    coverage."""
     from ..types import SOLVED, UNSOLVED
     from .batched import _freeze
 

@@ -529,3 +529,29 @@ def test_fleet_block_tier(plants):
     fb.set_x0(x0s)
     i2 = fb.solve()
     assert int(np.asarray(i2["iterations"]).max()) <= 5
+
+
+def test_fleet_scan_tier(plants):
+    """tier="scan" (round 5): vmapped scan sweeps with per-instance
+    plants behind the fleet surface — the measured per-instance
+    long-horizon fast path; schedule-identical to instance_ops."""
+    A, Bm, Q, R, x0s = plants
+    sets = atm.Settings(max_iter=40, check_termination=1)
+    outs = {}
+    for tier in ("scan", "instance_ops"):
+        f = atm.TinyMPCFleet.setup(
+            A, Bm, Q, R, rho=1.0, horizon=N, u_min=-2.0, u_max=2.0,
+            settings=sets, tier=tier, interpret=True, polish=False,
+        )
+        f.set_x0(x0s)
+        outs[tier] = (f, f.solve())
+    fs, is_ = outs["scan"]
+    fo, io = outs["instance_ops"]
+    np.testing.assert_array_equal(is_["iterations"], io["iterations"])
+    np.testing.assert_allclose(
+        np.asarray(fs.get_u()), np.asarray(fo.get_u()), rtol=0, atol=1e-4
+    )
+    fs.reset_duals()
+    fs.set_x0(x0s)
+    i2 = fs.solve()
+    assert int(np.asarray(i2["iterations"]).max()) <= 5

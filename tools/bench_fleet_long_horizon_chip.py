@@ -77,22 +77,28 @@ def main():
         t_scan = timed(lambda: scan_fn(st0))
 
         best = (np.inf, None, None)
-        for kb in (16, 32):
+        for kb in (4, 8):
             t_build0 = time.perf_counter()
             ops = jax.block_until_ready(block_ops_batched(
                 cache_b, prob_b.A, prob_b.B, N, kb))
             t_build = time.perf_counter() - t_build0
-            bfn = jax.jit(lambda s, ops=ops, kb=kb: solve_block_batched(
-                s, prob_b, cache_b, settings, block=kb, ops=ops))
-            t = timed(lambda: bfn(st0))
+            # Pass the big per-instance operators as traced ARGUMENTS —
+            # closure capture bakes them into the HLO as constants and
+            # blows the relay compile-payload ceiling (HTTP 413).
+            bfn = jax.jit(lambda s, om, ot, kb=kb: solve_block_batched(
+                s, prob_b, cache_b, settings, block=kb,
+                ops=(om, ot, kb)))
+            t = timed(lambda: bfn(st0, ops[0], ops[1]))
             if t < best[0]:
                 best = (t, kb, t_build)
         t_blk, kbb, t_build = best
 
         su = np.asarray(jax.block_until_ready(scan_fn(st0)).u)
+        opsb = block_ops_batched(cache_b, prob_b.A, prob_b.B, N, kbb)
         bu = np.asarray(jax.block_until_ready(jax.jit(
-            lambda s: solve_block_batched(
-                s, prob_b, cache_b, settings, block=kbb))(st0)).u)
+            lambda s, om, ot: solve_block_batched(
+                s, prob_b, cache_b, settings, block=kbb,
+                ops=(om, ot, kbb)))(st0, opsb[0], opsb[1])).u)
         du = float(np.abs(bu - su).max())
 
         print(f"fleet N={N} B={B} iters={iters}: "
