@@ -62,12 +62,15 @@ def mpc_rollout(
     state: State | None = None,
     plant: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     batched: bool = False,
+    solver: Callable[[State, Problem], State] | None = None,
 ) -> tuple[State, jax.Array, MPCTrace]:
     """Run ``n_ticks`` of receding-horizon MPC fully on device.
 
     With ``Xref_total`` (shape ``(T >= n_ticks + N, nx)``) the horizon window
     slides each tick (tracking mode); otherwise ``problem.Xref`` is constant
     (hovering mode). Returns (final solver state, final plant state, trace).
+    ``solver`` overrides the per-tick solve (``(state, problem) -> state``,
+    scan-tier semantics) — e.g. the block-condensed long-horizon sweeps.
 
     Jit this whole call (it is pure); per-tick semantics match the reference
     loop exactly: duals reset, slacks/gains warm-started, *pre-projection*
@@ -76,7 +79,7 @@ def mpc_rollout(
     N = problem.horizon
     nx, nu = problem.nx, problem.nu
     plant_step = plant or default_plant(problem)
-    solver = (
+    solver = solver or (
         (lambda s, p: solve_batched(s, p, cache, settings))
         if batched
         else (lambda s, p: admm.solve(s, p, cache, settings))

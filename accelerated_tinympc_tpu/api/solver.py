@@ -462,9 +462,30 @@ class TinyMPC:
                 "rollout with cones is supported on tier='fused' "
                 "(in-kernel cone projection); scan-tier coned rollouts: "
                 "drive the tick loop with solve()/reset_duals()")
+        solver = None
+        if self.tier == "block":
+            # Long-horizon missions: block-condensed sweeps per tick
+            # (scan-tier semantics; solver/block_condensed.py).
+            from ..solver.block_condensed import solve_block
+
+            if single:
+                solver = lambda s, p: solve_block(
+                    s, p, self.cache, self.settings, block=self.block)
+            else:
+                from ..solver.block_condensed import block_sweeps
+
+                fwd, bwd = block_sweeps(
+                    self.cache, self.problem.A, self.problem.B,
+                    self.problem.horizon, self.block,
+                )
+                solver = lambda s, p: solve_batched(
+                    s, p, self.cache, self.settings,
+                    forward=fwd, backward=bwd,
+                )
         st, xf, trace = mpc_rollout(
             self.problem, self.cache, self.settings, x0, n_ticks,
             Xref_total=Xref_total, state=self.state, batched=not single,
+            solver=solver,
         )
         self.state = st.replace(x=st.x.at[..., 0, :].set(xf))
         return xf, trace.u

@@ -142,3 +142,24 @@ def test_per_instance_plants_matches_batched_scan():
     np.testing.assert_array_equal(np.asarray(b.iter), np.asarray(c.iter))
     np.testing.assert_allclose(np.asarray(b.u), np.asarray(c.u),
                                rtol=0, atol=1e-5)
+
+
+def test_rollout_through_tinympc_surface():
+    """TinyMPC(tier="block").rollout: block-condensed per-tick solves under
+    the reference receding-horizon protocol — parity with the scan tier."""
+    p, c, _ = _setup(65)
+    outs = {}
+    for tier in ("block", "scan"):
+        m = atm.TinyMPC.from_parts(
+            p, c, settings=atm.Settings(max_iter=20, check_termination=1),
+            tier=tier, batch=3, block=16,
+        )
+        x0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 8)) * 0.3,
+            jnp.float32,
+        )
+        m.set_x0(x0)
+        outs[tier] = m.rollout(5)
+    du = float(np.abs(np.asarray(outs["block"][1])
+                      - np.asarray(outs["scan"][1])).max())
+    assert du < 1e-5, du

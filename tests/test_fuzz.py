@@ -118,10 +118,21 @@ def test_all_tiers_agree(nx, nu, N):
     )
     u_stream = np.asarray(sres.U)
 
+    # block-condensed tier (round 5)
+    from accelerated_tinympc_tpu.solver.block_condensed import solve_block
+
+    u_block = np.asarray(
+        jax.jit(jax.vmap(
+            lambda s: solve_block(s, problem, cache, settings, block=4)
+        ))(st).u
+    )
+
     scale = max(1.0, np.abs(u_scan).max())
     tol = 2e-4 * scale
     np.testing.assert_allclose(u_assoc, u_scan, rtol=0, atol=tol,
                                err_msg="assoc")
+    np.testing.assert_allclose(u_block, u_scan, rtol=0, atol=tol,
+                               err_msg="block")
     np.testing.assert_allclose(u_cond, u_scan, rtol=0, atol=tol,
                                err_msg="condensed")
     np.testing.assert_allclose(u_fused, u_scan, rtol=0, atol=tol,

@@ -178,3 +178,32 @@ def test_sharded_fused_rollout(setup):
         (np.asarray(res.iters) == np.asarray(want.iters)).mean()
     )
     assert agree > 0.9, agree
+
+
+def test_sharded_block_solver_hook(setup):
+    """The block-condensed tier under the mesh (round 5): sharded_solve's
+    solver hook with block sweeps matches the unsharded block solve."""
+    from accelerated_tinympc_tpu.parallel import replicate, sharded_solve
+    from accelerated_tinympc_tpu.solver.block_condensed import block_sweeps
+
+    problem, cache, x0s = setup
+    settings = atm.Settings(max_iter=15, check_termination=1)
+    fwd, bwd = block_sweeps(cache, problem.A, problem.B, problem.horizon, 4)
+    mesh = make_batch_mesh(8)
+    solve = sharded_solve(
+        mesh, settings,
+        solver=lambda s, p, c: solve_batched(
+            s, p, c, settings, forward=fwd, backward=bwd),
+    )
+    st = init_state_batched(B, 12, 4, 10)
+    st = st.replace(x=st.x.at[:, 0, :].set(x0s))
+    out, stats = solve(
+        shard_batch(st, mesh), replicate(problem, mesh),
+        replicate(cache, mesh),
+    )
+    assert float(stats["n_total"]) == B
+    want = jax.jit(lambda s: solve_batched(
+        s, problem, cache, settings, forward=fwd, backward=bwd))(st)
+    np.testing.assert_array_equal(np.asarray(out.iter), np.asarray(want.iter))
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(want.u),
+                               rtol=0, atol=1e-5)
