@@ -77,7 +77,7 @@ def main():
         t_scan = timed(lambda: scan_fn(st0))
 
         best = (np.inf, None, None)
-        for kb in (4, 8):
+        for kb in (4, 16):  # both ends: op-traffic-light vs step-count-light
             t_build0 = time.perf_counter()
             ops = jax.block_until_ready(block_ops_batched(
                 cache_b, prob_b.A, prob_b.B, N, kb))
