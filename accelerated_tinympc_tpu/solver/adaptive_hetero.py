@@ -99,11 +99,23 @@ def solve_adaptive_rho_hetero(
     m = N - 1
     nt = -(-batch // LANES)
     check_every = max(1, settings.check_termination)
-    use_kernel = riccati in ("kernel", "newton") or (
+    use_kernel = (riccati in ("kernel", "newton") and nx <= 16) or (
         riccati == "auto" and nx <= 16 and jax.default_backend() == "tpu"
     )
 
     def build_caches(rho, warm=None):
+        if riccati == "newton" and nx > 16 and warm is not None:
+            # The Pallas Newton kernel is nx<=16 (slab layout); larger
+            # plants take the vmapped jnp Newton-Kleinman (same math,
+            # same warm-gain precondition — fleet.set_plants does the
+            # same routing).
+            from ..precompute import riccati_newton_jax
+
+            return jax.vmap(
+                lambda a, b, q, r, p, K0: riccati_newton_jax(
+                    a, b, q, r, p, K0, tol=1e-6
+                )
+            )(A, B, Q, R, rho, warm.Kinf)
         if use_kernel:
             from ..ops.riccati_kernel import (
                 riccati_cache_kernel, riccati_cache_newton,

@@ -193,3 +193,32 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(res["cache"].Kinf),
                                np.asarray(want.cache.Kinf),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_newton_nx_gt_16_routes_to_jnp():
+    """riccati="newton" with nx>16 (above the Pallas slab layout) runs the
+    vmapped jnp Newton-Kleinman refresh (round-5 routing, mirroring
+    fleet.set_plants) — same converged set and rho decisions as the
+    fixed-point refresh."""
+    B2, nx2, nu2, N2 = 4, 18, 4, 8
+    problems = [random_lti_problem(seed=s, nx=nx2, nu=nu2, horizon=N2)[0]
+                for s in range(B2)]
+    prob_b = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+    A = jnp.stack([p.A for p in problems])
+    Bm = jnp.stack([p.B for p in problems])
+    Q = jnp.stack([p.Q for p in problems])
+    R = jnp.stack([p.R for p in problems])
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.standard_normal((B2, nx2)) * 0.3, jnp.float32)
+    rho0 = jnp.asarray([1.0, 1e-3, 1e3, 1.0], jnp.float32)
+    settings = atm.Settings(abs_pri_tol=0.02, abs_dua_tol=0.02,
+                            check_termination=1)
+    kw = dict(chunk=25, max_rounds=30, interpret=True)
+    fp = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings, riccati="vmap", **kw)
+    nt = solve_adaptive_rho_hetero(
+        x0s, prob_b, A, Bm, Q, R, rho0, settings, riccati="newton", **kw)
+    np.testing.assert_array_equal(np.asarray(nt.solved),
+                                  np.asarray(fp.solved))
+    np.testing.assert_allclose(np.asarray(nt.rho), np.asarray(fp.rho),
+                               rtol=5e-2)
