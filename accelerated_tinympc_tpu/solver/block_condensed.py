@@ -76,7 +76,11 @@ def _ops_for_size(cache: Cache, A, B, s: int) -> _BlockOps:
     from ..precompute import condensed_operators
 
     nx = np.asarray(A).shape[0]
-    o = condensed_operators(cache, np.asarray(A), np.asarray(B), s + 1)
+    # Operators in the cache dtype: the f64 exactness contract
+    # (tests/test_f64.py) needs f64 operators, not f32-rounded ones.
+    dt = np.dtype(jnp.asarray(cache.Kinf).dtype)
+    o = condensed_operators(cache, np.asarray(A), np.asarray(B), s + 1,
+                            dtype=dt)
     return jax.tree.map(jnp.asarray, _slice_ops(o, s, nx))
 
 

@@ -84,3 +84,32 @@ def test_f32_drift_envelope(native):
     u32 = _scan_solve(problem, cache64, x0, jnp.float32)
     drift = np.max(np.abs(u64 - u32))
     assert drift < 1e-4, drift
+
+
+def test_f64_block_tier_matches_scan():
+    """Block-condensed sweeps vs scan sweeps at float64: the only
+    difference is summation order, so x64 pins the tiers together at
+    1e-10 — the exactness contract behind the f32 FMA-band tolerance
+    (round 5, solver/block_condensed.py)."""
+    from accelerated_tinympc_tpu.models import random_lti_problem
+    from accelerated_tinympc_tpu.precompute import riccati_cache
+    from accelerated_tinympc_tpu.solver import admm
+    from accelerated_tinympc_tpu.solver.block_condensed import solve_block
+
+    with jax.enable_x64(True):
+        p, rho = random_lti_problem(seed=2, nx=8, nu=3, horizon=65)
+        c = riccati_cache(np.asarray(p.A), np.asarray(p.B),
+                          np.asarray(p.Q), np.asarray(p.R), rho)
+        p64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), p)
+        c64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), c)
+        st = init_state(8, 3, 65, jnp.float64)
+        x0 = np.random.default_rng(0).standard_normal(8) * 0.3
+        st = st.replace(x=st.x.at[0, :].set(jnp.asarray(x0, jnp.float64)))
+        settings = atm.Settings(max_iter=40, check_termination=1)
+        a = jax.jit(admm.solve)(st, p64, c64, settings)
+        b = jax.jit(
+            lambda ss: solve_block(ss, p64, c64, settings, block=16)
+        )(st)
+        assert int(a.iter) == int(b.iter)
+        err = float(jnp.max(jnp.abs(a.u - b.u)))
+        assert err < 1e-10, err
