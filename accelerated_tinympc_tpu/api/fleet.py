@@ -685,6 +685,11 @@ class TinyMPCFleet:
         for the hetero tier (per-instance ``cone_args`` overrides are
         einsum-only), einsum otherwise.
 
+        ``engine="scan"`` (round 5, the default for the scan/block
+        tiers) runs the shape-unbound loop — any horizon, any nx
+        (:func:`..solver.adaptive_scan.solve_adaptive_rho_scan`: scan-
+        tier chunks + vmapped warm Newton-Kleinman refresh, no repack).
+
         ``mesh`` (a :func:`..parallel.make_batch_mesh` mesh) shards the
         fused hetero loop over devices
         (:func:`..parallel.sharded_adaptive_hetero`: shard-local rho and
@@ -694,6 +699,29 @@ class TinyMPCFleet:
         if self._x0 is None:
             raise RuntimeError("call set_x0 first")
         nx, nu, N = self.dims
+        if engine == "scan" or (engine == "auto"
+                                and self.tier in ("scan", "block")):
+            # Shape-unbound adaptation (any horizon, any nx): scan-tier
+            # chunks + vmapped warm Newton refresh, no repack stage
+            # (solver/adaptive_scan.py, round 5).
+            from ..solver.adaptive_scan import solve_adaptive_rho_scan
+
+            res = solve_adaptive_rho_scan(
+                self._x0, self.problem, self.problem.A, self.problem.B,
+                self.problem.Q, self.problem.R,
+                jnp.asarray(self.cache.rho, jnp.float32).reshape(-1),
+                self.settings, **kw,
+            )
+            self.cache = res.cache
+            self._build()
+            self._carry = res.state
+            self._last = (res.state.u, res.state.x)
+            return {
+                "rho": np.asarray(res.rho),
+                "iterations": np.asarray(res.total_iter, np.int64),
+                "solved": np.asarray(res.solved),
+                "rounds": int(res.rounds),
+            }
         use_hetero = mesh is not None or engine == "hetero" or (
             engine == "auto" and self.tier == "hetero"
             and self.cone_args is None

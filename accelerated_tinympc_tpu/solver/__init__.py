@@ -19,6 +19,7 @@ from .batched_ops import (  # noqa: F401
     solve_adaptive_rho_chunked,
     solve_instance_ops,
 )
+from .adaptive_scan import solve_adaptive_rho_scan  # noqa: F401
 from .assoc_scan import solve_assoc  # noqa: F401
 from .block_condensed import (  # noqa: F401
     block_ops_batched,
