@@ -191,6 +191,7 @@ enum {{
 #define TINY_CHECK_TERMINATION {int(settings.check_termination)}
 #define TINY_ABS_PRI_TOL {float(settings.abs_pri_tol):.9g}
 #define TINY_ABS_DUA_TOL {float(settings.abs_dua_tol):.9g}
+#define TINY_ALPHA ((tinytype){float(getattr(settings, "alpha", 1.0)):.9g})
 """
     (out / "include" / "tiny_dims.h").write_text(dims_h)
 
@@ -410,7 +411,11 @@ inline void project_soc(tinytype *w, const int *ball, int nball, int axis,
 void update_slack() {
     for (int k = 0; k < N - 1; ++k)
         for (int i = 0; i < NU; ++i) {
-            tinytype zi = W.u[k][i] + W.y[k][i];
+            // TINY_ALPHA != 1: OSQP-style over-relaxation (opt-in;
+            // alpha = 1 is the reference schedule).
+            const tinytype ur = TINY_ALPHA * W.u[k][i]
+                + ((tinytype)1 - TINY_ALPHA) * W.z[k][i];
+            tinytype zi = ur + W.y[k][i];
             if (TINY_EN_INPUT_BOUND) {
                 const tinytype lo = W.u_min[k][i];
                 const tinytype hi = W.u_max[k][i];
@@ -428,7 +433,9 @@ void update_slack() {
                         tiny_ucone_mu[c], tiny_ucone_shift[c]);
     for (int k = 0; k < N; ++k)
         for (int i = 0; i < NX; ++i) {
-            tinytype vi = W.x[k][i] + W.g[k][i];
+            const tinytype xr = TINY_ALPHA * W.x[k][i]
+                + ((tinytype)1 - TINY_ALPHA) * W.v[k][i];
+            tinytype vi = xr + W.g[k][i];
             if (TINY_EN_STATE_BOUND) {
                 const tinytype lo = W.x_min[k][i];
                 const tinytype hi = W.x_max[k][i];
@@ -447,10 +454,14 @@ void update_slack() {
 void update_dual() {
     for (int k = 0; k < N - 1; ++k)
         for (int i = 0; i < NU; ++i)
-            W.y[k][i] += W.u[k][i] - W.znew[k][i];
+            W.y[k][i] += TINY_ALPHA * W.u[k][i]
+                + ((tinytype)1 - TINY_ALPHA) * W.z[k][i]
+                - W.znew[k][i];
     for (int k = 0; k < N; ++k)
         for (int i = 0; i < NX; ++i)
-            W.g[k][i] += W.x[k][i] - W.vnew[k][i];
+            W.g[k][i] += TINY_ALPHA * W.x[k][i]
+                + ((tinytype)1 - TINY_ALPHA) * W.v[k][i]
+                - W.vnew[k][i];
 }
 
 void update_linear_cost() {

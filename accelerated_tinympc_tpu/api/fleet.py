@@ -465,6 +465,14 @@ class TinyMPCFleet:
         if self._x0 is None:
             raise RuntimeError("call set_x0 first")
         s = self.settings
+        if getattr(s, "alpha", 1.0) != 1.0 and self.tier in (
+                "hetero", "instance_ops", "hstream"):
+            raise ValueError(
+                "Settings.alpha (over-relaxation) is implemented on the "
+                "scan/block/fused/condensed tiers; the hetero-family "
+                "kernels run the reference (alpha=1) schedule — use "
+                "tier='scan' or drop alpha"
+            )
         if self.tier == "hstream":
             # Long-horizon fleet tier. Adaptive mode (check_termination > 0):
             # in-kernel per-instance freeze (ops/hstream_admm._kernel_adaptive)

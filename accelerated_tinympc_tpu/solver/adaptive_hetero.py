@@ -93,6 +93,11 @@ def solve_adaptive_rho_hetero(
         repack_hetero_caches,
     )
 
+    if getattr(settings, "alpha", 1.0) != 1.0:
+        raise ValueError(
+            "Settings.alpha is not implemented on the hetero kernel chunks "
+            "(reference alpha=1 schedule); use solve_adaptive_rho_scan"
+        )
     batch = x0.shape[0]
     nx, nu = A.shape[-1], B.shape[-1]
     N = problem.Xref.shape[-2]

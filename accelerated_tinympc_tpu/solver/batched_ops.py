@@ -393,6 +393,11 @@ def solve_adaptive_rho_batched(
     (:func:`..precompute.riccati_cache_jax`), or ``"auto"`` (kernel on TPU
     for nx <= 16, vmap otherwise).
     """
+    if getattr(settings, "alpha", 1.0) != 1.0:
+        raise ValueError(
+            "Settings.alpha is not implemented on the einsum adaptive tier "
+            "(reference alpha=1 schedule); use solve_adaptive_rho_scan"
+        )
     if refresh not in ("exact", "first_order", "cold"):
         raise ValueError(
             f"refresh must be 'exact', 'first_order' or 'cold', "

@@ -143,8 +143,18 @@ def condensed_iteration(
     s = s.replace(X=X, U=U)
 
     # --- slack projection (reference: admm.cpp:45-61) ------------------------
-    Znew = s.U + s.Y
-    Vnew = s.X + s.G
+    # Settings.alpha != 1: OSQP-style over-relaxation (opt-in, beyond-
+    # reference — see solver/admm.py): the slack/dual stages see the
+    # relaxed iterate; the true iterates (and residual definitions below)
+    # are untouched.
+    if settings.alpha != 1.0:
+        a = settings.alpha
+        Ur = a * s.U + (1.0 - a) * s.Z
+        Xr = a * s.X + (1.0 - a) * s.V
+    else:
+        Ur, Xr = s.U, s.X
+    Znew = Ur + s.Y
+    Vnew = Xr + s.G
     if settings.en_input_bound:
         Znew = jnp.clip(Znew, fp.u_min, fp.u_max)
     if settings.en_state_bound:
@@ -166,8 +176,8 @@ def condensed_iteration(
             Vnew = Vk.reshape(Vnew.shape[0], -1)
     s = s.replace(Znew=Znew, Vnew=Vnew)
 
-    # --- dual ascent (admm.cpp:67-71) ----------------------------------------
-    s = s.replace(Y=s.Y + s.U - s.Znew, G=s.G + s.X - s.Vnew)
+    # --- dual ascent (admm.cpp:67-71; relaxed iterates when alpha != 1) ------
+    s = s.replace(Y=s.Y + Ur - s.Znew, G=s.G + Xr - s.Vnew)
 
     # --- linear cost refresh (admm.cpp:77-85) --------------------------------
     R = -fp.rho * (s.Znew - s.Y)

@@ -77,6 +77,10 @@ class Settings:
     solves whose constraints are inactive (the slack settle becomes a
     ``|1-alpha|`` geometric filter: ~3 -> ~9 iterations on the random-LTI
     population) — use it where ADMM stalls, not as a blanket default.
+    Honored by the scan/batched, condensed, block, and fused tiers, the
+    missions built on them, and generated C++ projects (TINY_ALPHA);
+    the hetero-family kernels and the hetero/einsum adaptive-rho loops
+    raise on alpha != 1 (use the scan-tier adaptive loop there).
     Static metadata — changing it recompiles.
     """
 

@@ -452,3 +452,43 @@ def test_editable_solver_preserved_across_regen(tmp_path):
         capture_output=True, text=True, check=True,
     )
     assert len(res.stdout.strip().splitlines()) > 1
+
+
+def test_generated_project_with_alpha(tmp_path):
+    """tiny_codegen(settings=Settings(alpha=1.6)): the emitted solver's
+    relaxed slack/dual stages (TINY_ALPHA) match the engine's scan tier at
+    the same alpha (round-5 deployment parity for over-relaxation)."""
+    out = tmp_path / "alpha_project"
+    sets = atm.Settings(max_iter=25, check_termination=0, alpha=1.6)
+    tiny_codegen(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+        rho=cartpole.RHO, horizon=10, output_dir=out,
+        x_min=-5.0, x_max=5.0, u_min=-5.0, u_max=5.0,
+        settings=sets, augment_Q=False,
+    )
+    assert "TINY_ALPHA ((tinytype)1.6" in (
+        out / "include" / "tiny_dims.h").read_text()
+    binary = build_project(out)
+    res = subprocess.run(
+        [str(binary), *[str(v) for v in X0], str(TICKS)],
+        capture_output=True, text=True, check=True,
+    )
+    rows = np.array(
+        [[float(v) for v in line.split(",")]
+         for line in res.stdout.strip().splitlines()]
+    )
+    u_cpp = rows[:, 5:6]
+
+    problem = cartpole.cartpole_problem(10)
+    cache = riccati_cache(
+        cartpole.A, cartpole.B, cartpole.Q_DIAG, cartpole.R_DIAG,
+        cartpole.RHO,
+    )
+    _, _, trace = jax.jit(
+        lambda x: mpc_rollout(problem, cache, sets, x, TICKS)
+    )(jnp.asarray(X0, jnp.float32))
+    u_jax = np.asarray(trace.u)
+    np.testing.assert_allclose(u_cpp, u_jax, rtol=0, atol=1e-4)
+    # (On this workload 25 fixed iterations fully converge, so alpha=1.6
+    # and alpha=1 end at the same fixed point — the contract here is that
+    # the emitted relaxed stages track the ENGINE at the same alpha.)

@@ -199,3 +199,28 @@ def test_in_kernel_mission_at_alpha(setup):
                                rtol=0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(xf_k), np.asarray(xf_s),
                                rtol=0, atol=1e-4)
+
+
+def test_condensed_matches_scan_at_alpha(setup):
+    """The condensed tier honors Settings.alpha with the scan tier's
+    schedules (round-5 completion: every TinyMPC tier honors alpha)."""
+    from accelerated_tinympc_tpu.precompute import condensed_operators as _co
+    from accelerated_tinympc_tpu.solver.condensed import (
+        flatten_problem, init_flat_state, solve_condensed,
+    )
+
+    problem, cache, _pp, x0s = setup
+    settings = atm.Settings(max_iter=60, check_termination=1, alpha=1.6)
+    want = _run_scan(problem, cache, x0s, settings)
+    ops = _co(cache, np.asarray(problem.A), np.asarray(problem.B),
+              problem.horizon)
+    fp = flatten_problem(problem, cache)
+    fs = init_flat_state(B, problem.nx, problem.nu,
+                         problem.horizon).replace(x0=x0s)
+    out = jax.jit(
+        lambda s: solve_condensed(s, fp, ops, settings, problem.nx)
+    )(fs)
+    np.testing.assert_array_equal(np.asarray(out.iter),
+                                  np.asarray(want.iter))
+    u = np.asarray(out.U).reshape(B, problem.horizon - 1, problem.nu)
+    np.testing.assert_allclose(u, np.asarray(want.u), rtol=0, atol=1e-4)
